@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Mirrors BASELINE.md §2 (B1-B9 -> registry queries). Method matches the
+oracle baseline: 1 warm-up run, mean of 3 timed runs, full result fetch.
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# B-id -> registry query name (BASELINE.md §2 shapes)
+BENCH_QUERIES = {
+    "b1_tpchq1_agg": "q07",
+    "b2_multijoin": "q22",
+    "b3_antijoin": "q05",
+    "b4_window_topk": "q10",
+    "b5_wordcount": "q18",
+    "b6_tumbling": "q28",
+    "b7_sessionize": "q25",
+    "b8_exact_dedup": "q26",
+    "b9_string_agg": "q04",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from kfai_pipeline_spark.queries import REGISTRY
+    from kfai_pipeline_spark.session import get_spark
+
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="kfai-bench")
+    init_sec = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for bench_name, qname in BENCH_QUERIES.items():
+        build = REGISTRY[qname].build
+        build(spark, sf_dir).collect()  # warm-up (plan + shuffle files + JIT)
+        runs = []
+        for _ in range(3):
+            t = time.perf_counter()
+            build(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t)
+        timings[bench_name] = round(sum(runs) / len(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "init_sec": round(init_sec, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Parquet catalog loader for the driver fixtures.
+
+One parquet file per table (TESTDATA.md). ``load_tables`` returns lazy
+DataFrames; ``register_views`` additionally exposes them as temp views
+so queries can be written in SQL. Scans are plain ``spark.read.parquet``
+so Catalyst gets full pushdown/pruning; nothing is cached here —
+callers decide what to persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long
+    # (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType by
+    # integer nanos->micros division — `div` stays in long arithmetic
+    # (a double division would lose precision above 2^53).
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; returns the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

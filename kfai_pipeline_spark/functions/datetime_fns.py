@@ -1,0 +1,108 @@
+"""Date/time functions (F11-F19) — Column-in, Column-out, no UDFs.
+
+Re-expresses the reference's datetime helpers
+(/root/reference/src/kfai/loaders/utils/helpers/datetime.py:4-39,
+/root/reference/src/kfai/extractors/utils/helpers/youtube.py:26-41)
+with Spark built-ins. ISO-8601 *duration* parsing (F12) — which SURVEY
+§4.3.5 flagged as the one "needs a UDF" case — is done with
+regexp_extract arithmetic instead, keeping it codegen-eligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference clamps published_at floors to 2012-01-01T00:00:00Z
+# (ref build_vector_store.py:67-69, filtering.py:79).
+EPOCH_FLOOR_2012 = 1325376000
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def iso_to_epoch(col: str | Column) -> Column:
+    """ISO-8601 string -> Unix epoch seconds, UTC-forced (F11; ref
+    datetime.py:4-22). Empty/unparseable -> 0 like the reference."""
+    c = _c(col)
+    # 'Z' suffix and offset forms both parse via to_timestamp after
+    # normalizing Z -> +00:00 (ref youtube.py:26-30 does the same).
+    norm = F.regexp_replace(c, "Z$", "+00:00")
+    ts = F.coalesce(
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(norm),
+    )
+    return F.coalesce(F.unix_timestamp(ts), F.lit(0)).cast("long")
+
+
+def iso_duration_to_seconds(col: str | Column) -> Column:
+    """ISO-8601 duration (``P1DT2H3M4S`` forms) -> total seconds (F12;
+    ref youtube.py:33-41 via isodate). NULL/empty/invalid -> 0."""
+    c = _c(col)
+    days = F.coalesce(F.regexp_extract(c, r"P[^T]*?(\d+)D", 1).try_cast("long"), F.lit(0))
+    hours = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)H", 1).try_cast("long"), F.lit(0))
+    mins = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)M", 1).try_cast("long"), F.lit(0))
+    secs = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)S", 1).try_cast("long"), F.lit(0))
+    total = days * 86400 + hours * 3600 + mins * 60 + secs
+    return F.when(c.isNull() | (c == ""), F.lit(0)).otherwise(total).cast("long")
+
+
+def epoch_to_year_month(col: str | Column) -> tuple[Column, Column]:
+    """Epoch seconds -> (year, zero-padded month) partition columns (F13;
+    ref processing.py:22-28 directory layout)."""
+    ts = F.timestamp_seconds(_c(col))
+    return F.year(ts).alias("year"), F.lpad(F.month(ts).cast("string"), 2, "0").alias("month")
+
+
+def format_hms(col: str | Column) -> Column:
+    """Seconds -> ``h:mm:ss`` (F14; ref query_agent.py:161-168 citation
+    timestamps — hours unpadded, minutes/seconds 2-padded)."""
+    s = _c(col).cast("long")
+    return F.concat_ws(
+        ":",
+        (s / 3600).cast("long").cast("string"),
+        F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+
+
+def year_term_epoch_range(
+    exact_year: int | None = None,
+    year_range: str | None = None,
+    before_year: int | None = None,
+    after_year: int | None = None,
+    current_year: int = 2026,
+) -> tuple[int, int] | None:
+    """Year predicate -> (gte_epoch, lte_epoch) bounds (F15; ref
+    filtering.py:43-103). Driver-side pure function — the result feeds
+    the filter compiler as ``$gte``/``$lte`` terms.
+
+    Clamps: floor 2012-01-01 (= 1325376000) for ``before_year``; ceiling
+    end of ``current_year`` for ``after_year`` — matching the reference's
+    ``datetime.now().year`` ceiling.
+    """
+    from datetime import datetime, timezone
+
+    def _epoch(iso: str) -> int:
+        return int(
+            datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp()
+        )
+
+    if exact_year is not None:
+        y = int(exact_year)
+        return _epoch(f"{y}-01-01T00:00:00"), _epoch(f"{y}-12-31T23:59:59")
+    if year_range:
+        start, end = year_range.split("-")[0], year_range.split("-")[1]
+        return (
+            _epoch(f"{int(start)}-01-01T00:00:00"),
+            _epoch(f"{int(end)}-12-31T23:59:59"),
+        )
+    if before_year is not None:
+        y = int(before_year) - 1
+        return EPOCH_FLOOR_2012, _epoch(f"{y}-12-31T23:59:59")
+    if after_year is not None:
+        y = int(after_year) + 1
+        return _epoch(f"{y}-01-01T00:00:00"), _epoch(f"{current_year}-12-31T23:59:59")
+    return None

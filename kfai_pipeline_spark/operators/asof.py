@@ -1,0 +1,65 @@
+"""As-of join (J8): for each left row, the latest right row with
+``right_ts <= left_ts`` sharing the join key.
+
+Spark has no native as-of join. The scalable pattern is the
+union + windowed last(ignorenulls) carry-forward: one shuffle on
+``(key, ts)``, no per-key Python, no cross product — survives 100x
+scale-up because state per key is O(1) within the window scan.
+
+A ``pd.merge_asof``-per-group variant would pin each key to one task
+and pay the Arrow boundary; the union form stays whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join. Returns ``left`` columns plus the right-side
+    ``value_cols`` (coalesced carry-forward, NULL if no prior right row).
+
+    Ties (right_ts == left_ts) match, with right rows sorting before left
+    rows at the same timestamp.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        "__left",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in value_cols],
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    )
+    return out

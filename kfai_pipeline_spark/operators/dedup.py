@@ -1,0 +1,366 @@
+"""Deduplication operators (X1/X2, Q26) — exact and near-duplicate.
+
+All hot paths are JVM-side built-ins (xxhash64, higher-order array
+functions, bit ops); nothing here crosses the Python boundary, so every
+stage is whole-stage-codegen eligible and scales by shuffle keys:
+
+* exact        — hash groupBy on md5(text); one shuffle.
+* MinHash+LSH  — shingle -> k minhashes -> band signatures -> bucket
+                 equi-join for candidates -> exact Jaccard verify ->
+                 connected components. Candidate generation never forms a
+                 cross product; buckets shuffle on (band, signature).
+* SimHash      — 64-bit signature, banded hamming buckets, bit_count
+                 verify.
+* embedding    — cosine >= threshold via sign-LSH buckets (scale) or
+                 brute force (oracle baseline).
+
+The reference's only dedup is key-based seen-set/file-exists skips
+(ref query_agent.py:287-298, processing.py:34-35) — ``dropDuplicates``
+covers those (T4); the near-dup family is the LLM-training-data
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.similarity import _as_double, cosine, random_hyperplanes, _band_signatures
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (by md5). Deterministic keeper:
+    the minimum value of all remaining columns' struct."""
+    key = F.md5(F.col(text_col)).alias("__fp")
+    other = [c for c in df.columns]
+    return (
+        df.select(key, F.struct(*other).alias("__row"))
+        .groupBy("__fp")
+        .agg(F.min("__row").alias("__row"))
+        .select("__row.*")
+    )
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text", by: str | None = None) -> DataFrame:
+    """Distinct-hash counts (Q26 shape): rows vs distinct md5(text)."""
+    grouped = df.groupBy(by) if by else df.groupBy()
+    return grouped.agg(
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------- shingling / minhash
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from slice+transform over the word array — no UDF. Documents
+    shorter than ``n`` words contribute their full text as one shingle.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """(id, h0..h{k-1}): k independent minhashes via seeded xxhash64.
+
+    Seed-by-concat keeps everything in one JVM aggregate — k min() aggs
+    over one shuffle on the doc id.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"\x00{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band."""
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(F.col(id_col), F.explode(band_sigs).alias("__band"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "__band")
+    b = buckets.select(F.col(id_col).alias("id_b"), "__band")
+    return (
+        a.join(b, "__band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    |A ∩ B| comes from a shingle equi-join restricted to candidate pairs;
+    |A ∪ B| = |A| + |B| - |A ∩ B| from per-doc shingle counts.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id, component) from undirected edges (id_a, id_b) by iterative
+    min-label propagation. Each iteration is one shuffle; lineage is cut
+    with localCheckpoint so 100-iteration graphs don't blow the plan.
+
+    Converges in O(log n) iterations for typical near-dup graphs (small
+    diameter); ``max_iterations`` bounds pathological chains.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("__nmin", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: returns (id, component) for
+    every document, where near-duplicates share a component (singletons
+    keep their own id). Keep one doc per component to dedup."""
+    rows_per_band = num_hashes // bands
+    shingles = word_shingles(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(shingles, id_col, num_hashes)
+    cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
+    dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
+    comps = connected_components(dup_edges.select("id_a", "id_b"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions.
+
+    Each word hashes once (xxhash64); bit j of the signature is the sign
+    of sum_j(±1) across words. The 64 per-bit sums are 64 aggregate
+    expressions in a single groupBy — one shuffle on the doc id.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__w")
+    ).withColumn("__h", F.xxhash64("__w"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = words.groupBy(id_col).agg(*bit_aggs)
+    sig: Column = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming distance <= max_hamming.
+
+    Banding: split the 64-bit signature into (max_hamming + 1) blocks —
+    any pair within distance d agrees exactly on >= 1 block (pigeonhole),
+    so a block-value equi-join finds all candidates; bit_count(xor)
+    verifies exactly.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                # unsigned slice of the signature
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long")),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    bucketed = sigs.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("__blk"))
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "__blk"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard (exact)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over *all* pairs that share at least one
+    shingle (inverted-index join — still no cross product; rare-shingle
+    skew is the scale risk, mitigate by dropping ubiquitous shingles
+    upstream for real corpora)."""
+    shingles = word_shingles(df, text_col, id_col, n)
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- embedding near-dup
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    use_lsh: bool = False,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    Brute force (use_lsh=False) is the oracle baseline: a self cross
+    join — only for eval-scale data. The LSH form buckets by
+    random-hyperplane band signatures first (equi-join on signature), the
+    scale path for millions of vectors.
+    """
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim is required for LSH bucketing")
+        planes = random_hyperplanes(dim, bands * rows_per_band, seed)
+        bucketed = v.select(
+            F.col(id_col), "__v",
+            F.explode(_band_signatures(F.col("__v"), planes, bands, rows_per_band)).alias(
+                "__sig"
+            ),
+        )
+        a = bucketed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__sig")
+        b = bucketed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__sig")
+        pairs = (
+            a.join(b, "__sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,161 @@
+"""Vector similarity search (X3 / Q27).
+
+Spark has no native ANN; the engine provides:
+
+* ``cosine_topk``      — exact brute-force top-k, the correctness baseline.
+  Dot products run JVM-side via higher-order array functions
+  (``zip_with`` + ``aggregate``) in DOUBLE — no Python boundary.
+* ``cosine_topk_lsh``  — random-hyperplane (sign) LSH bucketing: candidates
+  share >= ``min_band_matches`` bands, then exact re-rank. This is the
+  100 TB path: the cross product never materializes; candidate
+  generation is a bucket equi-join that shuffles on band signature.
+
+Serving-path ANN stays external (pgvector) per the scope decision; these
+operators cover batch/eval retrieval (ref query_agent.py:252-257 does
+k=120 retrieval per query — here that is ``k`` per query row).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product over array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query row.
+
+    ``queries`` is expected to be small relative to ``vectors`` and is
+    broadcast; the corpus side streams through one codegen stage
+    (score + per-query window top-k) — no corpus shuffle until the
+    final k*|queries| rows.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), _as_double(query_vec_col).alias("__qv")
+        )
+    )
+    score = cosine(_as_double(vec_col), F.col("__qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = vectors.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        score.alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-norm random hyperplanes (driver-side, tiny)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _band_signatures(vec: Column, planes: list[list[float]], bands: int, rows_per_band: int) -> Column:
+    """array<string> of band signatures: each band concatenates the sign
+    bits of ``rows_per_band`` hyperplane projections."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    sigs = []
+    for b in range(bands):
+        band_bits = bits[b * rows_per_band : (b + 1) * rows_per_band]
+        sigs.append(F.concat(F.lit(f"{b}:"), *band_bits))
+    return F.array(*sigs)
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH banding for candidates, exact re-rank.
+
+    Recall/cost trades via (bands, rows_per_band): more bands -> higher
+    recall, more candidates. Candidate generation is an equi-join on
+    (band signature) — shuffle keyed on signature, never a cross join.
+    """
+    planes = random_hyperplanes(dim, bands * rows_per_band, seed)
+
+    v = vectors.select(
+        F.col(id_col), _as_double(vec_col).alias("__v"),
+        F.explode(_band_signatures(_as_double(vec_col), planes, bands, rows_per_band)).alias(
+            "__sig"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _as_double(query_vec_col).alias("__qv"),
+        F.explode(_band_signatures(_as_double(query_vec_col), planes, bands, rows_per_band)).alias(
+            "__sig"
+        ),
+    )
+    cands = (
+        v.join(q, "__sig")
+        .select("__qid", id_col, "__v", "__qv")
+        .dropDuplicates(["__qid", id_col])
+    )
+    score = cosine(F.col("__v"), F.col("__qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = cands.select(F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,180 @@
+"""Text analysis operators (X4) — all JVM-side built-ins, no UDFs.
+
+token counting, quality heuristics, n-gram language ID, and
+winnowing-style document fingerprints. These are per-row map operations
+(narrow; no shuffle) except the corpus rollups, which shuffle once on
+the group key — the ideal shape at 100 TB.
+
+The reference's text surface is regex normalization
+(ref transformers/utils/helpers.py:92-114) — covered by
+functions/text.py; this module is the LLM-training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real deployments would plug in a fastText-style model via mapInPandas;
+# the heuristic keeps language ID deterministic and JVM-side.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "que", "por", "con"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def _words(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.length(F.trim(c)) == 0, 0).otherwise(F.size(_words(c)))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Sub-word-ish token estimate: count of alternating letter/digit/
+    punctuation runs (a cheap BPE proxy — ~regex segmentation)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    segmented = F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", "$1\x00")
+    return F.size(F.filter(F.split(segmented, "\x00"), lambda s: F.trim(s) != ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring columns: n_tokens, n_chars, avg_word_len,
+    punct_ratio, stopword_ratio, and a composite quality_score in [0,1].
+    """
+    words = _words(text_col)
+    n_tokens = token_count(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS_EN))
+    )
+    avg_word_len = F.when(
+        n_tokens > 0,
+        F.round(
+            F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+            / n_tokens,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, F.round(stop_hits / n_tokens, 4)).otherwise(0.0)
+    # Composite: reward mid-length docs with some stopwords, punish
+    # punctuation soup. Clamped linear blend — deterministic, tunable.
+    score = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+                + stop_ratio * 2.0 * 0.3
+                + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2,
+            ),
+        ),
+        4,
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "avg_word_len": avg_word_len,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hit
+    counts ('und' when nothing matches). Ties break lexicographically —
+    deterministic. Entirely JVM-side: one filter() per language over the
+    word array."""
+    words = _words(text_col)
+    scores = [
+        F.struct(
+            F.size(F.filter(words, lambda w: F.lower(w).isin(*markers))).alias("hits"),
+            # invert the name ordering trick: max(struct) picks highest hits,
+            # then lexicographically *smallest* lang via negated comparison —
+            # store lang descending-safe by keeping plain asc and using >= on hits
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max over structs compares field-by-field: (hits, lang); for
+    # equal hits it picks the lexicographically LARGEST lang, so order
+    # candidates with reversed lang markers to make ties deterministic
+    # and documented: highest hits wins, ties -> later alphabet lang.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def word_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) rows from consecutive word pairs — slice+zip, no UDF."""
+    words = _words(text_col)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint: hash every k-gram (rolling window
+    of words), then keep the minimum hash in each sliding window of
+    ``window`` consecutive k-gram hashes. Output: (id, fingerprint
+    array<long>) — a compact, position-robust signature for plagiarism/
+    near-dup style matching.
+
+    Implemented with sequence/transform/slice over arrays — one narrow
+    projection, no shuffle, no UDF.
+    """
+    words = _words(text_col)
+    n_kgrams = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), n_kgrams),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+    n_windows = F.greatest(F.size(kgram_hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+    )
+    return df.select(F.col(id_col), F.array_distinct(mins).alias("fingerprint"))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
+    """Per-group rollup of the quality features (one shuffle)."""
+    feats = quality_features(df, text_col)
+    return (
+        feats.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy(by)
+    )

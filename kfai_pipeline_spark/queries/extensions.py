@@ -1,0 +1,278 @@
+"""Extension correctness queries: sessionization, tumbling windows,
+dedup family, similarity search, text analysis (SURVEY.md §2.10-§2.12,
+Q25-Q28 + X1-X4).
+
+SQL-expressible ops carry a DuckDB oracle; approximate/hash-based ops
+(minhash, simhash, LSH ANN, xxhash fingerprints) are registered without
+an oracle — the driver records a rows-only check and tests/ verify their
+invariants against exact baselines instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.catalog import load_table
+from kfai_pipeline_spark.operators import dedup as D
+from kfai_pipeline_spark.operators import similarity as S
+from kfai_pipeline_spark.operators import text_analysis as TA
+from kfai_pipeline_spark.operators.sessionize import session_stats
+from kfai_pipeline_spark.queries.base import register
+
+
+# ---------------------------------------------------------------- Q25: sessionization
+@register(
+    "q25",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, epoch(MAX(ts)) - epoch(MIN(ts)) AS session_len
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(session_len), 2) AS avg_len
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    doc="30-min-gap sessionization, gaps-and-islands batch form (§2.10, Q25).",
+)
+def q25(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, "user_id", "ts", 1800.0, tiebreak_cols=["event_id"])
+
+
+# ---------------------------------------------------------------- Q26: exact dedup
+@register(
+    "q26",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) AS n_rows
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Exact dedup stats via md5 hash-groupBy (X1, Q26).",
+)
+def q26(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_stats(docs, "text", by="lang").orderBy("lang")
+
+
+# ---------------------------------------------------------------- Q27: similarity top-k
+@register(
+    "q27",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 vs vec_id=0 (X3, Q27); JVM-side zip_with dot product.",
+)
+def q27(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    topk = S.cosine_topk(corpus, queries, k=10, round_to=4)
+    return topk.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id"))
+
+
+# ---------------------------------------------------------------- Q28: tumbling window
+@register(
+    "q28",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+    doc="Tumbling hourly window, batch form (§2.10, Q28); streaming twin in streaming/windows.py.",
+)
+def q28(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------- text analysis (X4)
+@register(
+    "q29_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS len_chars
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Whitespace token counting per document (X4).",
+)
+def q29_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TA.token_count("text").alias("n_tokens"),
+            F.length("text").alias("len_chars"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@register(
+    "q30_corpus",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(length(string_split_regex(trim(text), '\\s+'))), 2) AS avg_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language corpus token rollup (X4).",
+)
+def q30_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TA.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q31_bigrams",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(length(ws) - 1, 0)),
+                   i -> ws[i] || ' ' || ws[i + 1]
+               )) AS bigram
+        FROM w
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM b
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    ORDER BY cnt DESC, bigram
+    LIMIT 100
+    """,
+    doc="Word-bigram counting via slice+zip_with (X4) — explode-free n-gram build.",
+)
+def q31_bigrams(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TA.word_bigrams(docs, "text", "doc_id")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+@register(
+    "q32_langid",
+    oracle=None,  # heuristic verified by tests/test_text_analysis.py vs the lang column
+    doc="Marker-lexicon language ID (X4); rows-only driver check, accuracy asserted in tests.",
+)
+def q32_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TA.lang_id(docs, "text")
+        .select("doc_id", "pred_lang", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q33_fingerprint",
+    oracle=None,  # xxhash64-based winnowing; invariants tested in tests/
+    doc="Winnowing document fingerprints (X4); deterministic rows-only check.",
+)
+def q33_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TA.fingerprint(docs, "text", "doc_id")
+        .select("doc_id", F.size("fingerprint").alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- dedup family (X1/X2)
+@register(
+    "q34_minhash",
+    oracle=None,  # approx candidate generation; verified vs exact jaccard in tests/
+    doc="MinHash+LSH near-dup components (X2); rows-only driver check.",
+)
+def q34_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    comps = D.minhash_dedup(docs, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8)
+    return comps.orderBy("doc_id")
+
+
+@register(
+    "q35_simhash",
+    oracle=None,
+    doc="64-bit SimHash signatures + banded hamming candidates (X2); rows-only check.",
+)
+def q35_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "q36_neardup_emb",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           ), 4) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+          ), 4) >= 0.55
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup pairs, brute-force baseline (X2); LSH path in operators.dedup.",
+)
+def q36_neardup_emb(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.55, use_lsh=False)
+    return pairs.orderBy("id_a", "id_b")

@@ -1,0 +1,727 @@
+"""Relational correctness queries Q01-Q24 (SURVEY.md §2.12).
+
+Each builder is idiomatic DataFrame API — Catalyst handles pushdown,
+pruning, and join selection; explicit ``broadcast`` hints mark the dim
+tables that must stay map-side at 100 TB. Every computed column is
+aliased identically in the Spark plan and the DuckDB oracle so the
+driver's sorted-column value hash lines up.
+
+Reference-semantics notes cite /root/reference/ file:line where a query
+re-expresses a reference operator (see SURVEY.md §2 tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kfai_pipeline_spark.catalog import load_table
+from kfai_pipeline_spark.queries.base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- Q01: scan/project/filter
+@register(
+    "q01",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity < 10 AND l_returnflag IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+    doc="Scan/project/filter (P1,P2,P5; ref database.py:70-71 channel_id<3 shape).",
+)
+def q01(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") < 10) & F.col("l_returnflag").isNotNull())
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+@register(
+    "q01_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_quantity < 10 AND l_returnflag IS NOT NULL
+    """,
+    doc="Count variant of Q01 (A5 counters shape).",
+)
+def q01_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") < 10) & F.col("l_returnflag").isNotNull())
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------- Q02: IN-list
+@register(
+    "q02",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ORDER BY o_orderkey LIMIT 500
+    """,
+    doc="IN-list predicate (P3; ref database.py:159-164 parameterized IN).",
+)
+def q02(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q03: inner equi join
+@register(
+    "q03",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY c_custkey LIMIT 500
+    """,
+    doc="Inner equi join, broadcast dim (J1; ref database.py:153 videos JOIN shows).",
+)
+def q03(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q04: left join + ordered string agg
+@register(
+    "q04",
+    oracle="""
+    SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="Left join + deterministic GROUP_CONCAT (J2+A1; ref database.py:150-166).",
+)
+def q04(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        nation.join(
+            F.broadcast(supplier), supplier.s_nationkey == nation.n_nationkey, "left"
+        )
+        .groupBy("n_name")
+        .agg(
+            # string_agg over zero rows is NULL; concat_ws over an empty
+            # collect_list would be '' — emit NULL to match SQL semantics.
+            F.when(
+                F.count("s_name") > 0,
+                F.concat_ws(",", F.sort_array(F.collect_list("s_name"))),
+            ).alias("suppliers")
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------- Q05: anti join
+@register(
+    "q05",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join = incremental diff (J4; ref fetch_raw_data.py:53-67).",
+)
+def q05(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------- Q06: semi join
+@register(
+    "q06",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000
+    )
+    ORDER BY c_custkey LIMIT 500
+    """,
+    doc="Left semi join = citation membership (J6; ref query_agent.py:117-141).",
+)
+def q06(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q07: TPC-H Q1-shape agg
+@register(
+    "q07",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+        ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+        ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+        ROUND(AVG(l_discount), 2)                                        AS avg_disc,
+        COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Hash agg partial+final, TPC-H Q1 shape (A7). Map-side combine is automatic.",
+)
+def q07(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- Q08: HAVING count distinct
+@register(
+    "q08",
+    oracle="""
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) >= 4
+    ORDER BY o_custkey
+    """,
+    doc="Explode-free HAVING on count distinct (A3 shape; ref loaders database.py:72-89).",
+)
+def q08(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_prio"))
+        .where(F.col("n_prio") >= 4)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------- Q09: ROLLUP
+@register(
+    "q09",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS cnt
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="ROLLUP grouping sets (A7), pinned NULLS FIRST ordering.",
+)
+def q09(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# ---------------------------------------------------------------- Q10: ranking window
+@register(
+    "q10",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="Top-3 per group via row_number (W1/W5; ref query_agent.py:285-298 dedup/cap).",
+)
+def q10(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# ---------------------------------------------------------------- Q11: analytic window + frame
+@register(
+    "q11",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS run_sum,
+           ROUND(LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 2) AS prev_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Running frame + lag (W4/W5; ref transcribe_failures.py:87-96 offset shift kin).",
+)
+def q11(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(-2, 0)), 2).alias("run_sum"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- Q12: top-k per group then global
+@register(
+    "q12",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    ORDER BY l_extendedprice DESC, l_orderkey
+    LIMIT 100
+    """,
+    doc="First-seen-per-key dedup then global top-k (W1; ref query_agent.py:287-298).",
+)
+def q12(spark, sf_dir):
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q13: multi-key sort + limit
+@register(
+    "q13",
+    oracle="""
+    SELECT o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 500
+    """,
+    doc="Multi-key global sort+limit = TakeOrderedAndProject (W2; ref query_agent.py:223-232).",
+)
+def q13(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q14: set operations
+@register(
+    "q14",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+    ORDER BY op, c_custkey
+    """,
+    doc="UNION/INTERSECT/EXCEPT (T1-T3; ref fetch_raw_data.py:64-67 set diff).",
+)
+def q14(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    tagged = (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
+    )
+    return tagged.orderBy("op", "c_custkey")
+
+
+# ---------------------------------------------------------------- Q15: string kitchen sink
+@register(
+    "q15",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '\\s+', ' ', 'g')            AS name_ws,
+           trim(p_name)                                         AS name_trim,
+           upper(p_name)                                        AS name_upper,
+           substr(p_name, 1, 5)                                 AS name_prefix,
+           split_part(p_name, ' ', -1)                          AS last_word,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END    AS is_green,
+           concat(p_brand, ':', p_type)                         AS brand_type
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 500
+    """,
+    doc="String functions F1-F9/F21 (ref transformers/utils/helpers.py:18-23,92-114).",
+)
+def q15(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", r"\s+", " ").alias("name_ws"),
+            F.trim("p_name").alias("name_trim"),
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.element_at(F.split("p_name", " "), -1).alias("last_word"),
+            F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+            F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q16: date/time
+@register(
+    "q16",
+    oracle="""
+    SELECT CAST(year(ts) AS INT)  AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS min_epoch,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY y, m
+    ORDER BY y, m
+    """,
+    doc="Date parts + epoch + range predicate (F11/F13/F15/P6; ref filtering.py:43-103).",
+)
+def q16(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            F.col("ts").between(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        )
+        .groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+        )
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+# ---------------------------------------------------------------- Q17: math
+@register(
+    "q17",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           -- floor(x*100+0.5)/100: bit-identical half-up rounding in both
+           -- engines (ROUND differs at representational .005 boundaries)
+           FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)        AS n_chunks,
+           CAST(TRUNC(l_quantity) AS INT)                AS qty_int,
+           l_quantity + 10                               AS qty_plus,
+           CAST(l_orderkey % 7 AS BIGINT)                AS mod7
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+    doc="Arithmetic surface F14/F16-F19 (ref query_agent.py:119-168, youtube.py:99).",
+)
+def q17(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5) / 100
+            ).alias("disc_price"),
+            F.ceil(F.col("l_quantity") / 7.0).alias("n_chunks"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            (F.col("l_quantity") + 10).alias("qty_plus"),
+            (F.col("l_orderkey") % 7).alias("mod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q18: explode + wordcount
+@register(
+    "q18",
+    oracle="""
+    SELECT word, COUNT(DISTINCT p_partkey) AS cnt
+    FROM (
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    )
+    GROUP BY word
+    HAVING COUNT(DISTINCT p_partkey) >= 5
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+    doc="Explode + group + HAVING count distinct (A3/F8; ref loaders database.py:72-89).",
+)
+def q18(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.countDistinct("p_partkey").alias("cnt"))
+        .where(F.col("cnt") >= 5)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q19: JSON extraction
+@register(
+    "q19",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON field access + filter (F22/F23; ref loaders database.py:61-63 JSONB ->>).",
+)
+def q19(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q20: conditional aggregation
+@register(
+    "q20",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT)  AS y,
+           CAST(month(l_shipdate) AS INT) AS m,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE (l_quantity > 30 OR l_discount < 0.05) AND l_linestatus = 'F'
+    GROUP BY y, m
+    ORDER BY y, m
+    """,
+    doc="CASE branching + AND/OR predicate mix (F25/P8; ref filtering.py:18-123).",
+)
+def q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            ((F.col("l_quantity") > 30) | (F.col("l_discount") < 0.05))
+            & (F.col("l_linestatus") == "F")
+        )
+        .groupBy(
+            F.year("l_shipdate").alias("y"),
+            F.month("l_shipdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+# ---------------------------------------------------------------- Q21: DISTINCT / dedup-by-key
+@register(
+    "q21",
+    oracle="""
+    SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    doc="DISTINCT projection (A2; ref loaders database.py:59-69).",
+)
+def q21(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@register(
+    "q21_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    """,
+    doc="Dedup by composite key (T4; ref query_agent.py:287-298 seen-set).",
+)
+def q21_dedup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .dropDuplicates(["event_type", "user_id"])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------- Q22: multi-join revenue (flagship)
+@register(
+    "q22",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc=(
+        "Flagship: 5-table join + agg, TPC-H Q5 shape (J1/A7/Q22). Dims broadcast; "
+        "fact-fact join shuffles on the key; AQE coalesces post-shuffle partitions."
+    ),
+)
+def q22(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------- Q23: range/theta join
+@register(
+    "q23",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS cnt
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+    doc="Equi key + range residual (J7): SMJ/SHJ on key, residual filter post-match.",
+)
+def q23(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- Q24: as-of join
+@register(
+    "q24",
+    oracle="""
+    SELECT user_id, event_type
+    FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="As-of: latest event per key at a point in time (J8). See operators.asof for the general join.",
+)
+def q24(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults are tuned for correctness-vs-oracle comparison (UTC session
+timezone — the reference also forces UTC, see
+/root/reference/src/kfai/loaders/utils/helpers/datetime.py:14-22) and
+for scale (AQE on, skew-join handling, Arrow for the Pandas-UDF
+boundary). On a real cluster only ``master`` and the memory knobs
+change; the SQL conf here is the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "kfai-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Shuffle partitions default to the local core count — on a real
+    cluster this would be sized to ~2-3x total executor cores and AQE
+    coalesces the rest at runtime.
+    """
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # -- determinism / oracle comparison --
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- adaptive execution: runtime coalesce + skew-join splitting --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Arrow for the Python boundary (pandas UDFs, toPandas) --
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- scan sizing: 128 MB splits is the large-cluster default --
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # -- broadcast threshold: dims (region/nation/supplier/part) stay map-side --
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); read as long, catalog converts
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
