@@ -46,10 +46,13 @@ def take_after_marker(col: str | Column, marker: str) -> Column:
     """Everything after the last occurrence of ``marker``; the whole
     string when the marker is absent (F6 — Python ``split(m)[-1]``
     semantics; ref helpers.py:107-111)."""
+    import re as _re
+
     c = _c(col)
-    # split() with a trailing-match yields '' as the last element, same
-    # as Python's str.split — element_at(-1) reproduces [-1] exactly.
-    return F.element_at(F.split(c, F.lit(marker), -1), -1)
+    # F.split takes a Java regex — quote the literal marker. split() with
+    # a trailing match yields '' as the last element, same as Python's
+    # str.split — element_at(-1) reproduces [-1] exactly.
+    return F.element_at(F.split(c, _re.escape(marker), -1), -1)
 
 
 def clean_llm_response(col: str | Column) -> Column:

@@ -337,7 +337,10 @@ def embedding_neardup_pairs(
     random-hyperplane band signatures first (equi-join on signature), the
     scale path for millions of vectors.
     """
-    v = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    from kfai_pipeline_spark.operators.similarity import l2_normalize
+
+    # normalize once per row: per-pair scoring is then a single dot product
+    v = df.select(F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v"))
     if use_lsh:
         if dim is None:
             raise ValueError("dim is required for LSH bucketing")
@@ -359,8 +362,10 @@ def embedding_neardup_pairs(
         a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
         b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    from kfai_pipeline_spark.operators.similarity import dot
+
     return (
-        pairs.withColumn("score", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        pairs.withColumn("score", F.round(dot(F.col("__va"), F.col("__vb")), 4))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

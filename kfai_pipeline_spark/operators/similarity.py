@@ -45,6 +45,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize; NULL for zero-norm vectors so downstream dot
+    products propagate NULL exactly like ``cosine`` does.
+
+    Normalizing each side ONCE before a pairwise join turns per-pair
+    cosine (3 higher-order-function passes) into a single dot product —
+    the difference between O(3·d·|pairs|) and O(d·|sides| + d·|pairs|)
+    interpreted-expression evals at 100 TB."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n))
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -64,13 +76,17 @@ def cosine_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("__qid"), _as_double(query_vec_col).alias("__qv")
+            F.col(query_id_col).alias("__qid"),
+            l2_normalize(_as_double(query_vec_col)).alias("__qv"),
         )
     )
-    score = cosine(_as_double(vec_col), F.col("__qv"))
+    normed = vectors.select(
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v")
+    )
+    score = dot(F.col("__v"), F.col("__qv"))
     if round_to is not None:
         score = F.round(score, round_to)
-    scored = vectors.crossJoin(q).select(
+    scored = normed.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         score.alias("score"),
@@ -132,14 +148,17 @@ def cosine_topk_lsh(
     """
     planes = random_hyperplanes(dim, bands * rows_per_band, seed)
 
+    # Sign-LSH band signatures are scale-invariant, so they're computed on
+    # the raw vectors; scoring uses unit-normalized copies (one dot/pair).
     v = vectors.select(
-        F.col(id_col), _as_double(vec_col).alias("__v"),
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v"),
         F.explode(_band_signatures(_as_double(vec_col), planes, bands, rows_per_band)).alias(
             "__sig"
         ),
     )
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), _as_double(query_vec_col).alias("__qv"),
+        F.col(query_id_col).alias("__qid"),
+        l2_normalize(_as_double(query_vec_col)).alias("__qv"),
         F.explode(_band_signatures(_as_double(query_vec_col), planes, bands, rows_per_band)).alias(
             "__sig"
         ),
@@ -149,7 +168,7 @@ def cosine_topk_lsh(
         .select("__qid", id_col, "__v", "__qv")
         .dropDuplicates(["__qid", id_col])
     )
-    score = cosine(F.col("__v"), F.col("__qv"))
+    score = dot(F.col("__v"), F.col("__qv"))
     if round_to is not None:
         score = F.round(score, round_to)
     scored = cands.select(F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score"))

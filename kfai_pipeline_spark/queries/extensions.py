@@ -258,6 +258,60 @@ def q35_simhash(spark, sf_dir):
 
 
 @register(
+    "q37_chunk_docs",
+    oracle=None,  # recursive char-splitting isn't SQL-expressible; invariants in tests/test_chunker.py
+    doc="Chunker UDTF over documents (W3/U4): doc text -> overlapping chunks with offsets.",
+)
+def q37_chunk_docs(spark, sf_dir):
+    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+    from kfai_pipeline_spark.operators.chunker import chunk_transcripts, explode_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    # each document = a single-snippet transcript starting at t=0
+    as_snippets = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.col("text").alias("text"),
+                F.lit(0.0).alias("start"),
+                F.lit(0.0).alias("duration"),
+            )
+        ).alias("transcript"),
+    )
+    chunked = chunk_transcripts(as_snippets, chunk_size=500, chunk_overlap=100)
+    grain = explode_chunks(chunked.drop("transcript"), keep_cols=["doc_id"])
+    return (
+        grain.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.length("text")).alias("max_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q38_embed_pipeline",
+    oracle=None,  # encoder is the injected hash stub; determinism asserted in tests
+    doc="Embedding connector (U2): mapInPandas hash-stub encode + self-cosine sanity.",
+)
+def q38_embed_pipeline(spark, sf_dir):
+    from kfai_pipeline_spark.operators.embed import embed_texts
+    from kfai_pipeline_spark.operators.similarity import cosine, _as_double
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    emb = embed_texts(docs)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(cosine(_as_double("embedding"), _as_double("embedding")), 4).alias(
+            "self_cos"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "q36_neardup_emb",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

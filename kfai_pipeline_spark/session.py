@@ -45,8 +45,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # -- Arrow for the Python boundary (pandas UDFs, toPandas) --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # -- scan sizing: 128 MB splits is the large-cluster default --
+        # -- scan sizing: 128 MB splits is the large-cluster default;
+        #    low open-cost lets small local files still split across cores
+        #    (no effect at real scale where files exceed it) --
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # -- broadcast threshold: dims (region/nation/supplier/part) stay map-side --
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS); read as long, catalog converts

@@ -1,0 +1,43 @@
+"""Skip-list / dead-letter side file (S6/I3).
+
+The reference keeps a JSON array of permanently-failed video ids and
+re-persists it after each new skip (ref fetch_raw_data.py:20-39,
+106-117). Engine form: a single-column DataFrame persisted as JSON;
+filtering is an anti join (or a broadcast ``isin`` for small lists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_skip_set(spark: SparkSession, path: str) -> DataFrame:
+    """Skip file -> 1-column DataFrame (empty when absent, like the
+    reference's missing-file fallback at fetch_raw_data.py:30-39)."""
+    ids: list[str] = []
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            ids = json.load(f)
+    return spark.createDataFrame([(v,) for v in ids], "video_id string")
+
+
+def save_skip_set(df: DataFrame, path: str) -> int:
+    """Persist the skip DataFrame as a sorted JSON array; returns count.
+
+    Driver-side collect is intentional: skip lists are control metadata
+    (thousands of ids at most), not data-plane rows."""
+    ids = sorted(r[0] for r in df.select("video_id").distinct().collect())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(ids, f, indent=4)
+    return len(ids)
+
+
+def filter_skipped(df: DataFrame, skip: DataFrame, key: str = "video_id") -> DataFrame:
+    """P4: drop rows whose key appears in the skip list (broadcast anti
+    join — the skip side is always small)."""
+    return df.join(F.broadcast(skip), key, "left_anti")
