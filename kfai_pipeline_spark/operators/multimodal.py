@@ -1,0 +1,199 @@
+"""Multimodal columns (X5): image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched partition-level
+UDFs.
+
+Generalizes the reference's audio path (S9/U3: yt-dlp 2-hour audio
+chunks -> Whisper transcribe, ref youtube.py:84-131,
+transcribe_failures.py:29-125): media bytes ride a binary column,
+heavy per-item model work happens inside ``mapInPandas`` so a
+1000-executor cluster fans out decode/transcribe with zero shuffle.
+
+The decode kernels are STUBBED (this container has no image/audio
+libs): ``decoder="stub"`` produces deterministic fake outputs so the
+Spark-side plumbing — schema, batching, partitioning, chunk-offset
+arithmetic — is real and tested; plugging a real library is a one-line
+swap behind the same interface, and ``decoder="real"`` raises
+``NotImplementedError`` with the intended dependency named.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# 2-hour audio chunking unit (ref extractors/utils/config.py:30)
+CHUNK_THRESHOLD_SECONDS = 7200
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file source: (path, modificationTime, length, content).
+    Spark's built-in ``binaryFile`` format — splittable by file."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata columns for an opaque binary column — JVM-side."""
+    return df.withColumns(
+        {
+            "byte_len": F.length(F.col(content_col)).cast("long"),
+            "sha256": F.sha2(F.col(content_col), 256),
+        }
+    )
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    decoder: str = "stub",
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Decode + feature-extract images (X5). ``stub``: deterministic
+    dimensions/features derived from the bytes' sha256 — exercises the
+    exact mapInPandas batch shape a real CV kernel would use."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real image decode needs pillow/opencv (not in this container); "
+            "plug a decoder via this interface"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "width": [], "height": [], "feature": []}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                h = hashlib.sha256(bytes(content)).digest()
+                out["path"].append(path)
+                out["width"].append(64 + h[0] % 64)
+                out["height"].append(64 + h[1] % 64)
+                out["feature"].append(
+                    [int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(feature_dim)]
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("chunk_idx", LongType()),
+        StructField("text", StringType()),
+        StructField("start", DoubleType()),
+        StructField("duration", DoubleType()),
+    ]
+)
+
+
+def transcribe_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    chunk_idx_col: str | None = None,
+    decoder: str = "stub",
+) -> DataFrame:
+    """U3 shape: audio binary -> transcript segment rows. The W4 offset
+    shift (Whisper chunk i starts at i*7200s, ref
+    transcribe_failures.py:87-96) is applied when ``chunk_idx_col`` is
+    given. ``stub`` emits deterministic fake segments; the real kernel
+    would call Whisper per partition with the model loaded once."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real ASR needs whisper (not in this container); plug via this interface"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "chunk_idx": [], "text": [], "start": [], "duration": []}
+            for i in range(len(pdf)):
+                path = pdf[path_col].iloc[i]
+                chunk_idx = int(pdf[chunk_idx_col].iloc[i]) if chunk_idx_col else 0
+                content = bytes(pdf[content_col].iloc[i])
+                h = hashlib.sha256(content).digest()
+                n_segments = 1 + h[0] % 4
+                t = 0.0
+                for s in range(n_segments):
+                    seg_len = 1.0 + h[s + 1] % 10
+                    out["path"].append(path)
+                    out["chunk_idx"].append(chunk_idx)
+                    out["text"].append(f"segment {s} of {h[:4].hex()}")
+                    # W4: offset by chunk position in the source media
+                    out["start"].append(round(t + chunk_idx * CHUNK_THRESHOLD_SECONDS, 2))
+                    out["duration"].append(round(seg_len, 2))
+                    t += seg_len
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    every_n_bytes: int = 1024,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    (stub: one per ``every_n_bytes`` of payload) with a binary
+    ``frame`` column — the schema/batch shape of a real ffmpeg kernel."""
+    if decoder != "stub":
+        raise NotImplementedError("real frame sampling needs ffmpeg bindings")
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", StructType([StructField("data", StringType())])),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "frame_idx": [], "frame": []}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                n = max(1, len(bytes(content)) // every_n_bytes)
+                for i in range(n):
+                    out["path"].append(path)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        {"data": hashlib.sha256(bytes(content) + bytes([i % 256])).hexdigest()[:16]}
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

@@ -11,10 +11,25 @@ change; the SQL conf here is the 100 TB posture.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Repo root (parent of this package) — Python workers are fresh
+# processes and must be able to import kfai_pipeline_spark regardless of
+# the driver's cwd. Locally that's a PYTHONPATH entry; on a real cluster
+# the package ships as a wheel/zip via --py-files instead.
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_worker_pythonpath() -> None:
+    current = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{current}" if current else _PKG_ROOT
+        )
 
 
 def get_spark(
@@ -29,6 +44,7 @@ def get_spark(
     cluster this would be sized to ~2-3x total executor cores and AQE
     coalesces the rest at runtime.
     """
+    _ensure_worker_pythonpath()
     cpus = int(DEFAULT_CPUS)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

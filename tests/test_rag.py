@@ -1,0 +1,131 @@
+"""RAG query-path tests (SURVEY §3.1 / §7 phase 6): full lifecycle with
+injected LLM stubs over a hash-embedded chunk-document table built from
+the video fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.chunker import chunk_transcripts, explode_chunks
+from kfai_pipeline_spark.operators.embed import embed_texts, hash_embed
+from kfai_pipeline_spark.plans.rag import (
+    CONTEXT_COUNT,
+    Citation,
+    ParsedQuery,
+    answer_query,
+    cite,
+    retrieve,
+)
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kfai_pipeline_spark.sources.video_records import RAW_SNIPPET_SCHEMA
+    from tests.fixtures import make_video_records
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("video_id", StringType()),
+            StructField("show_name", StringType()),
+            StructField("hosts", ArrayType(StringType())),
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("published_at", LongType()),
+            StructField("duration", LongType()),
+            StructField("transcript", RAW_SNIPPET_SCHEMA),
+        ]
+    )
+    raw = spark.createDataFrame(make_video_records(30), schema)
+    grain = explode_chunks(
+        chunk_transcripts(raw).drop("transcript"),
+        keep_cols=["video_id", "show_name", "hosts", "title", "published_at"],
+    )
+    return embed_texts(grain).cache()
+
+
+def test_retrieve_respects_filters(chunk_docs):
+    qv = hash_embed(["spark data"])[0]
+    everything = retrieve(chunk_docs, qv, ParsedQuery(), k=10_000)
+    assert everything.count() == chunk_docs.count()
+
+    one_show = retrieve(chunk_docs, qv, ParsedQuery(shows=["Alpha Show"]), k=10_000)
+    assert (
+        one_show.select("show_name").distinct().collect()
+        == chunk_docs.where("show_name = 'Alpha Show'")
+        .select("show_name")
+        .distinct()
+        .collect()
+    )
+
+    y2023 = retrieve(chunk_docs, qv, ParsedQuery(exact_year=2023), k=10_000)
+    years = {r[0] for r in y2023.select(F.year(F.timestamp_seconds("published_at"))).collect()}
+    assert years == {2023}
+
+
+def test_retrieve_topk_and_order(chunk_docs):
+    qv = hash_embed(["the quick brown fox"])[0]
+    top = retrieve(chunk_docs, qv, ParsedQuery(), k=25)
+    rows = top.collect()
+    assert len(rows) == 25
+    # chronological re-sort (W2): published_at non-decreasing
+    pubs = [r["published_at"] for r in rows]
+    assert pubs == sorted(pubs)
+    # no duplicate (video_id, start_time) keys (W1 dedup)
+    keys = [(r["video_id"], r["start_time"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # the kept 25 are the top-25 by score
+    scored_all = retrieve(chunk_docs, qv, ParsedQuery(), k=10_000)
+    best = sorted((r["score"] for r in scored_all.collect()), reverse=True)[:25]
+    got = sorted((r["score"] for r in rows), reverse=True)
+    assert got == pytest.approx(best)
+
+
+def test_topic_hybrid_predicate(chunk_docs):
+    qv = hash_embed(["q"])[0]
+    hits = retrieve(chunk_docs, qv, ParsedQuery(topics=["Episode 3"]), k=10_000)
+    assert hits.count() > 0
+    assert hits.where(~F.col("title").ilike("%Episode 3%")).count() == 0
+
+
+def test_cite_grouping_and_urls(chunk_docs):
+    sample = chunk_docs.limit(3).collect()
+    citations = [Citation(r["video_id"], r["start_time"]) for r in sample]
+    out = cite(chunk_docs, citations).collect()
+    assert 1 <= len(out) <= 3
+    total_ts = sum(len(r["timestamps"]) for r in out)
+    assert total_ts == len({(c.video_id, int(c.start_time)) for c in citations})
+    for r in out:
+        assert list(r["timestamps"]) == sorted(r["timestamps"])
+        for ts, url in zip(r["timestamps"], r["urls"]):
+            assert url == f"https://www.youtube.com/watch?v={r['video_id']}&t={ts}s"
+    # buffer applied: cited start 0 clamps to 0, others shift back 10s
+    for r in out:
+        assert all(ts >= 0 for ts in r["timestamps"])
+
+
+def test_answer_query_end_to_end(chunk_docs):
+    def parser(q: str) -> ParsedQuery:
+        return ParsedQuery(shows=["Alpha Show"])
+
+    def synthesizer(q, context_rows):
+        assert 0 < len(context_rows) <= CONTEXT_COUNT
+        first = context_rows[0]
+        return "stub answer", [Citation(first["video_id"], first["start_time"])]
+
+    answer, sources = answer_query(
+        chunk_docs, "what did Alpha Show cover?", parser, hash_embed, synthesizer
+    )
+    assert answer == "stub answer"
+    src = sources.collect()
+    assert len(src) == 1
+    assert src[0]["urls"][0].startswith("https://www.youtube.com/watch?v=")

@@ -1,0 +1,120 @@
+"""Streaming tests (SURVEY §5.2 item 1 + §2.10): batch-stream parity on
+Trigger.AvailableNow for tumbling/session windows, stateful dedup, and
+file-source ingest of video records."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.catalog import load_table
+from kfai_pipeline_spark.streaming.ingest import (
+    read_video_records_stream,
+    run_available_now,
+    streaming_dedup,
+)
+from kfai_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events with proper TimestampType, written as a parquet directory
+    (the fixture file stores TIMESTAMP(NANOS) which streaming reads as
+    long — materialize the converted form once)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _stream_events(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def _drain(spark, df, tmp_path_factory, name):
+    ckpt = str(tmp_path_factory.mktemp(f"ckpt_{name}"))
+    run_available_now(df, ckpt, name)
+    return spark.table(name)
+
+
+def test_tumbling_parity(spark, events_dir, tmp_path_factory):
+    batch = tumbling_window_agg(spark.read.parquet(events_dir), group_cols=["event_type"])
+    stream = tumbling_window_agg(_stream_events(spark, events_dir), group_cols=["event_type"])
+    got = _drain(spark, stream, tmp_path_factory, "tumbling_out")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s and len(b) > 0
+
+
+def test_session_window_parity(spark, events_dir, tmp_path_factory):
+    batch = session_window_agg(
+        spark.read.parquet(events_dir), gap="30 minutes", group_cols=["user_id"]
+    )
+    stream = session_window_agg(
+        _stream_events(spark, events_dir), gap="30 minutes", group_cols=["user_id"]
+    )
+    got = _drain(spark, stream, tmp_path_factory, "session_out")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_sliding_window_batch_sanity(spark, events_dir):
+    # each event lands in duration/slide = 4 windows
+    ev = spark.read.parquet(events_dir)
+    out = sliding_window_agg(ev, duration="1 hour", slide="15 minutes", value_col=None)
+    total_slots = out.agg(F.sum("cnt")).first()[0]
+    assert total_slots == ev.count() * 4
+
+
+def test_streaming_dedup_parity(spark, events_dir, tmp_path_factory):
+    keys = ["event_type", "user_id"]
+    batch_n = spark.read.parquet(events_dir).dropDuplicates(keys).count()
+    stream = streaming_dedup(_stream_events(spark, events_dir), keys, ts_col="ts")
+    got = _drain(spark, stream.groupBy(*keys).count(), tmp_path_factory, "dedup_out")
+    # dropDuplicatesWithinWatermark may keep extra rows across batches;
+    # with AvailableNow on one directory it processes per-file batches, so
+    # assert the deduped key-set matches the batch key-set.
+    assert got.count() == batch_n
+
+
+def test_video_records_stream_ingest(spark, tmp_path_factory):
+    from kfai_pipeline_spark.operators.chunker import chunk_transcripts
+    from kfai_pipeline_spark.sources.video_records import write_partitioned_json
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kfai_pipeline_spark.sources.video_records import RAW_SNIPPET_SCHEMA
+    from tests.fixtures import make_video_records
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("video_id", StringType()),
+            StructField("show_name", StringType()),
+            StructField("hosts", ArrayType(StringType())),
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("published_at", LongType()),
+            StructField("duration", LongType()),
+            StructField("transcript", RAW_SNIPPET_SCHEMA),
+        ]
+    )
+    raw = spark.createDataFrame(make_video_records(12), schema)
+    out = str(tmp_path_factory.mktemp("vr_json"))
+    write_partitioned_json(chunk_transcripts(raw).drop("transcript"), out)
+
+    stream = read_video_records_stream(spark, out)
+    assert stream.isStreaming
+    got = _drain(spark, stream, tmp_path_factory, "vr_out")
+    assert got.count() == 12
+    assert got.where(F.col("transcript_chunks").isNotNull()).count() == 11
