@@ -16,6 +16,7 @@ from kfai_pipeline_spark.catalog import load_table
 from kfai_pipeline_spark.operators import dedup as D
 from kfai_pipeline_spark.operators import similarity as S
 from kfai_pipeline_spark.operators import text_analysis as TA
+from kfai_pipeline_spark.operators.asof import asof_join
 from kfai_pipeline_spark.operators.sessionize import session_stats
 from kfai_pipeline_spark.queries.base import register
 
@@ -117,6 +118,70 @@ def q28(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q39: general as-of join
+@register(
+    "q39_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           v.event_id AS view_id,
+           v.ts       AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY purchase_id
+    """,
+    doc=(
+        "General backward as-of join (J8, operators.asof): latest prior "
+        "view per purchase. Spark form = union + windowed last(ignorenulls) "
+        "carry-forward (one shuffle, no per-key Python); oracle = DuckDB's "
+        "native ASOF LEFT JOIN."
+    ),
+)
+def q39_asof(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts",
+        value_cols=["view_id", "view_ts"],
+    )
+    return joined.select("purchase_id", "user_id", "view_id", "view_ts").orderBy(
+        "purchase_id"
+    )
+
+
+# ---------------------------------------------------------------- Q40: quality features
+@register(
+    "q40_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                 ) / length(text), 4) AS punct_ratio,
+           ROUND(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                        w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
+                 )) / length(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 500
+    """,
+    doc="Document quality heuristics (X4, operators.text_analysis.quality_features).",
+)
+def q40_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TA.quality_features(docs, "text")
+    return (
+        feats.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+        .limit(500)
     )
 
 

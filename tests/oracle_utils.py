@@ -19,6 +19,8 @@ def _cell(v) -> str:
         # canonical float rendering: collapse 12-sig-digit representation
         return repr(round(v, 12))
     if isinstance(v, datetime.datetime):
+        if v != v:  # pandas NaT (NULL timestamp from an outer join)
+            return NULL
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")

@@ -1,0 +1,185 @@
+"""Operator unit tests: as-of join edge cases, dedup family invariants
+(LSH candidates vs exact Jaccard, simhash hamming, connected
+components), LSH similarity recall vs brute force, API connector
+batching/retry/routing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators import dedup as D
+from kfai_pipeline_spark.operators import similarity as S
+from kfai_pipeline_spark.operators.asof import asof_join
+from kfai_pipeline_spark.sources.api_connector import (
+    STATUS_OK,
+    STATUS_SKIP,
+    STATUS_TRANSIENT,
+    fetch_batched,
+    route_statuses,
+)
+
+
+# ---------------------------------------------------------------- as-of
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("k1", 10, "L1"), ("k1", 20, "L2"), ("k2", 5, "L3"), ("k3", 7, "L4")],
+        "k string, ts int, lval string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 8, "R8"), ("k1", 15, "R15"), ("k1", 20, "R20"), ("k2", 9, "R9")],
+        "k string, rts int, rval string",
+    )
+    out = {
+        (r["k"], r["ts"]): r["rval"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["rval"]).collect()
+    }
+    assert out[("k1", 10)] == "R8"
+    assert out[("k1", 20)] == "R20"  # tie: right_ts == left_ts matches
+    assert out[("k2", 5)] is None  # no prior right row
+    assert out[("k3", 7)] is None  # key absent on right
+
+
+# ---------------------------------------------------------------- dedup family
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        # 3 scattered substitutions -> ~9 of 11 shingles differ, so the
+        # perturbed docs stay well under any 0.7 Jaccard threshold
+        words = base.split()
+        for j in (i % 13, (i + 4) % 13, (i + 8) % 13):
+            words[j] = f"w{i}_{j}"
+        rows.append((i, " ".join(words)))
+    # exact dup pair and a near-dup pair
+    rows.append((100, base))
+    rows.append((101, base))
+    rows.append((102, base + " extra"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, dup_docs):
+    """Every pair with very high exact Jaccard must be an LSH candidate
+    (banding guarantee at 8 bands x 4 rows for sim ~> 0.9)."""
+    shingles = D.word_shingles(dup_docs, "text", "doc_id", 3)
+    exact = D.ngram_jaccard_pairs(dup_docs, "text", "doc_id", 3, threshold=0.9)
+    sigs = D.minhash_signatures(shingles, "doc_id", 32)
+    cands = D.minhash_candidates(sigs, "doc_id", 8, 4)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert exact_pairs, "fixture should contain at least the 100-101-102 cluster"
+    missing = exact_pairs - cand_pairs
+    assert not missing, f"high-jaccard pairs missed by LSH: {missing}"
+
+
+def test_minhash_dedup_components(spark, dup_docs):
+    comps = D.minhash_dedup(dup_docs, "text", "doc_id", threshold=0.7)
+    by_id = {r["doc_id"]: r["component"] for r in comps.collect()}
+    assert len(by_id) == dup_docs.count()  # every doc labeled
+    assert by_id[100] == by_id[101] == by_id[102] == 100  # min-label of the cluster
+    singles = [c for i, c in by_id.items() if i < 40]
+    assert len(set(singles)) == 40  # perturbed docs stay singletons at 0.7
+
+
+def test_simhash_identical_and_hamming(spark, dup_docs):
+    sigs = D.simhash(dup_docs, "text", "doc_id")
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[100] == by_id[101]  # identical text -> identical signature
+    cands = D.simhash_candidates(sigs, "doc_id", max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+    assert rows[(100, 101)] == 0
+    for (a, b), h in rows.items():
+        assert 0 <= h <= 3
+
+
+def test_connected_components_chain_and_triangle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == comps[12] == 10
+
+
+def test_exact_dedup_keeps_one_per_text(spark, dup_docs):
+    out = D.exact_dedup(dup_docs, "text")
+    assert out.count() == dup_docs.count() - 1  # 100/101 collapse
+    assert out.select("doc_id").distinct().count() == out.count()
+
+
+# ---------------------------------------------------------------- LSH similarity recall
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    exact = S.cosine_topk(corpus, queries, k=10)
+    approx = S.cosine_topk_lsh(
+        corpus, queries, k=10, dim=64, bands=16, rows_per_band=2
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls  # 16x2 bands: decent recall
+
+
+# ---------------------------------------------------------------- API connector
+def test_fetch_batched_batches_and_status_routing(spark):
+    # fetch_fn runs on executors — observe behavior via returned payloads
+    def fake_fetch(keys):
+        out = []
+        for k in keys:
+            n = int(k[1:])
+            if n % 10 == 7:
+                out.append((STATUS_SKIP, None))
+            else:
+                out.append((STATUS_OK, f"batch={len(keys)}"))
+        return out
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(101)], "video_id string")
+    fetched = fetch_batched(df.coalesce(1), fake_fetch, batch_size=50).cache()
+    ok, skip, transient = route_statuses(fetched)
+    assert ok.count() == 91 and skip.count() == 10 and transient.count() == 0
+    batch_sizes = {int(r["payload"].split("=")[1]) for r in ok.collect()}
+    assert max(batch_sizes) <= 50  # API batch cap respected (ref youtube.py:51-56)
+
+
+def test_fetch_batched_retries_transients(spark):
+    # worker-local attempt counter; attempt count comes back in payload
+    def flaky_fetch(keys, _attempts={}):
+        out = []
+        for k in keys:
+            _attempts[k] = _attempts.get(k, 0) + 1
+            if _attempts[k] <= 1 and k == "v1":
+                out.append((STATUS_TRANSIENT, None))
+            else:
+                out.append((STATUS_OK, f"attempts={_attempts[k]}"))
+        return out
+
+    df = spark.createDataFrame([("v0",), ("v1",), ("v2",)], "video_id string")
+    fetched = fetch_batched(df.coalesce(1), flaky_fetch, batch_size=10, max_retries=2)
+    rows = {r["video_id"]: (r["status"], r["payload"]) for r in fetched.collect()}
+    assert all(s == STATUS_OK for s, _ in rows.values())
+    assert rows["v1"][1] == "attempts=2"  # retried once, then succeeded
+    assert rows["v0"][1] == "attempts=1"
+
+
+def test_fetch_batched_exhausts_retries(spark):
+    def always_down(keys):
+        return [(STATUS_TRANSIENT, None) for _ in keys]
+
+    df = spark.createDataFrame([("v0",), ("v1",)], "video_id string")
+    fetched = fetch_batched(df.coalesce(1), always_down, batch_size=10, max_retries=1)
+    ok, skip, transient = route_statuses(fetched)
+    assert transient.count() == 2 and ok.count() == 0 and skip.count() == 0
