@@ -1,0 +1,103 @@
+"""JDBC source/sink wrappers (S1/S2/S10/S11).
+
+The reference's relational edges are MySQL (catalog source,
+ref database.py:20-131) and Postgres/pgvector (embedding sink + metadata
+scans, ref loaders/utils/helpers/database.py). Spark's JDBC data source
+covers both; these wrappers pin the options that matter at scale:
+
+* **pushdown via query**: the reference pushes ``channel_id < 3`` into
+  its export SELECT (database.py:70-71) — ``read_query`` does the same
+  with the ``query`` option, so the predicate runs in the database.
+* **parallel reads**: ``partition_column/num_partitions`` split the read
+  into concurrent range scans — without them a JDBC read is one task.
+* **batched writes**: ``batchsize`` mirrors the reference's insert
+  batching (BATCH_SIZE=256, loaders/utils/config.py:14).
+
+No database ships in this container, so these functions are exercised
+by construction (option plumbing) in tests; the call path is the stock
+``spark.read.format("jdbc")`` one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+def _base_reader(spark: SparkSession, url: str, props: dict[str, str] | None) -> DataFrameReader:
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in (props or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Whole-table scan (S1). With ``partition_column`` + bounds the scan
+    parallelizes into ``num_partitions`` range queries."""
+    reader = _base_reader(spark, url, properties).option("dbtable", table)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def read_query(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Pushed-down SELECT (S1): the query executes database-side, so
+    filters/projections in it never cross the wire (the reference's
+    ``WHERE channel_id < 3`` export shape)."""
+    return _base_reader(spark, url, properties).option("query", query).load()
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 256,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Batched JDBC sink (S2/S10). ``batch_size`` mirrors the reference's
+    pgvector insert batches; for true upsert semantics stage to a temp
+    table and MERGE database-side (Spark JDBC has no native upsert)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
+        "batchsize", str(batch_size)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def pgvector_resume_keys(
+    spark: SparkSession,
+    url: str,
+    collection: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S11: the store-contents resume set — (video_id, start_time) pairs
+    already embedded (ref loaders/utils/helpers/database.py:13-50 reads
+    cmetadata JSONB). The JSON extraction is pushed into Postgres."""
+    q = f"""
+        SELECT e.cmetadata ->> 'video_id'               AS video_id,
+               (e.cmetadata ->> 'start_time')::float8    AS start_time
+        FROM langchain_pg_embedding e
+        JOIN langchain_pg_collection c ON e.collection_id = c.uuid
+        WHERE c.name = '{collection}'
+    """
+    return read_query(spark, url, q, properties)
