@@ -9,10 +9,13 @@ multimodal columns) designed for 100 TB scale.
 Layout:
     session     SparkSession factory (UTC, AQE, tuned shuffle partitions)
     catalog     Parquet table loader / temp-view registration
-    functions/  scalar function surface + Mongo-style filter compiler
-    operators/  dedup, similarity, text analysis, chunker, as-of, sessionize
+    functions/  scalar function surface (F1-F25)
+    operators/  dedup, similarity, text analysis, chunker, clean/embed
+                connectors, multimodal, as-of, sessionize, resume ops
+    sources/    JSON records, partitioned writer, skip list, API
+                connector, JDBC wrappers
     queries/    declared correctness queries (SURVEY.md §2.12) + oracles
-    pipeline/   reference ETL pipeline semantics (ingest, vector load, query path)
+    plans/      filter compiler, RAG query plan, video-catalog API
     streaming/  Structured Streaming twins of the incremental paths
 """
 

@@ -697,6 +697,94 @@ def q23(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- Q41-Q44: completeness set
+@register(
+    "q41_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    doc="CUBE grouping sets (A7 completeness; rollup's sibling, Q09).",
+)
+def q41_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+@register(
+    "q42_fullouter",
+    oracle="""
+    SELECT COALESCE(c_custkey, o_custkey) AS k,
+           COUNT(o_orderkey) AS n_orders,
+           COUNT(c_name)     AS n_cust
+    FROM customer FULL JOIN orders ON o_custkey = c_custkey
+    GROUP BY k
+    ORDER BY k
+    """,
+    doc="Full outer join (SURVEY §2.3 'free in Spark' completeness row).",
+)
+def q42_fullouter(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "full")
+        .groupBy(F.coalesce("c_custkey", "o_custkey").alias("k"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("c_name").alias("n_cust"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q43_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    LIMIT 500
+    """,
+    doc="Cartesian product (SURVEY §2.3 completeness; broadcast NL join).",
+)
+def q43_cross(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(F.broadcast(nation)).orderBy("r_name", "n_name").limit(500)
+
+
+@register(
+    "q44_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (A7 completeness) — Spark SQL form.",
+)
+def q44_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q44_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM __q44_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+        """
+    )
+
+
 # ---------------------------------------------------------------- Q24: as-of join
 @register(
     "q24",
