@@ -1,0 +1,76 @@
+"""Partitioning toolkit tests: salted-join equivalence, selective skew
+split, and shuffle-free bucketed joins (Exchange absent from the plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.partitioning import (
+    salted_join,
+    split_skew_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' carries 5k rows; 50 cold keys carry 10 each
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("lval")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    left = hot.unionByName(cold)
+    right = spark.createDataFrame(
+        [("hot", "H")] + [(f"c{i}", f"C{i}") for i in range(50)], "k string, rval string"
+    )
+    return left.cache(), right.cache()
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k").select("k", "lval", "rval")
+    salted = salted_join(left, right, "k", n_salts=8).select("k", "lval", "rval")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark, skewed):
+    left, right = skewed
+    right_missing = right.where(F.col("k") != "hot")  # hot unmatched
+    out = salted_join(left, right_missing, "k", n_salts=4, how="left")
+    plain = left.join(right_missing, "k", "left")
+    assert out.count() == plain.count()
+    assert out.where(F.col("k") == "hot").where(F.col("rval").isNotNull()).count() == 0
+
+
+def test_split_skew_join(spark, skewed):
+    left, right = skewed
+    out = split_skew_join(left, right, "k", hot_keys=["hot"], n_salts=8)
+    plain = left.join(right, "k")
+    assert out.count() == plain.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, skewed, tmp_path_factory):
+    import io, contextlib
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    left, right = skewed
+    write_bucketed(left, "t_bucket_a", "k", n_buckets=8)
+    write_bucketed(right, "t_bucket_b", "k", n_buckets=8)
+    joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == left.join(right, "k").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
