@@ -785,6 +785,63 @@ def q44_grouping_sets(spark, sf_dir):
     )
 
 
+@register(
+    "q45_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2)  AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+           ROUND(stddev_samp(l_extendedprice), 2)          AS sd_price,
+           ROUND(var_samp(l_quantity), 2)                  AS var_qty,
+           ROUND(MIN(l_extendedprice), 2)                  AS min_price,
+           ROUND(MAX(l_extendedprice), 2)                  AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Statistical aggregates (A7 completeness): exact interpolated "
+        "percentiles (Spark percentile == DuckDB quantile_cont), sample "
+        "stddev/variance, min/max. approx_percentile/approx_count_distinct "
+        "are the sketch path at scale (not hash-stable -> not oracle-checked)."
+    ),
+)
+def q45_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q46_sketch",
+    oracle=None,  # HLL/KLL sketches are estimate-valued — rows-only check;
+    # tests assert relative error vs exact counts
+    doc="Sketch aggregates at scale: approx_count_distinct (HLL++) and approx_percentile.",
+)
+def q46_sketch(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
+            ).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------- Q24: as-of join
 @register(
     "q24",

@@ -53,6 +53,31 @@ def test_split_skew_join(spark, skewed):
     assert out.count() == plain.count()
 
 
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path_factory):
+    """year/month-partitioned writes prune at the scan: a year filter
+    reads only that year's directories (PartitionFilters in the plan)."""
+    import io, contextlib
+
+    from kfai_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path_factory.mktemp("events_part"))
+    ev = load_table(spark, SF_SMOKE, "events").withColumns(
+        {"year": F.year("ts"), "month": F.month("ts")}
+    )
+    ev.write.partitionBy("year", "month").parquet(out, mode="overwrite")
+
+    back = spark.read.parquet(out).where("year = 2024 AND month = 1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(year" in plan and "2024" in plan
+    expected = ev.where("year = 2024 AND month = 1").count()
+    assert back.count() == expected
+
+
 def test_bucketed_join_has_no_exchange(spark, skewed, tmp_path_factory):
     import io, contextlib
 
