@@ -1,0 +1,197 @@
+"""End-to-end pipeline application: the reference's CLI stages
+(/root/reference/src/kfai/cli.py:9-17) as Spark jobs over a workspace
+directory.
+
+Stage map (reference menu number -> function):
+
+| # | Reference                      | Here                               |
+|---|--------------------------------|------------------------------------|
+| 1 | fetch_raw_data.run             | ``extract``  — catalog diff -> chunk -> partitioned raw JSON |
+| 2 | process_failed_videos.run      | folded into ``extract`` dead-letter routing (skip list) |
+| 3 | transcribe_failures.run        | ``transcribe_failed`` — stubbed ASR over audio binaries |
+| 4 | clean_locally.run              | ``transform`` — per-video all-or-nothing clean + integrity |
+| 5 | build_vector_store.run         | ``load`` — explode -> resume anti-join -> embed -> vector parquet |
+| 6 | interactive_qa.run             | ``query`` — RAG plan with injected LLM stubs |
+
+Workspace layout (all under ``workdir``):
+    raw/        partitioned video-record JSON (stage 1 output)
+    cleaned/    cleaned records (stage 4 output)
+    store/      chunk-grain vector parquet — the pgvector mirror (stage 5)
+    skip.json   dead-letter list (I3)
+
+Every stage is incremental: rerunning any stage with unchanged inputs
+adds zero rows (anti-join resume, I1/I2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.chunker import chunk_transcripts, explode_chunks
+from kfai_pipeline_spark.operators.embed import Encoder, embed_texts
+from kfai_pipeline_spark.operators.llm_clean import clean_chunks_grouped, identity_clean
+from kfai_pipeline_spark.operators.pipeline import (
+    integrity_check,
+    new_work,
+    split_dead_letter,
+)
+from kfai_pipeline_spark.sources.skip_list import filter_skipped, load_skip_set, save_skip_set
+from kfai_pipeline_spark.sources.video_records import (
+    read_video_records,
+    write_partitioned_json,
+)
+
+
+def _dir(workdir: str, name: str) -> str:
+    return os.path.join(workdir, name)
+
+
+def _maybe_read(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return read_video_records(spark, path)
+    except Exception:
+        return None  # first run: directory doesn't exist yet
+
+
+def extract(
+    spark: SparkSession,
+    catalog: DataFrame,
+    workdir: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+) -> dict[str, int]:
+    """Stage 1: diff the catalog against processed output + skip list,
+    chunk new videos' transcripts, write partitioned raw JSON.
+
+    ``catalog`` carries the §3.2 merge output: one row per video with a
+    raw ``transcript`` snippet array (NULL = transcript unavailable ->
+    skip list, ref processing.py:40-52)."""
+    raw_dir = _dir(workdir, "raw")
+    skip_path = _dir(workdir, "skip.json")
+
+    skip = load_skip_set(spark, skip_path)
+    done = _maybe_read(spark, raw_dir)
+    todo = catalog
+    if done is not None:
+        todo = new_work(catalog, done, "video_id")
+    todo = filter_skipped(todo, skip)
+
+    # dead-letter: no transcript -> permanent skip (ref transcript.py sentinel)
+    failed = todo.where(F.col("transcript").isNull()).select("video_id")
+    ok = todo.where(F.col("transcript").isNotNull())
+
+    chunked = chunk_transcripts(ok, chunk_size=chunk_size, chunk_overlap=chunk_overlap).drop(
+        "transcript"
+    )
+    n_new = chunked.count()
+    if n_new:
+        write_partitioned_json(chunked, raw_dir, mode="append")
+    n_skipped = save_skip_set(skip.unionByName(failed), skip_path)
+    return {"new_videos": n_new, "skip_list": n_skipped}
+
+
+def transform(
+    spark: SparkSession,
+    workdir: str,
+    clean_fn=identity_clean,
+) -> dict[str, int]:
+    """Stage 4: clean every raw video not yet cleaned, all-or-nothing
+    per video, verify integrity, write cleaned JSON; failures dead-letter
+    into the skip list (ref clean_locally.py:42-76)."""
+    raw = read_video_records(spark, _dir(workdir, "raw"))
+    cleaned_dir = _dir(workdir, "cleaned")
+    done = _maybe_read(spark, cleaned_dir)
+    todo = raw if done is None else new_work(raw, done, "video_id")
+
+    cleaned = clean_chunks_grouped(todo, clean_fn)
+    good, dead = split_dead_letter(cleaned, "clean_ok")
+    good = good.drop("clean_ok").cache()
+
+    chk = integrity_check(todo, good)
+    bad_keys = chk.where(~F.col("ok")).select("video_id")
+    good = good.join(bad_keys, "video_id", "left_anti")
+
+    n = good.count()
+    if n:
+        write_partitioned_json(good, cleaned_dir, mode="append")
+    skip_path = _dir(workdir, "skip.json")
+    skip = load_skip_set(spark, skip_path)
+    save_skip_set(
+        skip.unionByName(dead.select("video_id")).unionByName(bad_keys), skip_path
+    )
+    return {"cleaned_videos": n, "failed_videos": dead.count()}
+
+
+def load(
+    spark: SparkSession,
+    workdir: str,
+    encoder: Encoder | None = None,
+    batch_size: int = 128,
+) -> dict[str, int]:
+    """Stage 5: explode cleaned records to chunk grain, resume-anti-join
+    against the store on (video_id, start_time), embed the remainder,
+    append to the vector parquet (the pgvector mirror; a JDBC sink swaps
+    in via sources.jdbc.write_table)."""
+    cleaned = read_video_records(spark, _dir(workdir, "cleaned"))
+    store_dir = _dir(workdir, "store")
+
+    grain = explode_chunks(
+        cleaned,
+        keep_cols=["video_id", "show_name", "hosts", "title", "published_at"],
+    )
+    # reference floors missing published_at to 2012-01-01 (build_vector_store.py:67-69)
+    grain = grain.withColumn(
+        "published_at",
+        F.when(
+            F.col("published_at").isNull() | (F.col("published_at") <= 0), 1325376000
+        ).otherwise(F.col("published_at")),
+    )
+    try:
+        existing = spark.read.parquet(store_dir)
+        todo = new_work(grain, existing, ["video_id", "start_time"])
+    except Exception:
+        todo = grain
+
+    embedded = embed_texts(todo, encoder, batch_size=batch_size)
+    n = embedded.count()
+    if n:
+        embedded.write.mode("append").parquet(store_dir)
+    return {"chunks_added": n}
+
+
+def query(
+    spark: SparkSession,
+    workdir: str,
+    question: str,
+    parser,
+    embedder,
+    synthesizer,
+    k: int = 120,
+):
+    """Stage 6: the RAG plan over the loaded store."""
+    from kfai_pipeline_spark.plans.rag import answer_query
+
+    store = spark.read.parquet(_dir(workdir, "store"))
+    return answer_query(store, question, parser, embedder, synthesizer, k=k)
+
+
+STAGES = {
+    "1": ("extract", extract),
+    "4": ("transform", transform),
+    "5": ("load", load),
+}
+
+
+def run_chain(spark: SparkSession, catalog: DataFrame, workdir: str, chain: str) -> dict:
+    """Reference CLI chaining: '1>4>5' runs stages in order
+    (ref cli.py:53-64). Returns per-stage stats."""
+    stats = {}
+    for cmd in (c.strip() for c in chain.split(">")):
+        if cmd not in STAGES:
+            raise ValueError(f"unknown stage {cmd!r}; valid: {sorted(STAGES)}")
+        name, fn = STAGES[cmd]
+        stats[name] = fn(spark, catalog, workdir) if cmd == "1" else fn(spark, workdir)
+    return stats

@@ -59,13 +59,22 @@ VIDEO_RECORD_SCHEMA = StructType(
 
 
 def read_video_records(
-    spark: SparkSession, path: str, schema: StructType = VIDEO_RECORD_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: StructType = VIDEO_RECORD_SCHEMA,
+    multi_line: bool = False,
 ) -> DataFrame:
-    """Recursive multi-line JSON scan with pinned schema (S4)."""
+    """Recursive JSON scan with pinned schema (S4).
+
+    ``multi_line=False`` (default) reads line-delimited JSON — the
+    engine's own sink format and the only splittable/scalable layout.
+    Pass ``multi_line=True`` to ingest the reference's pretty-printed
+    one-record-per-file layout (processing.py:54-55 writes indent=4) —
+    correct there because each file holds exactly one JSON document."""
     return (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
-        .option("multiLine", "true")
+        .option("multiLine", str(multi_line).lower())
         .json(path)
     )
 

@@ -1,0 +1,96 @@
+"""End-to-end application tests: the reference's 1>4>5 stage chain over
+a workspace, incremental semantics, and the query stage on the result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark import app
+from kfai_pipeline_spark.operators.embed import hash_embed
+from kfai_pipeline_spark.plans.rag import Citation, ParsedQuery
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kfai_pipeline_spark.sources.video_records import RAW_SNIPPET_SCHEMA
+    from tests.fixtures import make_video_records
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("video_id", StringType()),
+            StructField("show_name", StringType()),
+            StructField("hosts", ArrayType(StringType())),
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("published_at", LongType()),
+            StructField("duration", LongType()),
+            StructField("transcript", RAW_SNIPPET_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(make_video_records(20), schema).cache()
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("workspace"))
+
+
+def test_full_chain(spark, catalog, workdir):
+    stats = app.run_chain(spark, catalog, workdir, "1>4>5")
+    assert stats["extract"]["new_videos"] == 19  # one NULL-transcript video
+    assert stats["extract"]["skip_list"] == 1
+    assert stats["transform"]["cleaned_videos"] == 19
+    assert stats["transform"]["failed_videos"] == 0
+    assert stats["load"]["chunks_added"] > 19
+
+    store = spark.read.parquet(f"{workdir}/store")
+    assert store.where(F.col("embedding").isNull()).count() == 0
+    # published_at floor applied (video 1 had published_at = 0)
+    assert store.where(F.col("published_at") < 1325376000).count() == 0
+
+
+def test_rerun_is_idempotent(spark, catalog, workdir):
+    stats = app.run_chain(spark, catalog, workdir, "1>4>5")
+    assert stats["extract"]["new_videos"] == 0
+    assert stats["transform"]["cleaned_videos"] == 0
+    assert stats["load"]["chunks_added"] == 0
+
+
+def test_incremental_new_video(spark, catalog, workdir):
+    extra = (
+        catalog.where(F.col("transcript").isNotNull())
+        .limit(1)
+        .withColumn("video_id", F.lit("vidNEW00001"))
+        .withColumn("id", F.lit(999).cast("long"))
+    )
+    stats = app.run_chain(spark, catalog.unionByName(extra), workdir, "1>4>5")
+    assert stats["extract"]["new_videos"] == 1
+    assert stats["load"]["chunks_added"] > 0
+
+
+def test_query_stage(spark, catalog, workdir):
+    def parser(q):
+        return ParsedQuery()
+
+    def synth(q, rows):
+        assert rows, "retrieval returned no context"
+        return "answer", [Citation(rows[0]["video_id"], rows[0]["start_time"])]
+
+    answer, sources = app.query(spark, workdir, "anything", parser, hash_embed, synth)
+    assert answer == "answer"
+    assert sources.count() == 1
+
+
+def test_bad_stage_rejected(spark, catalog, workdir):
+    with pytest.raises(ValueError, match="unknown stage"):
+        app.run_chain(spark, catalog, workdir, "1>9")

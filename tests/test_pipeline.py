@@ -90,6 +90,21 @@ def test_partitioned_json_roundtrip(spark, raw_videos, tmp_path_factory):
             ]
 
 
+def test_reference_format_pretty_json(spark, raw_videos, tmp_path_factory):
+    """The reference writes indent=4 one-record-per-file JSON
+    (processing.py:54-55); multi_line=True ingests that layout."""
+    import json
+
+    out = tmp_path_factory.mktemp("pretty")
+    rows = chunk_transcripts(raw_videos).drop("transcript").limit(5).collect()
+    for r in rows:
+        d = r.asDict(recursive=True)
+        (out / f"{d['video_id']}.json").write_text(json.dumps(d, indent=4))
+    back = read_video_records(spark, str(out), multi_line=True)
+    assert back.count() == 5
+    assert back.where(F.col("video_id").isNull()).count() == 0
+
+
 def test_clean_identity_and_integrity(spark, raw_videos):
     chunked = chunk_transcripts(raw_videos).drop("transcript").cache()
     cleaned = clean_chunks_grouped(chunked, identity_clean)
