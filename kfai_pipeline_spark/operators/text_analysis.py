@@ -55,7 +55,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(text_col)
     n_tokens = token_count(text_col)
     n_chars = F.length(F.col(text_col))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    # (?U): Java regex \w is ASCII-only by default — the Unicode flag
+    # keeps accented/CJK letters out of the punctuation count
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\w\s]", ""))
     stop_hits = F.size(
         F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS_EN))
     )
