@@ -199,11 +199,21 @@ def minhash_dedup(
     """Full MinHash-LSH near-dup pipeline: returns (id, component) for
     every document, where near-duplicates share a component (singletons
     keep their own id). Keep one doc per component to dedup."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    shingles = word_shingles(df, text_col, id_col, shingle_n)
+    # shingles feed BOTH the signature build and the exact-Jaccard verify
+    # — persist once (memory, spill to disk) instead of recomputing the
+    # explode+dedup lineage twice
+    shingles = word_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(shingles, id_col, num_hashes)
     cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
     dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
+    # NOTE: no unpersist here — the returned plan is lazy and still
+    # references the persisted shingles; callers may evict via
+    # spark.catalog.clearCache() after materializing.
     comps = connected_components(dup_edges.select("id_a", "id_b"))
     all_ids = df.select(F.col(id_col).alias("id"))
     return (
