@@ -9,6 +9,13 @@ Spark has no native ANN; the engine provides:
   share >= ``min_band_matches`` bands, then exact re-rank. This is the
   100 TB path: the cross product never materializes; candidate
   generation is a bucket equi-join that shuffles on band signature.
+* ``ivf_topk``         — IVF (inverted-file) routing: spherical-k-means
+  centroids (deterministic mini-Lloyd, driver holds only k*dim floats),
+  corpus partitioned by nearest-centroid cluster id, queries probe the
+  ``nprobe`` nearest clusters and re-rank exactly inside them. The
+  scan cost per query drops from |corpus| to ~|corpus|*nprobe/k; with
+  the index written out partitioned by ``cluster_id``, probing prunes
+  at the parquet-partition level.
 
 Serving-path ANN stays external (pgvector) per the scope decision; these
 operators cover batch/eval retrieval (ref query_agent.py:252-257 does
@@ -172,6 +179,162 @@ def cosine_topk_lsh(
     if round_to is not None:
         score = F.round(score, round_to)
     scored = cands.select(F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+
+def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_i) — one codegen stage, no join.
+
+    Centroids are embedded as literals: k*dim doubles in the plan. Fine
+    for routing-scale k (<= a few thousand); beyond that, switch to a
+    broadcast join + window argmax.
+    """
+    return F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the max-dot centroid (first wins on ties).
+
+    For unit vectors max dot == max cosine == min angle, so this is
+    spherical-k-means assignment.
+    """
+    dots = _centroid_dots(vec, centroids)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic spherical mini-Lloyd: returns unit-norm centroids.
+
+    Init is the first ``n_clusters`` rows in ``id_col`` order (no RNG —
+    reproducible across runs/partitionings). Each iteration is one
+    data-parallel pass: assignment happens JVM-side against literal
+    centroids; the elementwise mean reduces via posexplode ->
+    groupBy(cluster, pos) — a single shuffle of |corpus|*dim scalar
+    rows with map-side partial aggregation. Only k*dim floats ever
+    reach the driver. IVF needs well-spread centroids, not converged
+    ones — 3 iterations is the standard routing tradeoff.
+    """
+    normed = vectors.select(
+        F.col(id_col).alias("__id"), l2_normalize(_as_double(vec_col)).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    init_rows = normed.orderBy("__id").limit(n_clusters).select("__v").collect()
+    centroids = [list(r["__v"]) for r in init_rows]
+
+    for _ in range(iters):
+        assigned = normed.select(
+            _nearest_centroid(F.col("__v"), centroids).alias("__c"),
+            F.posexplode("__v").alias("__pos", "__x"),
+        )
+        mean_rows = (
+            assigned.groupBy("__c", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__c")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__centroid")
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep their old centroid
+        for r in mean_rows:
+            v = list(r["__centroid"])
+            n = math.sqrt(sum(x * x for x in v))
+            if n > 0:
+                new_centroids[r["__c"]] = [x / n for x in v]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, unit vector, cluster_id) — the inverted file.
+
+    Persist with ``.write.partitionBy("cluster_id")`` and probe-time
+    cluster filters become parquet partition pruning.
+    """
+    return vectors.select(
+        F.col(id_col),
+        l2_normalize(_as_double(vec_col)).alias("__v"),
+    ).withColumn("cluster_id", _nearest_centroid(F.col("__v"), centroids))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    iters: int = 3,
+    round_to: int | None = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF probing.
+
+    Each query scores only the ``nprobe`` clusters whose centroids are
+    nearest, i.e. ~|corpus|*nprobe/n_clusters exact dot products. The
+    probe join broadcasts the (query, cluster) pairs, so the indexed
+    corpus never shuffles. ``nprobe == n_clusters`` degrades gracefully
+    to exact search. Pass precomputed ``centroids`` to reuse an index.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, iters)
+    index = ivf_index(vectors, centroids, vec_col, id_col)
+
+    qn = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        l2_normalize(_as_double(query_vec_col)).alias("__qv"),
+    )
+    cdots = _centroid_dots(F.col("__qv"), centroids)
+    # top-nprobe cluster ids per query: ascending sort on (-dot, cluster)
+    # = dot desc with deterministic low-id tie-break
+    probes = qn.select(
+        "__qid",
+        "__qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cdots,
+                        lambda d, i: F.struct((-d).alias("nd"), i.alias("c")),
+                    )
+                ),
+                1,
+                nprobe,
+            )["c"]
+        ).alias("cluster_id"),
+    )
+    score = dot(F.col("__v"), F.col("__qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = index.join(F.broadcast(probes), "cluster_id").select(
+        F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
