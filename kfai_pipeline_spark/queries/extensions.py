@@ -426,3 +426,42 @@ def q47_simsearch_ivf(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") != 0)
     topk = S.ivf_topk(corpus, queries, k=10, n_clusters=8, nprobe=8, round_to=4)
     return topk.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id"))
+
+
+# ---------------------------------------------------------------- Q48: n-gram Jaccard
+@register(
+    "q48_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-2,1)+1)) AS i) t
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc=(
+        "Exact word-3-gram Jaccard near-dup pairs >= 0.5 (X2 exact arm; "
+        "operators/dedup.py ngram_jaccard_pairs). Inverted-index shingle "
+        "join — no cross product; upgrades the n-gram-Jaccard dedup "
+        "dimension from rows-only (q34 MinHash approximates this) to "
+        "hash-checked."
+    ),
+)
+def q48_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.5)
+    return pairs.orderBy("id_a", "id_b")
