@@ -1,0 +1,97 @@
+"""Physical-plan audit: the properties that make queries survive a
+100x scale-up, asserted against .explain() output so a regression in
+any of them fails CI — not just a slower bench.
+
+What is checked and why it matters at 100 TB:
+  - PushedFilters / ReadSchema  -> predicate + column pruning reach the
+    parquet scan; a full-width scan of a 100 TB table for a 3-column
+    query is the single most expensive possible mistake.
+  - BroadcastHashJoin           -> dims never shuffle the fact side.
+  - no CartesianProduct         -> similarity/cross shapes stay
+    broadcast-nested-loop or bucket-join, never all-pairs shuffle.
+  - TakeOrderedAndProject       -> global ORDER BY + LIMIT k ships k
+    rows per partition to the driver, not the full sort.
+  - WholeStageCodegen           -> the hot expressions stay fused
+    JVM-side (no interpreted row-at-a-time evaluation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from conftest import SF_ORACLE
+from kfai_pipeline_spark.queries import REGISTRY
+
+
+def plan(spark, qname: str, mode: str = "formatted") -> str:
+    df = REGISTRY[qname].build(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q01_filter_and_columns_reach_the_scan(spark):
+    p = plan(spark, "q01")
+    assert "PushedFilters" in p
+    assert "LessThan(l_quantity,10" in p.replace(" ", "").replace("l_quantity,10.0", "l_quantity,10"), p
+    # projection pruning: scan schema must not include untouched wide cols
+    assert "l_comment" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q22_dims_broadcast(spark):
+    p = plan(spark, "q22")
+    assert p.count("BroadcastHashJoin") >= 2, "nation/region must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_q05_is_anti_join_not_not_in(spark):
+    p = plan(spark, "q05")
+    assert "LeftAnti" in p
+
+
+def test_q06_is_semi_join(spark):
+    p = plan(spark, "q06")
+    assert "LeftSemi" in p
+
+
+def test_q13_global_topk_pushdown(spark):
+    p = plan(spark, "q13")
+    assert "TakeOrderedAndProject" in p, "ORDER BY+LIMIT must not full-sort"
+
+
+def test_q27_similarity_never_cartesian(spark):
+    p = plan(spark, "q27")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q47_ivf_probe_join_broadcasts(spark):
+    p = plan(spark, "q47_simsearch_ivf")
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p
+
+
+def test_q07_stays_in_codegen(spark):
+    # AQE's pre-execution plan hides codegen stars; "codegen" mode
+    # reports the fused subtrees directly.
+    p = plan(spark, "q07", mode="codegen")
+    assert "WholeStageCodegen" in p, "no WholeStageCodegen span in the agg pipeline"
+    p = plan(spark, "q07")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        "relational hot path must not cross the Python boundary"
+    )
+
+
+def test_q07_partial_aggregation_before_shuffle(spark):
+    # map-side combine: 600 B/row * 100 TB never crosses the wire raw
+    p = plan(spark, "q07", mode="simple")
+    assert "partial_sum" in p, "aggregate must be partial before the exchange"
+
+
+def test_q16_partition_derivation_prunes_scan(spark):
+    # events scan: only the needed columns are read
+    p = plan(spark, "q16")
+    read_schema = p.split("ReadSchema")[1].splitlines()[0] if "ReadSchema" in p else ""
+    assert "props" not in read_schema, "untouched JSON blob column must be pruned"
