@@ -272,12 +272,38 @@ def q31_bigrams(spark, sf_dir):
     )
 
 
+def _langid_oracle() -> str:
+    """DuckDB SQL mirroring TA.lang_id. The argmax-with-tiebreak (highest
+    hits, ties -> lexicographically largest lang) is encoded as greatest()
+    over zero-padded '%010d hits || lang' strings — lexicographic max on
+    that encoding is exactly Spark's array_max over struct(hits, lang).
+    Generated from TA.LANG_MARKERS so the lexicons cannot drift."""
+    arms = ",\n      ".join(
+        "printf('%010d', len(list_filter(words, x -> lower(x) IN ({})))) || '{}'".format(
+            ",".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in sorted(TA.LANG_MARKERS.items())
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang, greatest(
+      {arms}
+    ) AS best
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN CAST(substr(best, 1, 10) AS INT) > 0 THEN substr(best, 11) ELSE 'und' END AS pred_lang,
+  lang
+FROM s ORDER BY doc_id
+"""
+
+
 @register(
     "q32_langid",
-    oracle=None,  # heuristic; fixture lang labels are synthetic (text is
-    # English-ish for every label), so accuracy is asserted on hand-built
-    # multilingual samples in tests/test_text_analysis.py instead
-    doc="Marker-lexicon language ID (X4); rows-only driver check.",
+    oracle=_langid_oracle(),
+    doc="Marker-lexicon language ID (X4), hash-checked vs DuckDB.",
 )
 def q32_langid(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
