@@ -137,12 +137,21 @@ def word_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
 
 
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a signed long. Engine-portable (DuckDB:
+    ('0x' || substr(md5(x),1,15))::BIGINT) — used where a fingerprint
+    must be hash-checkable against the SQL oracle; xxhash64 stays the
+    production default (one JVM hash vs md5+hex+parse)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Winnowing document fingerprint: hash every k-gram (rolling window
     of words), then keep the minimum hash in each sliding window of
@@ -153,11 +162,12 @@ def fingerprint(
     Implemented with sequence/transform/slice over arrays — one narrow
     projection, no shuffle, no UDF.
     """
+    hash_fn = hash_fn or F.xxhash64
     words = _words(text_col)
     n_kgrams = F.greatest(F.size(words) - (k - 1), F.lit(1))
     kgram_hashes = F.transform(
         F.sequence(F.lit(1), n_kgrams),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(words, i, k))),
     )
     n_windows = F.greatest(F.size(kgram_hashes) - (window - 1), F.lit(1))
     mins = F.transform(

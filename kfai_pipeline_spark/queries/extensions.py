@@ -491,3 +491,51 @@ def q48_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.5)
     return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "q49_fingerprint_md5",
+    # Engine-portable winnowing: same k-gram/window algorithm as q33 but
+    # hashed with the shared 60-bit md5 prefix (TA.md5_long), so DuckDB
+    # can replay it exactly. Output is order-insensitive summary stats of
+    # the fingerprint set (count/min/max) — list_distinct ordering differs
+    # between engines, the set itself does not.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), kg AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(len(words) - 4, 1) + 1),
+      i -> ('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
+    ) AS kh
+  FROM w
+), fp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(kh) - 3, 1) + 1),
+      i -> list_min(kh[i:i+3])
+    )) AS fingerprint
+  FROM kg
+)
+SELECT doc_id,
+  len(fingerprint) AS n_fingerprints,
+  list_min(fingerprint) AS fp_min,
+  list_max(fingerprint) AS fp_max
+FROM fp ORDER BY doc_id
+""",
+    doc=(
+        "Winnowing fingerprint (k=5, window=4) over the portable md5-prefix "
+        "hash, hash-checked vs DuckDB; q33 is the same operator on xxhash64 "
+        "(faster, JVM-native, rows-only)."
+    ),
+)
+def q49_fingerprint_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TA.fingerprint(docs, "text", "doc_id", k=5, window=4, hash_fn=TA.md5_long)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").alias("n_fingerprints"),
+        F.array_min("fingerprint").alias("fp_min"),
+        F.array_max("fingerprint").alias("fp_max"),
+    ).orderBy("doc_id")
