@@ -46,6 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _DF_MEMO.get(memo_key)
     if cached is not None:
         return cached
+    # events.ts is parquet TIMESTAMP(NANOS); a session without
+    # spark.sql.legacy.parquet.nanosAsLong throws PARQUET_TYPE_ILLEGAL at
+    # scan time. The conf is runtime-settable, so set it defensively here
+    # — callers (e.g. an external harness) may hand us a plain session
+    # built without our session factory.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — reads of
+        # nanos parquet will fail as before; non-events tables unaffected.
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long
     # (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType by
