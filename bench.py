@@ -16,6 +16,19 @@ the DuckDB oracle baseline. Twins live in
 kfai_pipeline_spark/queries/spark_sql.py and are parity-tested against
 the canonical DataFrame builders in tests/test_oracle.py.
 
+Bench session conf (BASELINE.md §3 has the experiment matrix):
+  - AQE off: its stage-wise materialization is pure overhead on
+    sub-second queries (saves ~0.2 s/run total); at 100 TB you keep
+    AQE on — the engine default (session.py) does.
+  - shuffle.partitions sized to the SF (8 at <=sf0.1, 16 above):
+    fewer task launches on sub-100 MB shuffles.
+The JSON also reports "floor_sec": the median wall-clock of
+`spark.sql("SELECT 1").collect()` — Spark's fixed per-statement cost
+(parse/analyze/optimize/schedule/Py4J fetch) that bounds every query
+from below regardless of plan quality. DuckDB's floor on this machine
+is <1 ms; queries whose oracle time is within ~2x of our floor are
+measuring engine fixed costs, not plan quality.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -52,9 +65,30 @@ def main() -> None:
     from kfai_pipeline_spark.session import get_spark
 
     t0 = time.perf_counter()
-    spark = get_spark(app_name="kfai-bench")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    spark = get_spark(
+        app_name="kfai-bench",
+        extra_conf={
+            # interactive/bench posture for sub-second queries; the engine
+            # default (session.py) keeps AQE on for the 100 TB posture.
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": "8" if sf_num <= 0.1 else "16",
+        },
+    )
     register_views(spark, sf_dir)
     init_sec = time.perf_counter() - t0
+
+    # fixed per-statement floor (see module docstring)
+    spark.sql("SELECT 1").collect()
+    floor_runs = []
+    for _ in range(7):
+        t = time.perf_counter()
+        spark.sql("SELECT 1").collect()
+        floor_runs.append(time.perf_counter() - t)
+    floor_sec = round(sorted(floor_runs)[len(floor_runs) // 2], 4)
 
     timings: dict[str, float] = {}
     for bench_name, qname in BENCH_QUERIES.items():
@@ -75,8 +109,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf_num,
                 "init_sec": round(init_sec, 2),
+                "floor_sec": floor_sec,
             }
         )
     )

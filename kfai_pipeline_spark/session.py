@@ -66,8 +66,16 @@ def get_spark(
         #    (no effect at real scale where files exceed it) --
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
-        # -- broadcast threshold: dims (region/nation/supplier/part) stay map-side --
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- broadcast threshold: Spark's stock 10 MB. Dims
+        #    (region/nation/supplier/part/customer) are far below it at every
+        #    SF; the DataFrame builders additionally hint broadcast() on known
+        #    dims. A larger threshold (we ran 64 MB in round 1) is a mid-size
+        #    trap: at 10x data the static planner's size estimate put the
+        #    6M-row lineitem FACT under 64 MB and broadcast it, rebuilding a
+        #    multi-million-entry hash relation per query (measured 2.4x
+        #    slow-down on the 5-table join). Fact tables must never ride the
+        #    auto threshold. --
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS); read as long, catalog converts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
