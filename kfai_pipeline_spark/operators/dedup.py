@@ -226,25 +226,36 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document, entirely in JVM expressions.
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_fn=None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """n_bits-wide SimHash per document, entirely in JVM expressions.
 
-    Each word hashes once (xxhash64); bit j of the signature is the sign
-    of sum_j(±1) across words. The 64 per-bit sums are 64 aggregate
-    expressions in a single groupBy — one shuffle on the doc id.
+    Each word hashes once (default xxhash64); bit j of the signature is
+    the sign of sum_j(±1) across words. The per-bit sums are n_bits
+    aggregate expressions in a single groupBy — one shuffle on the doc
+    id. ``hash_fn``/``n_bits`` exist so the oracle-portable 60-bit
+    md5-prefix hash (text_analysis.md5_long) can replace xxhash64 for
+    hash-checked twins (q50); production keeps the one-op JVM hash.
     """
+    hash_fn = hash_fn or F.xxhash64
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("__w")
-    ).withColumn("__h", F.xxhash64("__w"))
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    ).withColumn("__h", hash_fn(F.col("__w")))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     sums = words.groupBy(id_col).agg(*bit_aggs)
     sig: Column = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
                 F.lit(0).cast("long")
@@ -335,17 +346,22 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     dim: int | None = None,
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     bands: int = 16,
     rows_per_band: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
-    Brute force (use_lsh=False) is the oracle baseline: a self cross
-    join — only for eval-scale data. The LSH form buckets by
-    random-hyperplane band signatures first (equi-join on signature), the
-    scale path for millions of vectors.
+    The default is the sign-LSH path — bucket by random-hyperplane band
+    signatures, then score only within-bucket pairs (equi-join on
+    signature): the scale path for millions of vectors. Brute force
+    (explicit use_lsh=False) is a self cross join, O(n²) — it exists as
+    the exact oracle baseline (q36) and for eval-scale data only; never
+    call it on a corpus.
+
+    ``dim`` (vector length, needed to draw the hyperplanes driver-side)
+    is inferred from one row when omitted — a bounded 1-row collect.
     """
     from kfai_pipeline_spark.operators.similarity import l2_normalize
 
@@ -353,7 +369,10 @@ def embedding_neardup_pairs(
     v = df.select(F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v"))
     if use_lsh:
         if dim is None:
-            raise ValueError("dim is required for LSH bucketing")
+            first = df.select(F.size(F.col(vec_col)).alias("__d")).first()
+            if first is None:
+                raise ValueError("cannot infer dim from an empty DataFrame")
+            dim = first["__d"]
         planes = random_hyperplanes(dim, bands * rows_per_band, seed)
         bucketed = v.select(
             F.col(id_col), "__v",

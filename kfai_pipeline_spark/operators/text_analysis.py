@@ -98,24 +98,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Heuristic language ID: argmax of per-language marker-word hit
-    counts ('und' when nothing matches). Ties break lexicographically —
-    deterministic. Entirely JVM-side: one filter() per language over the
-    word array."""
+    counts ('und' when nothing matches). Deterministic tie-break:
+    highest hit count wins; on equal hits the lexicographically LARGEST
+    language code wins (struct comparison is field-by-field, so
+    array_max over (hits, lang) structs resolves ties on lang). The
+    DuckDB oracle (q40) encodes the same rule. Entirely JVM-side: one
+    filter() per language over the word array."""
     words = _words(text_col)
     scores = [
         F.struct(
             F.size(F.filter(words, lambda w: F.lower(w).isin(*markers))).alias("hits"),
-            # invert the name ordering trick: max(struct) picks highest hits,
-            # then lexicographically *smallest* lang via negated comparison —
-            # store lang descending-safe by keeping plain asc and using >= on hits
             F.lit(lang).alias("lang"),
         )
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    # array_max over structs compares field-by-field: (hits, lang); for
-    # equal hits it picks the lexicographically LARGEST lang, so order
-    # candidates with reversed lang markers to make ties deterministic
-    # and documented: highest hits wins, ties -> later alphabet lang.
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         out_col,

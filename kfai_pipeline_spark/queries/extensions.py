@@ -539,3 +539,50 @@ def q49_fingerprint_md5(spark, sf_dir):
         F.array_min("fingerprint").alias("fp_min"),
         F.array_max("fingerprint").alias("fp_max"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q50: simhash (md5)
+_SIMHASH_BITS = 60  # md5_long yields 60 bits (15 hex chars), always >= 0
+
+_Q50_BIT_SUMS = ",\n    ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_Q50_SIG = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "q50_simhash_md5",
+    # Same SimHash algorithm as q35 but on the shared portable 60-bit
+    # md5-prefix word hash, so DuckDB replays it bit-for-bit. The
+    # signature is a sum of distinct powers of two (== bitwise OR).
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
+  FROM w, LATERAL (SELECT unnest(words) AS w) u
+), bits AS (
+  SELECT doc_id,
+    {_Q50_BIT_SUMS}
+  FROM wh GROUP BY doc_id
+)
+SELECT doc_id, {_Q50_SIG} AS simhash
+FROM bits ORDER BY doc_id
+""",
+    doc=(
+        "60-bit SimHash over the portable md5-prefix word hash, "
+        "hash-checked vs DuckDB (the q49 trick applied to X2's SimHash "
+        "arm); q35 is the same operator on xxhash64 (production default, "
+        "rows-only)."
+    ),
+)
+def q50_simhash_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash(
+        docs, "text", "doc_id", hash_fn=TA.md5_long, n_bits=_SIMHASH_BITS
+    )
+    return sigs.orderBy("doc_id")

@@ -824,19 +824,57 @@ def q45_stats(spark, sf_dir):
 
 @register(
     "q46_sketch",
-    oracle=None,  # HLL/KLL sketches are estimate-valued — rows-only check;
-    # tests assert relative error vs exact counts
-    doc="Sketch aggregates at scale: approx_count_distinct (HLL++) and approx_percentile.",
+    # Sketch estimates can't hash-match across engines (different HLL/
+    # quantile-sketch implementations), so the CHECK itself is the query
+    # output: each engine compares its own sketch against its own exact
+    # aggregate and emits per-group booleans. Those are deterministic and
+    # hash-comparable — both engines' sketches sit far inside the 10%/5%
+    # bands (HLL++ rsd default 5%; rank error ~0.1% at accuracy 1000).
+    oracle="""
+    WITH approx AS (
+        SELECT l_returnflag,
+               approx_count_distinct(l_partkey) AS ap,
+               approx_quantile(l_extendedprice, 0.5) AS am
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    exact AS (
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS ep,
+               median(l_extendedprice) AS em
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag,
+           ABS(ap - ep) / ep < 0.10 AS parts_within_10pct,
+           ABS(am - em) / em < 0.05 AS median_within_5pct
+    FROM approx a JOIN exact e ON a.l_returnflag = e.l_returnflag
+    ORDER BY a.l_returnflag
+    """,
+    doc=(
+        "Sketch aggregates at scale — approx_count_distinct (HLL++) and "
+        "approx_percentile — tolerance-band checked: each engine asserts "
+        "its sketch against its exact twin, and the booleans hash-compare."
+    ),
 )
 def q46_sketch(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("am"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ep"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.round(
-                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
-            ).alias("approx_median"),
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("ap") - F.col("ep")) / F.col("ep") < 0.10).alias(
+                "parts_within_10pct"
+            ),
+            (F.abs(F.col("am") - F.col("em")) / F.col("em") < 0.05).alias(
+                "median_within_5pct"
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -73,6 +73,26 @@ def test_q47_ivf_probe_join_broadcasts(spark):
     assert "Broadcast" in p
 
 
+def test_embedding_neardup_default_is_not_all_pairs(spark):
+    # the DEFAULT near-dup path must plan as a signature equi-join;
+    # the O(n^2) cross join exists only behind an explicit use_lsh=False
+    import contextlib
+    import io
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    df = embedding_neardup_pairs(emb)  # defaults only
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_q07_stays_in_codegen(spark):
     # AQE's pre-execution plan hides codegen stars; "codegen" mode
     # reports the fused subtrees directly.
