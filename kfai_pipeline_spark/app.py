@@ -14,7 +14,8 @@ Stage map (reference menu number -> function):
 | 6 | interactive_qa.run             | ``query`` — RAG plan with injected LLM stubs |
 
 Workspace layout (all under ``workdir``):
-    raw/        partitioned video-record JSON (stage 1 output)
+    raw/        partitioned video-record JSON (stage 1 + 3 output)
+    audio/      downloaded audio chunks {video_id}_chunk_{i}.* (stage 3 input)
     cleaned/    cleaned records (stage 4 output)
     store/      chunk-grain vector parquet — the pgvector mirror (stage 5)
     skip.json   dead-letter list (I3)
@@ -93,6 +94,76 @@ def extract(
     return {"new_videos": n_new, "skip_list": n_skipped}
 
 
+def transcribe_failed(
+    spark: SparkSession,
+    catalog: DataFrame,
+    workdir: str,
+    decoder: str = "stub",
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+) -> dict[str, int]:
+    """Stage 3: recover transcript-less videos from downloaded audio
+    (ref transcribe_failures.py:29-125).
+
+    Audio chunks live at ``workdir/audio/{video_id}_chunk_{i}.*`` (the
+    reference's 2-hour-chunk naming, youtube.py:99-104). Each chunk runs
+    the ASR kernel (stub by default; ``decoder="wav"`` exercises the
+    real header decode) with the W4 offset shift, segments reassemble
+    into a transcript per video, metadata joins back from the catalog,
+    and the chunked records append to raw/ exactly like stage 1 output.
+    Already-recovered videos (present in raw/) are skipped — same
+    file-exists checkpoint as the reference (transcribe_failures.py:67-68).
+    """
+    from kfai_pipeline_spark.operators.multimodal import (
+        read_binary_files,
+        transcribe_audio,
+    )
+
+    audio_dir = _dir(workdir, "audio")
+    if not os.path.isdir(audio_dir):
+        return {"transcribed_videos": 0}
+
+    media = read_binary_files(spark, audio_dir).select(
+        F.regexp_extract(F.col("path"), r"([^/]+)_chunk_\d+\.\w+$", 1).alias("video_id"),
+        F.regexp_extract(F.col("path"), r"_chunk_(\d+)\.\w+$", 1)
+        .cast("long")
+        .alias("chunk_idx"),
+        "path",
+        "content",
+    )
+    done = _maybe_read(spark, _dir(workdir, "raw"))
+    if done is not None:
+        media = new_work(media, done, "video_id")
+    if media.isEmpty():
+        return {"transcribed_videos": 0}
+
+    segs = transcribe_audio(media, chunk_idx_col="chunk_idx", decoder=decoder)
+    segs = segs.withColumn(
+        "video_id", F.regexp_extract(F.col("path"), r"([^/]+)_chunk_\d+\.\w+$", 1)
+    )
+    # reassemble: segments sort by start (struct compare on the leading
+    # field), then fields reorder to the snippet schema (text,start,duration)
+    transcripts = segs.groupBy("video_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("start", "text", "duration"))),
+            lambda s: F.struct(
+                s["text"].alias("text"),
+                s["start"].alias("start"),
+                s["duration"].alias("duration"),
+            ),
+        ).alias("transcript")
+    )
+    meta = catalog.drop("transcript")
+    recovered = meta.join(transcripts, "video_id")
+    chunked = chunk_transcripts(
+        recovered, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    ).drop("transcript")
+    n = chunked.count()
+    if n:
+        write_partitioned_json(chunked, _dir(workdir, "raw"), mode="append")
+    return {"transcribed_videos": n}
+
+
 def transform(
     spark: SparkSession,
     workdir: str,
@@ -106,9 +177,14 @@ def transform(
     done = _maybe_read(spark, cleaned_dir)
     todo = raw if done is None else new_work(raw, done, "video_id")
 
-    cleaned = clean_chunks_grouped(todo, clean_fn)
+    # Persist the clean stage ONCE: good/dead/skip all derive from this
+    # single materialization. Without it each consumer re-executes the
+    # injected LLM clean (doubling external-inference cost), and a
+    # non-deterministic clean_fn could land a video in BOTH cleaned/ and
+    # the skip list.
+    cleaned = clean_chunks_grouped(todo, clean_fn).persist()
     good, dead = split_dead_letter(cleaned, "clean_ok")
-    good = good.drop("clean_ok").cache()
+    good = good.drop("clean_ok")
 
     chk = integrity_check(todo, good)
     bad_keys = chk.where(~F.col("ok")).select("video_id")
@@ -122,7 +198,9 @@ def transform(
     save_skip_set(
         skip.unionByName(dead.select("video_id")).unionByName(bad_keys), skip_path
     )
-    return {"cleaned_videos": n, "failed_videos": dead.count()}
+    n_dead = dead.count()
+    cleaned.unpersist()
+    return {"cleaned_videos": n, "failed_videos": n_dead}
 
 
 def load(
@@ -180,18 +258,24 @@ def query(
 
 STAGES = {
     "1": ("extract", extract),
+    "3": ("transcribe_failed", transcribe_failed),
     "4": ("transform", transform),
     "5": ("load", load),
 }
 
+# stages that take the source catalog (1 diffs it, 3 joins metadata back)
+_CATALOG_STAGES = frozenset({"1", "3"})
+
 
 def run_chain(spark: SparkSession, catalog: DataFrame, workdir: str, chain: str) -> dict:
-    """Reference CLI chaining: '1>4>5' runs stages in order
+    """Reference CLI chaining: '1>3>4>5' runs stages in order
     (ref cli.py:53-64). Returns per-stage stats."""
     stats = {}
     for cmd in (c.strip() for c in chain.split(">")):
         if cmd not in STAGES:
             raise ValueError(f"unknown stage {cmd!r}; valid: {sorted(STAGES)}")
         name, fn = STAGES[cmd]
-        stats[name] = fn(spark, catalog, workdir) if cmd == "1" else fn(spark, workdir)
+        stats[name] = (
+            fn(spark, catalog, workdir) if cmd in _CATALOG_STAGES else fn(spark, workdir)
+        )
     return stats

@@ -17,6 +17,7 @@ from kfai_pipeline_spark.functions.text import (
 )
 from kfai_pipeline_spark.functions.datetime_fns import (
     epoch_to_year_month,
+    format_citation_time,
     format_hms,
     iso_duration_to_seconds,
     iso_to_epoch,
@@ -33,6 +34,7 @@ __all__ = [
     "take_after_marker",
     "watch_url",
     "epoch_to_year_month",
+    "format_citation_time",
     "format_hms",
     "iso_duration_to_seconds",
     "iso_to_epoch",

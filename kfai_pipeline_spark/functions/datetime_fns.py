@@ -57,14 +57,31 @@ def epoch_to_year_month(col: str | Column) -> tuple[Column, Column]:
 
 
 def format_hms(col: str | Column) -> Column:
-    """Seconds -> ``h:mm:ss`` (F14; ref query_agent.py:161-168 citation
-    timestamps — hours unpadded, minutes/seconds 2-padded)."""
+    """Seconds -> ``h:mm:ss`` (F14) — always three fields, hours
+    unpadded, minutes/seconds 2-padded. For the reference's citation
+    display form (which drops the hours field entirely below one hour,
+    ref query_agent.py:160-168) use :func:`format_citation_time`."""
     s = _c(col).cast("long")
     return F.concat_ws(
         ":",
         (s / 3600).cast("long").cast("string"),
         F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
         F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+
+
+def format_citation_time(col: str | Column) -> Column:
+    """Seconds -> the reference's citation display form (ref
+    query_agent.py:160-168): ``h:mm:ss`` when >= 1 hour, else ``m:ss``
+    with minutes unpadded (330 -> ``5:30``, 3930 -> ``1:05:30``)."""
+    s = _c(col).cast("long")
+    minutes_part = F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0")
+    secs_part = F.lpad((s % 60).cast("string"), 2, "0")
+    return F.when(
+        s >= 3600,
+        F.concat_ws(":", (s / 3600).cast("long").cast("string"), minutes_part, secs_part),
+    ).otherwise(
+        F.concat_ws(":", ((s % 3600) / 60).cast("long").cast("string"), secs_part)
     )
 
 

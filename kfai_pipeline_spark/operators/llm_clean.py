@@ -11,8 +11,9 @@ The transform itself is INJECTED (``clean_fn``): production plugs an
 HTTP client batching calls to an external inference service (scope
 decision — LLM serving stays external); tests plug deterministic
 stubs. Failures inside ``clean_fn`` must raise; the video's row is
-then emitted with ``clean_ok = false`` and NULL chunks (dead-letter
-routing downstream, I3) instead of poisoning the job.
+then emitted with ``clean_ok = false`` and its ORIGINAL chunks
+retained (dead-letter routing downstream, I3) instead of poisoning
+the job.
 """
 
 from __future__ import annotations

@@ -8,12 +8,14 @@ transcribe_failures.py:29-125): media bytes ride a binary column,
 heavy per-item model work happens inside ``mapInPandas`` so a
 1000-executor cluster fans out decode/transcribe with zero shuffle.
 
-The decode kernels are STUBBED (this container has no image/audio
+Most decode kernels are STUBBED (this container has no image/audio
 libs): ``decoder="stub"`` produces deterministic fake outputs so the
 Spark-side plumbing — schema, batching, partitioning, chunk-offset
 arithmetic — is real and tested; plugging a real library is a one-line
-swap behind the same interface, and ``decoder="real"`` raises
-``NotImplementedError`` with the intended dependency named.
+swap behind the same interface, and asking for an unavailable real
+decoder raises ``NotImplementedError`` with the dependency named. One
+kernel IS real with zero dependencies: ``decode_audio_meta`` with
+``decoder="wav"`` parses RIFF/WAVE headers via stdlib ``wave``.
 """
 
 from __future__ import annotations
@@ -106,6 +108,72 @@ def image_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_width", LongType()),
+        StructField("framerate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Audio header decode -> typed metadata rows (X5).
+
+    ``decoder="wav"`` is a REAL kernel: stdlib ``wave`` parses the RIFF
+    header from the binary column inside ``mapInPandas`` — no external
+    dependency, same batch shape as an ffprobe/soundfile kernel. The
+    default stays ``"stub"`` (deterministic fake metadata from sha256)
+    so pipelines without real media keep running; any other value names
+    the dependency a production kernel would plug in.
+    """
+    import pandas as pd
+
+    if decoder not in ("stub", "wav"):
+        raise NotImplementedError(
+            "real non-WAV audio decode needs ffprobe/soundfile (not in this "
+            "container); plug a decoder via this interface"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in ("path", "n_channels", "sample_width", "framerate", "n_frames", "duration_s")}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
+                if decoder == "wav":
+                    with wave.open(io.BytesIO(data)) as w:
+                        nch, width, rate, nfr = (
+                            w.getnchannels(),
+                            w.getsampwidth(),
+                            w.getframerate(),
+                            w.getnframes(),
+                        )
+                else:
+                    h = hashlib.sha256(data).digest()
+                    nch, width = 1 + h[0] % 2, 2
+                    rate, nfr = 16000, len(data)
+                out["path"].append(path)
+                out["n_channels"].append(nch)
+                out["sample_width"].append(width)
+                out["framerate"].append(rate)
+                out["n_frames"].append(nfr)
+                out["duration_s"].append(round(nfr / rate, 4) if rate else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 AUDIO_SEGMENT_SCHEMA = StructType(

@@ -37,6 +37,60 @@ from kfai_pipeline_spark.plans.filter_compiler import build_filter, compile_filt
 CONTEXT_COUNT = 120  # ref loaders/utils/config.py:16
 TIMESTAMP_BUFFER = 10  # ref loaders/utils/config.py:17
 
+# Host-alias canonicalization map (ref loaders/utils/constants.py:1-22,
+# PRIMARY_HOST_MAP). The reference injects it into the parse prompt so
+# the LLM emits canonical names; we additionally normalize Spark-side so
+# an injected parser that emits an alias ("Parris"/"Paris") still
+# filters on the canonical host.
+PRIMARY_HOST_MAP: dict[str, str] = {
+    "Greg": "Greg Miller",
+    "Tim": "Tim Gettys",
+    "Nick": "Nick Scarpino",
+    "Kevin": "Kevin Coello",
+    "Joey": "Joey Noelle",
+    "Andy": "Andy Cortez",
+    "Barrett": "Barrett Courtney",
+    "Blessing": "Blessing Adeoye Jr.",
+    "Mike": "Mike Howard",
+    "SnowBikeMike": "Mike Howard",
+    "Roger": "Roger Pokorny",
+    "Parris": "Parris Lilly",
+    "Paris": "Parris Lilly",
+    "Gary": "Gary Whitta",
+    "Fran": "Fran Mirabella III",
+    "Janet": "Janet Garcia",
+    "Andrea": "Andrea Rene",
+    "Tamoor": "Tamoor Hussain",
+    "Jared": "Jared Petty",
+    "Colin": "Colin Moriarty",
+}
+
+
+def canonicalize_hosts(hosts: list[str]) -> list[str]:
+    """Driver-side alias -> canonical mapping for parsed host terms,
+    order-preserving and deduplicating ("Mike" and "SnowBikeMike" both
+    collapse to one "Mike Howard")."""
+    out: list[str] = []
+    for h in hosts:
+        c = PRIMARY_HOST_MAP.get(h, h)
+        if c not in out:
+            out.append(c)
+    return out
+
+
+def canonicalize_host_expr(col: Column) -> Column:
+    """Spark-side form: alias -> canonical for a host STRING column.
+
+    A 20-entry literal map compiles to a constant available in every
+    task — the degenerate (and cheapest) broadcast lookup join: no
+    shuffle, no join node, pure expression. For an ARRAY<STRING> hosts
+    column wrap it in ``F.transform``."""
+    pairs: list[Column] = []
+    for k, v in PRIMARY_HOST_MAP.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    lookup = F.create_map(*pairs)
+    return F.coalesce(lookup.getItem(col), col)
+
 
 @dataclass
 class ParsedQuery:
@@ -63,7 +117,7 @@ def metadata_predicate(parsed: ParsedQuery, current_year: int = 2026) -> Column:
     docs table keeps CSV hosts; with ARRAY hosts we use exists()."""
     fdict = build_filter(
         shows=parsed.shows,
-        hosts=parsed.hosts,
+        hosts=canonicalize_hosts(parsed.hosts),
         exact_year=parsed.exact_year,
         year_range=parsed.year_range,
         before_year=parsed.before_year,
@@ -101,8 +155,13 @@ def retrieve(
     qv = F.lit(query_vec).cast("array<double>")
     filtered = docs.where(metadata_predicate(parsed)).where(topic_predicate(parsed.topics))
     scored = filtered.withColumn("score", cosine(_as_double(vec_col), qv))
+    return _dedup_cap_resort(scored, k)
 
-    # W1: first-seen dedup on (video_id, start_time) by score desc, cap k
+
+def _dedup_cap_resort(scored: DataFrame, k: int) -> DataFrame:
+    """Stages 4-5 post-processing shared by both retrieval forms:
+    first-seen dedup on (video_id, start_time) by score desc (W1), cap
+    k, chronological re-sort (W2; ref query_agent.py:285-306)."""
     w = Window.partitionBy("video_id", "start_time").orderBy(F.desc("score"))
     top = (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -111,8 +170,50 @@ def retrieve(
         .orderBy(F.desc("score"))
         .limit(k)
     )
-    # W2: chronological re-sort for the context window
     return top.orderBy("published_at", "video_id", "start_time")
+
+
+def retrieve_multi_topic(
+    docs: DataFrame,
+    question: str,
+    parsed: ParsedQuery,
+    embedder: Callable[[list[str]], list[list[float]]],
+    k: int = CONTEXT_COUNT,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reference-faithful retrieval fan-out (ref query_agent.py:234-306).
+
+    No topics: one filtered search scored against the question
+    embedding. With topics: one search PER topic — the hybrid predicate
+    narrows to that topic (title/text ILIKE), while the scoring vector
+    embeds the OTHER topics joined (or the raw question for a single
+    topic), k per branch. Branch results union, then dedup/cap/re-sort.
+
+    Spark shape: each branch is an independent filtered scan (Catalyst
+    pushes each branch's predicate down; branches share the scan via
+    union) — at scale this is one job with B branches, not B sequential
+    store round-trips."""
+    if not parsed.topics:
+        return retrieve(docs, embedder([question])[0], parsed, k=k, vec_col=vec_col)
+
+    meta = metadata_predicate(parsed)
+    branches: list[DataFrame] = []
+    for topic in parsed.topics:
+        others = [t for t in parsed.topics if t != topic]
+        branch_query = ", ".join(others) if others else question
+        qv = F.lit(embedder([branch_query])[0]).cast("array<double>")
+        branch = (
+            docs.where(meta)
+            .where(topic_predicate([topic]))
+            .withColumn("score", cosine(_as_double(vec_col), qv))
+            .orderBy(F.desc("score"))
+            .limit(k)  # k per search, as the reference requests per store call
+        )
+        branches.append(branch)
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    return _dedup_cap_resort(unioned, k)
 
 
 def cite(
@@ -122,11 +223,18 @@ def cite(
 ) -> DataFrame:
     """Stage 6: J6 semi-join of retrieved docs x LLM citations on
     (video_id, int(start_time)), then per-video timestamp grouping (A4)
-    and URL/h:mm:ss rendering (F14/F21).
+    and URL/time rendering (F14/F21).
+
+    Buffer semantics match the reference exactly (ref
+    query_agent.py:160-181): ``timestamps`` and their display form are
+    the RAW cited seconds; only the deep-link URL shifts FORWARD by
+    ``buffer_seconds`` (t = start + 10), skipping the lead-in so the
+    link lands where the quote starts.
 
     Returns one row per cited video: (video_id, title, published_at,
-    timestamps ARRAY<BIGINT> sorted, urls ARRAY<STRING>)."""
-    from kfai_pipeline_spark.functions.datetime_fns import format_hms  # noqa: F401
+    timestamps ARRAY<BIGINT> sorted, formatted ARRAY<STRING>,
+    urls ARRAY<STRING>)."""
+    from kfai_pipeline_spark.functions.datetime_fns import format_citation_time
     from kfai_pipeline_spark.functions.text import watch_url
 
     spark = docs.sparkSession
@@ -145,18 +253,19 @@ def cite(
         matched.groupBy("video_id", "title", "published_at")
         .agg(
             F.sort_array(
-                F.collect_set(
-                    F.greatest(
-                        F.col("start_time").cast("int") - buffer_seconds, F.lit(0)
-                    ).cast("bigint")
-                )
+                F.collect_set(F.col("start_time").cast("int").cast("bigint"))
             ).alias("timestamps")
         )
         .orderBy("published_at", "video_id")
     )
-    return grouped.withColumn(
-        "urls",
-        F.transform("timestamps", lambda t: watch_url(F.col("video_id"), t)),
+    return grouped.withColumns(
+        {
+            "formatted": F.transform("timestamps", format_citation_time),
+            "urls": F.transform(
+                "timestamps",
+                lambda t: watch_url(F.col("video_id"), t + buffer_seconds),
+            ),
+        }
     )
 
 
@@ -171,8 +280,7 @@ def answer_query(
     """The full §3.1 lifecycle with injected LLM boundaries. Returns
     (answer_text, sources DataFrame)."""
     parsed = parser(question)
-    qv = embedder([question])[0]
-    context = retrieve(docs, qv, parsed, k=k)
+    context = retrieve_multi_topic(docs, question, parsed, embedder, k=k)
     context_rows = [r.asDict() for r in context.collect()]  # ≤ k rows, driver-safe
     answer_text, citations = synthesizer(question, context_rows)
     sources = cite(context, citations)

@@ -586,3 +586,112 @@ def q50_simhash_md5(spark, sf_dir):
         docs, "text", "doc_id", hash_fn=TA.md5_long, n_bits=_SIMHASH_BITS
     )
     return sigs.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q51: S5 roundtrip
+@register(
+    "q51_partitioned_roundtrip",
+    # The roundtrip is the operator under test: events -> partitioned
+    # JSON sink (S5 layout, year=Y/month=MM) -> recursive partitioned
+    # read -> partition-column filter -> agg. Hash-checking the agg
+    # against DuckDB over the ORIGINAL parquet proves the sink/source
+    # pair loses nothing. (Partition PRUNING on a multi-month layout is
+    # machine-asserted in tests/test_plan_audit.py — the sf fixtures span
+    # one month, so a pruning filter here would be vacuous.)
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE year(ts) = 2024 AND month(ts) = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "S5 partitioned JSON sink + S4 recursive read roundtrip with a "
+        "partition-column predicate, hash-checked against the source table."
+    ),
+)
+def q51_partitioned_roundtrip(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from kfai_pipeline_spark.sources.video_records import write_partitioned_json
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"kfai_q51_{tag}")
+    write_partitioned_json(events, out_dir, epoch_col="epoch")
+    back = (
+        spark.read.option("recursiveFileLookup", "false")  # partition dirs
+        .json(out_dir)
+    )
+    return (
+        back.where((F.col("year") == 2024) & (F.col("month") == 1))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q52/Q53: multimodal
+@register(
+    "q52_multimodal_meta",
+    # X5's typed-metadata layer over an opaque binary column, made
+    # oracle-checkable by deriving the binary from documents.text:
+    # byte_len/sha256 must agree with DuckDB's octet_length/sha256 on
+    # the same utf-8 bytes.
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "Multimodal binary-column metadata (X5, operators/multimodal.py "
+        "with_media_metadata): opaque binary payload + JVM-side typed "
+        "metadata, hash-checked on byte length and sha256."
+    ),
+)
+def q52_multimodal_meta(spark, sf_dir):
+    from kfai_pipeline_spark.operators.multimodal import with_media_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return (
+        with_media_metadata(docs)
+        .select("doc_id", "byte_len", "sha256")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q53_multimodal_asr",
+    oracle=None,  # stub ASR kernel output is engine-specific (sha-derived);
+    # the wav-header kernel and offset arithmetic are unit-tested
+    doc=(
+        "Multimodal ASR plumbing (X5/U3/S9): binary payload rows through "
+        "the mapInPandas transcribe kernel with the W4 chunk-offset shift; "
+        "rows-only driver check, deterministic stub."
+    ),
+)
+def q53_multimodal_asr(spark, sf_dir):
+    from kfai_pipeline_spark.operators.multimodal import transcribe_audio
+
+    media = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("path"),
+            F.encode("text", "UTF-8").alias("content"),
+            (F.col("doc_id") % 3).cast("long").alias("chunk_idx"),
+        )
+    )
+    segs = transcribe_audio(media, chunk_idx_col="chunk_idx")
+    return segs.orderBy("path", "chunk_idx", "start")

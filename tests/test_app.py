@@ -94,3 +94,53 @@ def test_query_stage(spark, catalog, workdir):
 def test_bad_stage_rejected(spark, catalog, workdir):
     with pytest.raises(ValueError, match="unknown stage"):
         app.run_chain(spark, catalog, workdir, "1>9")
+
+
+def test_transcribe_failed_recovers_video(spark, catalog, tmp_path):
+    # full fallback path (reference stages 2-3): the NULL-transcript
+    # video lands in the skip list at extract, its "downloaded" audio
+    # chunks are ASR'd by stage 3, and the recovered record flows
+    # through 4>5 into the store like any other video
+    import os
+
+    wd = str(tmp_path / "ws")
+    os.makedirs(wd)
+    failed_vid = catalog.where(F.col("transcript").isNull()).first()["video_id"]
+
+    stats1 = app.run_chain(spark, catalog, wd, "1")
+    assert stats1["extract"]["skip_list"] == 1
+
+    audio = tmp_path / "ws" / "audio"
+    audio.mkdir()
+    (audio / f"{failed_vid}_chunk_0.bin").write_bytes(b"fake-audio-chunk-0" * 100)
+    (audio / f"{failed_vid}_chunk_1.bin").write_bytes(b"fake-audio-chunk-1" * 100)
+
+    stats2 = app.run_chain(spark, catalog, wd, "3>4>5")
+    assert stats2["transcribe_failed"]["transcribed_videos"] == 1
+    assert stats2["transform"]["cleaned_videos"] >= 1
+
+    store = spark.read.parquet(f"{wd}/store")
+    got = store.where(F.col("video_id") == failed_vid)
+    assert got.count() > 0
+    # W4 offset: with a chunk size small enough that the stub segments
+    # don't all merge, chunk-1 text keeps a start inside the second
+    # 2-hour window (fresh workspace, direct stage call to pass the size)
+    wd2 = str(tmp_path / "ws2")
+    os.makedirs(wd2)
+    os.symlink(str(audio), os.path.join(wd2, "audio"))
+    stats_w4 = app.transcribe_failed(spark, catalog, wd2, chunk_size=24, chunk_overlap=4)
+    assert stats_w4["transcribed_videos"] == 1
+    from kfai_pipeline_spark.sources.video_records import read_video_records
+
+    rec = (
+        read_video_records(spark, f"{wd2}/raw")
+        .where(F.col("video_id") == failed_vid)
+        .first()
+    )
+    starts = [c["start"] for c in rec["transcript_chunks"]]
+    assert starts == sorted(starts)
+    assert any(s >= 7200 for s in starts)
+
+    # rerun is a no-op: the video now exists in raw/ (file checkpoint)
+    stats3 = app.run_chain(spark, catalog, wd, "3")
+    assert stats3["transcribe_failed"]["transcribed_videos"] == 0

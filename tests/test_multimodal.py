@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from kfai_pipeline_spark.operators.multimodal import (
     CHUNK_THRESHOLD_SECONDS,
+    decode_audio_meta,
     image_features,
     read_binary_files,
     sample_frames,
@@ -68,6 +69,51 @@ def test_sample_frames_row_explosion(spark, media_dir):
     lengths = {r["path"]: r["length"] for r in df.select("path", "length").collect()}
     for path, cnt in per_file.items():
         assert cnt == max(1, lengths[path] // 512)
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    """Real RIFF/WAVE files written with stdlib wave — known headers."""
+    import wave
+
+    d = tmp_path_factory.mktemp("wavs")
+    specs = [
+        ("mono_16k.wav", 1, 2, 16000, 16000 * 2),   # 2.0 s
+        ("stereo_44k.wav", 2, 2, 44100, 44100),     # 1.0 s
+        ("mono_8k.wav", 1, 1, 8000, 4000),          # 0.5 s
+    ]
+    for name, nch, width, rate, nframes in specs:
+        with wave.open(str(d / name), "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(b"\x00" * (nframes * nch * width))
+    return str(d), {name: (nch, width, rate, nframes) for name, nch, width, rate, nframes in specs}
+
+
+def test_wav_kernel_decodes_real_headers(spark, wav_dir):
+    # NOT skipped, NOT stubbed: stdlib wave parses actual RIFF headers
+    path, specs = wav_dir
+    df = read_binary_files(spark, path, glob="*.wav")
+    rows = decode_audio_meta(df, decoder="wav").collect()
+    assert len(rows) == len(specs)
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        nch, width, rate, nframes = specs[name]
+        assert (r["n_channels"], r["sample_width"], r["framerate"], r["n_frames"]) == (
+            nch, width, rate, nframes
+        )
+        assert r["duration_s"] == pytest.approx(nframes / rate)
+
+
+def test_decode_audio_meta_stub_default(spark, media_dir):
+    # non-WAV payloads still flow through the stub default
+    df = read_binary_files(spark, media_dir, glob="*.bin")
+    rows = decode_audio_meta(df).collect()
+    assert len(rows) == 6
+    assert all(r["framerate"] == 16000 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_audio_meta(df, decoder="mp3")
 
 
 def test_real_decoder_gated(spark, media_dir):

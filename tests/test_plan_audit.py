@@ -110,6 +110,40 @@ def test_q07_partial_aggregation_before_shuffle(spark):
     assert "partial_sum" in p, "aggregate must be partial before the exchange"
 
 
+def test_partitioned_json_read_prunes_partitions(spark, tmp_path):
+    # S5 sink layout (year=Y/month=MM) + a partition-column predicate
+    # must prune at the FILE level: PartitionFilters carries the
+    # predicate and only the matching month's files are scanned.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.sources.video_records import write_partitioned_json
+
+    months = [1325376000, 1328054400, 1330560000]  # 2012-01/02/03
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.lit(months[0]) + (F.col("id") % 3) * 2678400).alias("epoch"),
+    )
+    # exact month boundaries for the partition derivation
+    df = df.withColumn(
+        "epoch",
+        F.element_at(F.array(*[F.lit(m) for m in months]), (F.col("id") % 3 + 1).cast("int")),
+    )
+    out = str(tmp_path / "part_json")
+    write_partitioned_json(df, out, epoch_col="epoch")
+    back = spark.read.json(out)
+    q = back.where(F.col("month") == 2).agg(F.count("*").alias("n"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    assert "month" in p.split("PartitionFilters")[1].splitlines()[0]
+    assert q.collect()[0]["n"] == 100
+
+
 def test_q16_partition_derivation_prunes_scan(spark):
     # events scan: only the needed columns are read
     p = plan(spark, "q16")

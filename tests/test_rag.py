@@ -11,11 +11,15 @@ from kfai_pipeline_spark.operators.chunker import chunk_transcripts, explode_chu
 from kfai_pipeline_spark.operators.embed import embed_texts, hash_embed
 from kfai_pipeline_spark.plans.rag import (
     CONTEXT_COUNT,
+    TIMESTAMP_BUFFER,
     Citation,
     ParsedQuery,
     answer_query,
+    canonicalize_host_expr,
+    canonicalize_hosts,
     cite,
     retrieve,
+    retrieve_multi_topic,
 )
 
 
@@ -104,13 +108,90 @@ def test_cite_grouping_and_urls(chunk_docs):
     assert 1 <= len(out) <= 3
     total_ts = sum(len(r["timestamps"]) for r in out)
     assert total_ts == len({(c.video_id, int(c.start_time)) for c in citations})
+    cited_raw = {int(c.start_time) for c in citations}
     for r in out:
         assert list(r["timestamps"]) == sorted(r["timestamps"])
+        # timestamps are the RAW cited seconds; only the URL shifts +buffer
+        # (ref query_agent.py:160-181)
+        assert set(r["timestamps"]) <= cited_raw
         for ts, url in zip(r["timestamps"], r["urls"]):
-            assert url == f"https://www.youtube.com/watch?v={r['video_id']}&t={ts}s"
-    # buffer applied: cited start 0 clamps to 0, others shift back 10s
-    for r in out:
-        assert all(ts >= 0 for ts in r["timestamps"])
+            assert url == (
+                f"https://www.youtube.com/watch?v={r['video_id']}"
+                f"&t={ts + TIMESTAMP_BUFFER}s"
+            )
+        assert len(r["formatted"]) == len(r["timestamps"])
+
+
+def test_citation_time_format(spark):
+    from kfai_pipeline_spark.functions.datetime_fns import format_citation_time
+
+    df = spark.createDataFrame(
+        [(0,), (59,), (330,), (3599,), (3600,), (3930,), (7325,)], "s long"
+    )
+    got = [r["o"] for r in df.select(format_citation_time("s").alias("o")).collect()]
+    # reference form (query_agent.py:160-168): m:ss below an hour, else h:mm:ss
+    assert got == ["0:00", "0:59", "5:30", "59:59", "1:00:00", "1:05:30", "2:02:05"]
+
+
+def test_host_canonicalization(spark):
+    assert canonicalize_hosts(["Parris", "Paris", "Gary", "Unknown Person"]) == [
+        "Parris Lilly",
+        "Gary Whitta",
+        "Unknown Person",
+    ]
+    assert canonicalize_hosts(["Mike", "SnowBikeMike"]) == ["Mike Howard"]
+    df = spark.createDataFrame(
+        [("Parris",), ("Paris",), ("Nobody",)], "h string"
+    )
+    got = [r["c"] for r in df.select(canonicalize_host_expr(F.col("h")).alias("c")).collect()]
+    assert got == ["Parris Lilly", "Parris Lilly", "Nobody"]
+
+
+def test_metadata_predicate_canonicalizes_parsed_hosts(spark):
+    # a parsed alias ("Paris") must filter on the canonical host exactly
+    # like the reference's PRIMARY_HOST_MAP-primed parser would
+    from kfai_pipeline_spark.plans.rag import metadata_predicate
+
+    df = spark.createDataFrame(
+        [
+            ("v1", "Parris Lilly,Gary Whitta"),
+            ("v2", "Greg Miller"),
+            ("v3", "Mike Howard"),
+        ],
+        "video_id string, hosts string",
+    )
+    for alias in ("Paris", "Parris"):
+        got = df.where(metadata_predicate(ParsedQuery(hosts=[alias]))).collect()
+        assert [r["video_id"] for r in got] == ["v1"], alias
+    got = df.where(metadata_predicate(ParsedQuery(hosts=["SnowBikeMike"]))).collect()
+    assert [r["video_id"] for r in got] == ["v3"]
+
+
+def test_retrieve_multi_topic_union(chunk_docs):
+    parsed = ParsedQuery(topics=["Episode 3", "Episode 4"])
+    got = retrieve_multi_topic(chunk_docs, "what happened?", parsed, hash_embed, k=10_000)
+    rows = got.collect()
+    assert len(rows) > 0
+    # every row matches at least one topic's hybrid predicate
+    bad = got.where(
+        ~F.col("title").ilike("%Episode 3%")
+        & ~F.col("text").ilike("%Episode 3%")
+        & ~F.col("title").ilike("%Episode 4%")
+        & ~F.col("text").ilike("%Episode 4%")
+    )
+    assert bad.count() == 0
+    # no duplicate keys survive the union of branches
+    keys = [(r["video_id"], r["start_time"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # single-topic falls back to scoring by the question itself and
+    # equals the single-pass form on the same predicate
+    one = retrieve_multi_topic(
+        chunk_docs, "what happened?", ParsedQuery(topics=["Episode 3"]), hash_embed, k=10_000
+    )
+    single = retrieve(
+        chunk_docs, hash_embed(["what happened?"])[0], ParsedQuery(topics=["Episode 3"]), k=10_000
+    )
+    assert one.count() == single.count()
 
 
 def test_answer_query_end_to_end(chunk_docs):
