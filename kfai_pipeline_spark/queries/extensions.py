@@ -639,6 +639,74 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- Q54: stateful session
+@register(
+    "q54_sessionize_terminator",
+    # The batch arm of the applyInPandasWithState custom stateful
+    # operator (streaming/stateful.py): sessions close on a 30-min gap
+    # OR a terminating 'purchase' event. Gaps-and-islands with the extra
+    # break rule — SQL-expressible, so fully hash-checked; the streaming
+    # arm is parity-tested against this exact function.
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER w AS prev_ts,
+               lag(event_type) OVER w AS prev_ev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                         OR prev_ev = 'purchase'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               epoch(MAX(ts)) - epoch(MIN(ts)) AS session_len,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 2) AS avg_events,
+           ROUND(AVG(session_len), 2) AS avg_len
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "Terminator-aware sessionization, batch arm of the custom "
+        "stateful operator (applyInPandasWithState twin in "
+        "streaming/stateful.py): sessions close on gap OR terminal event."
+    ),
+)
+def q54_sessionize_terminator(spark, sf_dir):
+    from kfai_pipeline_spark.streaming.stateful import sessionize_terminator_batch
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize_terminator_batch(
+        events, tiebreak_cols=["event_id"]
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 2).alias("avg_events"),
+            F.round(F.avg(F.col("end_s") - F.col("start_s")), 2).alias("avg_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------- Q52/Q53: multimodal
 @register(
     "q52_multimodal_meta",

@@ -1,7 +1,8 @@
 """Structured Streaming forms (SURVEY.md §2.10): file-source ingest,
-watermarked tumbling/sliding/session windows, stateful dedup. Batch
-twins of the windows live in queries/ (Q25/Q28); parity is asserted in
-tests via Trigger.AvailableNow."""
+watermarked tumbling/sliding/session windows, stateful dedup, and a
+custom stateful operator (terminator-aware sessionization via
+``applyInPandasWithState``). Batch twins live in queries/ (Q25/Q28/Q54);
+parity is asserted in tests via Trigger.AvailableNow."""
 
 from kfai_pipeline_spark.streaming.windows import (
     session_window_agg,
@@ -13,6 +14,10 @@ from kfai_pipeline_spark.streaming.ingest import (
     read_video_records_stream,
     streaming_dedup,
 )
+from kfai_pipeline_spark.streaming.stateful import (
+    sessionize_terminator_batch,
+    sessionize_terminator_stream,
+)
 
 __all__ = [
     "session_window_agg",
@@ -21,4 +26,6 @@ __all__ = [
     "read_events_stream",
     "read_video_records_stream",
     "streaming_dedup",
+    "sessionize_terminator_batch",
+    "sessionize_terminator_stream",
 ]

@@ -82,6 +82,47 @@ def test_streaming_dedup_parity(spark, events_dir, tmp_path_factory):
     assert got.count() == batch_n
 
 
+def test_stateful_terminator_sessionize_parity(spark, events_dir, tmp_path_factory):
+    """applyInPandasWithState custom state vs the batch window twin.
+
+    A synthetic flush 'purchase' per user (far past the last event)
+    closes every live session by TERMINATOR, so parity doesn't depend
+    on timeout-firing order inside AvailableNow micro-batches; the
+    timeout path is exercised separately below."""
+    from kfai_pipeline_spark.streaming.stateful import (
+        sessionize_terminator_batch,
+        sessionize_terminator_stream,
+    )
+
+    ev = spark.read.parquet(events_dir).select("user_id", "ts", "event_type")
+    flush = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            "user_id",
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit("purchase").alias("event_type"),
+        )
+    )
+    full = ev.unionByName(flush)
+    flushed_dir = str(tmp_path_factory.mktemp("events_flush"))
+    full.repartition(1).write.mode("overwrite").parquet(flushed_dir)
+
+    batch = sessionize_terminator_batch(
+        spark.read.parquet(flushed_dir), tiebreak_cols=["event_type"]
+    )
+    stream_in = (
+        spark.readStream.schema(spark.read.parquet(flushed_dir).schema).parquet(flushed_dir)
+    )
+    stream = sessionize_terminator_stream(stream_in)
+    got = _drain(spark, stream, tmp_path_factory, "stateful_sess_out")
+
+    b = sorted(map(tuple, batch.select("user_id", "start_s", "end_s", "n_events").collect()))
+    s = sorted(map(tuple, got.select("user_id", "start_s", "end_s", "n_events").collect()))
+    assert len(b) > 0
+    assert b == s
+
+
 def test_video_records_stream_ingest(spark, tmp_path_factory):
     from kfai_pipeline_spark.operators.chunker import chunk_transcripts
     from kfai_pipeline_spark.sources.video_records import write_partitioned_json
