@@ -71,15 +71,24 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_hashes: int = 32
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    hash_fn=None,
+    seed_fmt: str = "\x00{}",
 ) -> DataFrame:
-    """(id, h0..h{k-1}): k independent minhashes via seeded xxhash64.
+    """(id, h0..h{k-1}): k independent minhashes via seeded hashing
+    (default xxhash64 with a NUL-byte seed suffix).
 
     Seed-by-concat keeps everything in one JVM aggregate — k min() aggs
-    over one shuffle on the doc id.
+    over one shuffle on the doc id. ``hash_fn``/``seed_fmt`` let the
+    oracle-portable md5-prefix hash (text_analysis.md5_long, printable
+    seed) replace xxhash64 for hash-checked twins (q55); production
+    keeps the one-op JVM hash.
     """
+    hash_fn = hash_fn or F.xxhash64
     aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"\x00{i}")))).alias(f"h{i}")
+        F.min(hash_fn(F.concat(F.col("shingle"), F.lit(seed_fmt.format(i))))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)

@@ -639,6 +639,49 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- Q55: minhash (md5)
+_Q55_HASHES = 16
+
+_Q55_MINS = ",\n      ".join(
+    f"MIN(('0x' || substr(md5(shingle || '|{i}'), 1, 15))::BIGINT) AS h{i}"
+    for i in range(_Q55_HASHES)
+)
+
+
+@register(
+    "q55_minhash_md5",
+    # Full MinHash signature replayed in DuckDB: same word-3-gram
+    # shingling as q48, seeded with a printable '|i' suffix, hashed with
+    # the shared portable 60-bit md5 prefix. Completes the dedup family:
+    # every signature scheme (MinHash/SimHash/winnowing) now has a
+    # hash-checked arm; q34 remains the production xxhash64 pipeline.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t
+    )
+    SELECT doc_id,
+      {_Q55_MINS}
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "16-hash MinHash signatures over the portable md5-prefix hash, "
+        "hash-checked vs DuckDB (q49/q50 trick applied to X2's MinHash "
+        "arm); q34 is the same operator on seeded xxhash64 (production "
+        "default, rows-only)."
+    ),
+)
+def q55_minhash_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = D.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = D.minhash_signatures(
+        shingles, "doc_id", num_hashes=_Q55_HASHES, hash_fn=TA.md5_long, seed_fmt="|{}"
+    )
+    return sigs.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- Q54: stateful session
 @register(
     "q54_sessionize_terminator",
