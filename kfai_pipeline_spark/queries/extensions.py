@@ -639,7 +639,61 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- Q55: minhash (md5)
+# ---------------------------------------------------------------- Q56: components
+@register(
+    "q56_connected_components",
+    # The dedup group-assignment core: exact n-gram Jaccard pairs (q48)
+    # feed min-label-propagation connected components. DuckDB replays it
+    # with a recursive CTE (transitive closure + MIN label — exact);
+    # Spark's iterative propagation must converge to the same labels.
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-2,1)+1)) AS i) t
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component
+    FROM cc GROUP BY id ORDER BY doc_id
+    """,
+    doc=(
+        "Connected components over exact near-dup edges (X2 group "
+        "assignment, operators/dedup.py connected_components): iterative "
+        "min-label propagation, hash-checked against DuckDB's recursive-"
+        "CTE transitive closure."
+    ),
+)
+def q56_connected_components(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.5)
+    comp = D.connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
 _Q55_HASHES = 16
 
 _Q55_MINS = ",\n      ".join(
