@@ -639,6 +639,69 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- Q57: scalar fns
+@register(
+    "q57_duration_format_roundtrip",
+    # F12/F14/F21 checked end-to-end: ISO-8601 duration strings are
+    # SYNTHESIZED from lineitem columns, parsed back to seconds by the
+    # regexp arithmetic, rendered as h:mm:ss and a deep-link URL. The
+    # oracle re-derives the seconds directly from the source columns —
+    # so a parse bug can't cancel against a format bug.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (CAST(l_quantity AS BIGINT) * 3600
+            + CAST(l_linenumber AS BIGINT) * 60
+            + CAST(l_partkey % 60 AS BIGINT)) AS dur_s,
+           printf('%d:%02d:%02d',
+                  CAST(l_quantity AS BIGINT),
+                  l_linenumber,
+                  l_partkey % 60) AS hms,
+           'https://www.youtube.com/watch?v=vid' || l_orderkey || '&t='
+               || (CAST(l_quantity AS BIGINT) * 3600
+                   + CAST(l_linenumber AS BIGINT) * 60
+                   + CAST(l_partkey % 60 AS BIGINT)) || 's' AS url
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc=(
+        "Scalar-function roundtrip (F12 ISO-duration regexp arithmetic, "
+        "F14 h:mm:ss rendering, F21 URL format) hash-checked against an "
+        "independent arithmetic derivation in DuckDB."
+    ),
+)
+def q57_duration_format_roundtrip(spark, sf_dir):
+    from kfai_pipeline_spark.functions.datetime_fns import (
+        format_hms,
+        iso_duration_to_seconds,
+    )
+    from kfai_pipeline_spark.functions.text import watch_url
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    synth = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("PT"),
+            F.col("l_quantity").cast("long").cast("string"),
+            F.lit("H"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("M"),
+            (F.col("l_partkey") % 60).cast("string"),
+            F.lit("S"),
+        ).alias("iso_dur"),
+        F.concat(F.lit("vid"), F.col("l_orderkey").cast("string")).alias("video_id"),
+    )
+    parsed = synth.withColumn("dur_s", iso_duration_to_seconds("iso_dur"))
+    return parsed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "dur_s",
+        format_hms("dur_s").alias("hms"),
+        watch_url("video_id", "dur_s").alias("url"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 # ---------------------------------------------------------------- Q56: components
 @register(
     "q56_connected_components",
