@@ -639,6 +639,91 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- Q58: sliding window
+@register(
+    "q58_sliding_window",
+    # 1-hour windows sliding every 15 minutes: each event lands in 4
+    # slots. DuckDB generates the 4 candidate window starts per event
+    # (truncate to the slide grid, back off k slides) and filters to
+    # containment — the relational definition of Spark's window(slide).
+    oracle="""
+    WITH slotted AS (
+        SELECT e.event_type, e.value,
+               date_trunc('minute', e.ts)
+                 - (EXTRACT(minute FROM e.ts)::INT % 15) * INTERVAL 1 MINUTE
+                 - (k.k * 15) * INTERVAL 1 MINUTE AS win_start
+        FROM events e, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM slotted
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+    doc=(
+        "Sliding-window aggregation (§2.10, streaming/windows.py "
+        "sliding_window_agg batch arm): 1h duration / 15min slide, "
+        "hash-checked against DuckDB's slot-generation twin."
+    ),
+)
+def q58_sliding_window(spark, sf_dir):
+    from kfai_pipeline_spark.streaming.windows import sliding_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        events, duration="1 hour", slide="15 minutes",
+        group_cols=["event_type"], value_col="value",
+    )
+    return out.select(
+        F.col("window_start").alias("win_start"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    ).orderBy("win_start", "event_type")
+
+
+# ---------------------------------------------------------------- Q59: salted join
+@register(
+    "q59_salted_join",
+    # Semantics-preservation proof for the skew toolkit: the salted join
+    # (hot side salted to 8 reducers, dim replicated 8x) must produce
+    # EXACTLY the rows of the plain equi join the oracle runs.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Salted skew join (operators/partitioning.py salted_join): the "
+        "salt/replicate/join/drop pipeline hash-checks against the plain "
+        "equi join — skew handling must never change results."
+    ),
+)
+def q59_salted_join(spark, sf_dir):
+    from kfai_pipeline_spark.operators.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        key="o_orderkey",
+        n_salts=8,
+        salt_source="l_extendedprice",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------- Q57: scalar fns
 @register(
     "q57_duration_format_roundtrip",

@@ -63,6 +63,19 @@ def test_session_window_parity(spark, events_dir, tmp_path_factory):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
 
 
+def test_sliding_window_parity(spark, events_dir, tmp_path_factory):
+    batch = sliding_window_agg(
+        spark.read.parquet(events_dir), duration="1 hour", slide="15 minutes",
+        group_cols=["event_type"],
+    )
+    stream = sliding_window_agg(
+        _stream_events(spark, events_dir), duration="1 hour", slide="15 minutes",
+        group_cols=["event_type"],
+    )
+    got = _drain(spark, stream, tmp_path_factory, "sliding_out")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
+
+
 def test_sliding_window_batch_sanity(spark, events_dir):
     # each event lands in duration/slide = 4 windows
     ev = spark.read.parquet(events_dir)
