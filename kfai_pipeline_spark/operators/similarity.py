@@ -280,32 +280,49 @@ def ivf_index(
     ).withColumn("cluster_id", _nearest_centroid(F.col("__v"), centroids))
 
 
-def ivf_topk(
-    vectors: DataFrame,
+def save_ivf_index(
+    index: DataFrame, centroids: list[list[float]], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an inverted file for reuse across query batches: vectors
+    partitioned by ``cluster_id`` (probe filters become parquet
+    partition pruning — only the probed clusters' files are read) plus
+    a centroids JSON sidecar (k*dim floats, driver-side by design)."""
+    import json
+    import os
+
+    index.write.mode(mode).partitionBy("cluster_id").parquet(os.path.join(path, "vectors"))
+    tmp = os.path.join(path, "centroids.json")
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted inverted file: (index DataFrame, centroids)."""
+    import json
+    import os
+
+    df = spark.read.parquet(os.path.join(path, "vectors"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    return df, centroids
+
+
+def ivf_probe_topk(
+    index: DataFrame,
+    centroids: list[list[float]],
     queries: DataFrame,
     k: int,
-    n_clusters: int = 16,
     nprobe: int = 4,
-    vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    iters: int = 3,
     round_to: int | None = 4,
-    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k via IVF probing.
-
-    Each query scores only the ``nprobe`` clusters whose centroids are
-    nearest, i.e. ~|corpus|*nprobe/n_clusters exact dot products. The
-    probe join broadcasts the (query, cluster) pairs, so the indexed
-    corpus never shuffles. ``nprobe == n_clusters`` degrades gracefully
-    to exact search. Pass precomputed ``centroids`` to reuse an index.
-    """
-    if centroids is None:
-        centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, iters)
-    index = ivf_index(vectors, centroids, vec_col, id_col)
-
+    """Probe a prebuilt inverted file (``ivf_index`` output, in-memory
+    or loaded via :func:`load_ivf_index`). Each query scores only its
+    ``nprobe`` nearest clusters; the (query, cluster) pairs broadcast,
+    so the index never shuffles — and on a persisted index the
+    cluster_id equi-join prunes to the probed partitions' files."""
     qn = queries.select(
         F.col(query_id_col).alias("__qid"),
         l2_normalize(_as_double(query_vec_col)).alias("__qv"),
@@ -340,4 +357,35 @@ def ivf_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    iters: int = 3,
+    round_to: int | None = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF probing, building the index inline.
+
+    Each query scores only the ``nprobe`` clusters whose centroids are
+    nearest, i.e. ~|corpus|*nprobe/n_clusters exact dot products.
+    ``nprobe == n_clusters`` degrades gracefully to exact search. Pass
+    precomputed ``centroids`` to skip k-means; for cross-batch reuse
+    persist with :func:`save_ivf_index` and probe via
+    :func:`ivf_probe_topk` over :func:`load_ivf_index`.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, iters)
+    index = ivf_index(vectors, centroids, vec_col, id_col)
+    return ivf_probe_topk(
+        index, centroids, queries, k, nprobe, id_col, query_vec_col, query_id_col, round_to
     )

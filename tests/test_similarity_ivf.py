@@ -98,3 +98,35 @@ def test_probe_results_are_subset_of_scored_clusters(spark):
         by_query.setdefault(r["query_id"], set()).add(cluster_of[r["vec_id"]])
     for qid, clusters in by_query.items():
         assert len(clusters) == 1, f"query {qid} hit {clusters}"
+
+
+def test_persisted_index_prunes_and_matches(spark, tmp_path):
+    """save_ivf_index -> load_ivf_index -> ivf_probe_topk: results equal
+    the in-memory path, and the probe join on the partitioned layout
+    prunes to the probed clusters' files (PartitionFilters present)."""
+    import contextlib
+    import io
+
+    corpus, queries = _corpus_queries(spark)
+    cents = S.kmeans_centroids(corpus, n_clusters=8, iters=3)
+    idx = S.ivf_index(corpus, cents)
+    path = str(tmp_path / "ivf")
+    S.save_ivf_index(idx, cents, path)
+
+    loaded, loaded_cents = S.load_ivf_index(spark, path)
+    assert loaded_cents == cents
+
+    mem = S.ivf_topk(corpus, queries, k=5, n_clusters=8, nprobe=3, centroids=cents)
+    disk = S.ivf_probe_topk(loaded, loaded_cents, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+
+    # static pruning proof: a cluster_id filter on the persisted layout
+    # reaches PartitionFilters (the probe equi-join prunes dynamically
+    # the same way via broadcast + DPP at scale)
+    one = loaded.where(F.col("cluster_id") == 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    assert "cluster_id" in p.split("PartitionFilters")[1].splitlines()[0]
