@@ -74,6 +74,16 @@ SECTIONS = [
         "of the corpus.",
     ),
     (
+        "q54_sessionize_terminator",
+        "Terminator-aware sessionization, batch arm (§2.10)",
+        "The whole pipeline — lag, cumulative-sum session ids, per-session "
+        "aggregate, per-user aggregate — shares ONE hashpartitioning on "
+        "user_id (machine-asserted: a single exchange). At 100 TB the "
+        "sessionization costs exactly one shuffle of the events table; the "
+        "streaming arm replaces the shuffle with applyInPandasWithState "
+        "per-key state bounded by the watermark.",
+    ),
+    (
         "q52_multimodal_meta",
         "Multimodal binary metadata (X5)",
         "The typed-metadata layer over an opaque binary column stays entirely "

@@ -93,6 +93,27 @@ def test_embedding_neardup_default_is_not_all_pairs(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_q59_salted_join_is_equi_join(spark):
+    # the salt/replicate pipeline must plan as a plain equi join on
+    # (key, salt) — no cartesian, no nested loop from the replication
+    p = plan(spark, "q59_salted_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q58_sliding_partial_agg(spark):
+    # the 4x slot explosion still combines map-side before the exchange
+    p = plan(spark, "q58_sliding_window", mode="simple")
+    assert "partial_" in p, "sliding-window agg must be partial before the exchange"
+
+
+def test_q54_single_window_shuffle(spark):
+    # sessionization: lag + cumulative sum + both aggs share ONE
+    # hash partitioning on user_id — no re-shuffle between stages
+    p = plan(spark, "q54_sessionize_terminator", mode="simple")
+    assert p.count("hashpartitioning(user_id") <= 1, p
+
+
 def test_q07_stays_in_codegen(spark):
     # AQE's pre-execution plan hides codegen stars; "codegen" mode
     # reports the fused subtrees directly.
