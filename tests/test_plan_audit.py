@@ -109,8 +109,20 @@ def test_q58_sliding_partial_agg(spark):
 
 def test_q54_single_window_shuffle(spark):
     # sessionization: lag + cumulative sum + both aggs share ONE
-    # hash partitioning on user_id — no re-shuffle between stages
-    p = plan(spark, "q54_sessionize_terminator", mode="simple")
+    # hash partitioning on user_id — no re-shuffle between stages.
+    # Build a FRESH plan: the registry memoizes DataFrames, and once the
+    # oracle test has executed q54 its .explain shows the AQE final plan
+    # with per-stage exchange materialization, not the static shape.
+    import contextlib
+    import io
+
+    from kfai_pipeline_spark.queries.extensions import q54_sessionize_terminator
+
+    df = q54_sessionize_terminator(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
     assert p.count("hashpartitioning(user_id") <= 1, p
 
 
