@@ -823,6 +823,50 @@ def q45_stats(spark, sf_dir):
 
 
 @register(
+    "q60_correlated_subquery",
+    # TPC-H Q17 shape: per-part small-order revenue, threshold = 20% of
+    # that part's average quantity. The oracle keeps the CORRELATED
+    # scalar subquery; the Spark builder is the decorrelated form
+    # Catalyst would rewrite it to anyway (pre-aggregate per part +
+    # equi join) — hash equality proves the decorrelation is
+    # semantics-preserving.
+    oracle="""
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice), 2) AS small_order_revenue,
+           COUNT(*) AS n
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+    )
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    LIMIT 500
+    """,
+    doc=(
+        "Correlated scalar subquery (TPC-H Q17 shape): Spark runs the "
+        "decorrelated pre-agg + broadcast join form; DuckDB runs the "
+        "correlated original — results must hash-match."
+    ),
+)
+def q60_correlated_subquery(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__thr")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__thr"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_order_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_partkey")
+        .limit(500)
+    )
+
+
+@register(
     "q46_sketch",
     # Sketch estimates can't hash-match across engines (different HLL/
     # quantile-sketch implementations), so the CHECK itself is the query
