@@ -229,6 +229,51 @@ def transcribe_audio(
     return df.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content", StringType()),  # stub: hex digest stand-in
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    content_col: str = "content",
+    path_col: str = "path",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Image resize plumbing (X5): one output row per input image at
+    (target_width, target_height). Stub emits a deterministic digest
+    stand-in for the resized payload — the schema/batch shape of a real
+    pillow/opencv kernel; asking for one names the dependency."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            "real image resize needs pillow/opencv (not in this container); "
+            "plug a decoder via this interface"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "width": [], "height": [], "content": []}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                digest = hashlib.sha256(
+                    bytes(content) + f"|{target_width}x{target_height}".encode()
+                ).hexdigest()
+                out["path"].append(path)
+                out["width"].append(target_width)
+                out["height"].append(target_height)
+                out["content"].append(digest[:32])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",

@@ -116,9 +116,28 @@ def test_decode_audio_meta_stub_default(spark, media_dir):
         decode_audio_meta(df, decoder="mp3")
 
 
+def test_resize_images_stub(spark, media_dir):
+    from kfai_pipeline_spark.operators.multimodal import resize_images
+
+    df = read_binary_files(spark, media_dir, glob="*.bin")
+    out = resize_images(df, target_width=128, target_height=96).collect()
+    assert len(out) == 6
+    assert all(r["width"] == 128 and r["height"] == 96 for r in out)
+    # deterministic and resolution-dependent payload stand-in
+    again = resize_images(read_binary_files(spark, media_dir, glob="*.bin"),
+                          target_width=128, target_height=96).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = resize_images(read_binary_files(spark, media_dir, glob="*.bin")).collect()
+    assert {r["content"] for r in out}.isdisjoint({r["content"] for r in other})
+
+
 def test_real_decoder_gated(spark, media_dir):
+    from kfai_pipeline_spark.operators.multimodal import resize_images
+
     df = read_binary_files(spark, media_dir, glob="*.bin")
     with pytest.raises(NotImplementedError):
         image_features(df, decoder="real")
     with pytest.raises(NotImplementedError):
         transcribe_audio(df, decoder="real")
+    with pytest.raises(NotImplementedError):
+        resize_images(df, decoder="real")
