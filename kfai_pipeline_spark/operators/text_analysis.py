@@ -186,3 +186,67 @@ def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> Dat
         )
         .orderBy(by)
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics per doc:
+
+    - ``dup_word_frac``   = 1 - distinct_words / total_words
+    - ``top_word_frac``   = occurrences of the most frequent word / total
+    - ``dup_bigram_frac`` = 1 - distinct_bigrams / total_bigrams
+
+    High values flag boilerplate / spam (repeated lines, keyword
+    stuffing) — the standard quality gate before training.
+
+    Scale shape: one explode per n-gram order, then a two-level
+    aggregation ((id, gram) counts -> per-id sum/count/max). Both levels
+    are hash aggregates with map-side partials; the only shuffles are on
+    (id, gram) then id — no arrays are held whole per row, so a 1 GB
+    document costs memory proportional to its partition slice, not its
+    length. No UDFs.
+    """
+    words = _words(text_col)
+    w = df.select(F.col(id_col), F.explode(words).alias("w"))
+    word_stats = (
+        w.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    n_bi = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.when(n_bi > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    b = df.select(F.col(id_col), F.explode(bigrams).alias("b"))
+    bi_stats = (
+        b.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    joined = word_stats.join(bi_stats, id_col, "left")
+    n_bi_c = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    nd_bi_c = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+    return joined.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_word_count") / F.col("n_words"), 4).alias("top_word_frac"),
+        n_bi_c.alias("n_bigrams"),
+        F.when(n_bi_c > 0, F.round(1.0 - nd_bi_c / n_bi_c, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )

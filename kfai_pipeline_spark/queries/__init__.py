@@ -14,6 +14,7 @@ from kfai_pipeline_spark.queries.base import REGISTRY, Query, register
 # populate the registry
 from kfai_pipeline_spark.queries import relational as _relational  # noqa: E402,F401
 from kfai_pipeline_spark.queries import extensions as _extensions  # noqa: E402,F401
+from kfai_pipeline_spark.queries import llm_data as _llm_data  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]
 

@@ -126,6 +126,21 @@ def test_q54_single_window_shuffle(spark):
     assert p.count("hashpartitioning(user_id") <= 1, p
 
 
+def test_q61_decontaminate_broadcasts_benchmark(spark):
+    # contamination(): benchmark shingle set must broadcast into a
+    # map-side LEFT SEMI probe — the corpus side never shuffles for it.
+    p = plan(spark, "q61_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_q62_repetition_partial_agg(spark):
+    # Two-level agg: both levels must have map-side partial_ combines.
+    p = plan(spark, "q62_repetition", mode="simple")
+    assert "partial_count" in p or "partial_sum" in p
+
+
 def test_q07_stays_in_codegen(spark):
     # AQE's pre-execution plan hides codegen stars; "codegen" mode
     # reports the fused subtrees directly.
