@@ -407,3 +407,70 @@ def embedding_neardup_pairs(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# --------------------------------------------------- line-level boilerplate
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Lines that appear in >= ``min_docs`` distinct documents — CCNet /
+    Gopher-style boilerplate detection (nav bars, cookie banners,
+    signatures repeat across a crawl; real prose does not).
+
+    One explode + count-distinct per line; at 100 TB the (line ->
+    doc-count) aggregate is the only shuffle, keyed by the line itself
+    (hash-partitioned, map-side partial). Returns (line, n_docs).
+    """
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("line")
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    return (
+        lines.dropDuplicates([id_col, "line"])
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove corpus-repeated lines from every document, preserving the
+    order of the surviving lines; docs whose every line is boilerplate
+    survive with empty text.
+
+    Scale shape: posexplode -> LEFT ANTI against the boilerplate set
+    (a broadcast-able aggregate by construction: boilerplate is the
+    rare tail) -> regroup by doc with position-ordered reassembly
+    (sort_array over (pos, line) structs, then concat). Two shuffles:
+    the line-count agg and the per-doc regroup.
+    """
+    bp = boilerplate_lines(df, text_col, id_col, min_docs=min_docs, sep=sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    kept = lines.join(F.broadcast(bp.select("line")), "line", "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text")
+        )
+    )
+    return df.select(id_col).join(reassembled, id_col, "left").select(
+        id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )

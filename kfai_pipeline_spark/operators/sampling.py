@@ -1,0 +1,72 @@
+"""Deterministic sampling for training-data pipelines (§2.11 extension
+surface; the reference has no sampling operator — this generalizes its
+skip-list idea of "stable subset selection" to rates and strata).
+
+Why not ``df.sample()``: Spark's Bernoulli sample is seeded per
+partition, so the selected *rows* change whenever partitioning changes
+(repartition, AQE, input splits) — unacceptable for reproducible
+training mixes. Hashing a stable key makes the decision a pure function
+of the row, independent of physical layout, cluster size, and run
+order; re-running at 100 TB on a different cluster yields byte-identical
+samples.
+
+Scale shape: both operators are embarrassingly parallel scans. The
+rate sample is a pure filter (no shuffle at all — it pushes into the
+scan stage); the stratified sample shuffles once on the stratum key for
+the per-stratum window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Production hash: one JVM xxhash64 call. Oracle-portable alternative:
+# text_analysis.md5_long (DuckDB can reproduce it) — pass as hash_fn.
+_DEFAULT_HASH: Callable[[Column], Column] = lambda c: F.xxhash64(c)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+    hash_fn: Callable[[Column], Column] | None = None,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Keep rows where hash(salt || key) mod denom < rate * denom.
+
+    Deterministic per key: the same key is always in or always out for
+    a given (rate, salt), so joins between two hash-sampled tables on
+    the key stay consistent. ``salt`` decorrelates independent samples.
+    """
+    h = (hash_fn or _DEFAULT_HASH)(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.where(F.pmod(h, F.lit(denom)) < int(rate * denom))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+    hash_fn: Callable[[Column], Column] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k rows per stratum: rank by hash(salt || key) within
+    each stratum and keep the k smallest (ties broken by key).
+
+    This is "shuffle each stratum with a fixed permutation, take k" —
+    the standard way to build a balanced eval slice from a skewed corpus
+    (e.g. k docs per language regardless of language frequency). One
+    shuffle on the stratum key; the window is rank-only (no full sort of
+    the stratum spills — Spark's WindowExec sorts within partitions,
+    which is the unavoidable cost of exact per-stratum k).
+    """
+    h = (hash_fn or _DEFAULT_HASH)(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -106,6 +106,50 @@ def cosine_topk(
     )
 
 
+def cosine_radius(
+    vectors: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Radius (threshold) search: every corpus vector with cosine
+    similarity >= ``tau`` to each query — top-k's sibling for "find all
+    near-duplicates / all relevant docs", where the result size is
+    data-dependent rather than fixed.
+
+    Same scale shape as :func:`cosine_topk`'s scan stage, minus the
+    window: queries broadcast, corpus streams through one codegen stage
+    (normalize → dot → filter), and the threshold filter runs
+    map-side — rows below ``tau`` never leave the scan stage, so there
+    is NO shuffle at all (top-k needs one for its per-query window).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            l2_normalize(_as_double(query_vec_col)).alias("__qv"),
+        )
+    )
+    normed = vectors.select(
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v")
+    )
+    score = dot(F.col("__v"), F.col("__qv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        normed.crossJoin(q)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= tau)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-norm random hyperplanes (driver-side, tiny)."""
     rng = random.Random(seed)

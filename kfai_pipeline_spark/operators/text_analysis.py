@@ -250,3 +250,30 @@ def repetition_features(
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    value_col,
+    by: str = "lang",
+    ps: tuple = (0.25, 0.5, 0.75, 0.95, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group quantiles of a numeric expression (e.g. token count) —
+    the distribution view behind length-filter thresholds ("drop docs
+    under p1 / over p99 tokens").
+
+    ``exact=True`` uses ``percentile`` (linear interpolation, matches
+    ANSI percentile_cont / DuckDB quantile_cont): Spark's implementation
+    holds a per-group value->count map in the aggregation buffer, which
+    is fine for bounded domains like token counts but NOT for
+    high-cardinality doubles at 100 TB — flip to ``exact=False`` there
+    and get ``approx_percentile`` (bounded-memory KLL-style sketch,
+    mergeable map-side) at the cost of rank error <= 1/acc.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    fn = F.percentile if exact else (lambda c, p: F.approx_percentile(c, p, 10_000))
+    aggs = [
+        F.round(fn(v, F.lit(p)), 4).alias(f"p{int(p * 100):02d}") for p in ps
+    ]
+    return df.groupBy(by).agg(F.count(F.lit(1)).alias("n"), *aggs).orderBy(by)

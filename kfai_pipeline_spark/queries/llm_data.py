@@ -111,3 +111,320 @@ def q62_repetition(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return TA.repetition_features(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# ------------------------------------------------- q63: deterministic sample
+@register(
+    "q63_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < 1000
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Deterministic 10% corpus sample (operators/sampling.hash_sample): "
+        "keep iff hash(key) mod 10k < 1k — a pure filter, no shuffle, and "
+        "the row set is a function of the key alone (stable across "
+        "partitioning/cluster changes, unlike df.sample). md5-prefix hash "
+        "arm for oracle portability; xxhash64 is the production default."
+    ),
+)
+def q63_hash_sample(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import hash_sample
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.10, hash_fn=md5_long)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- q64: stratified sample
+@register(
+    "q64_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+    doc=(
+        "Deterministic 20-per-language eval slice (sampling."
+        "stratified_sample): rank by stable hash within each stratum, keep "
+        "the k smallest — a fixed permutation per stratum, one shuffle on "
+        "the stratum key."
+    ),
+)
+def q64_stratified_sample(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import stratified_sample
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", 20, "doc_id", hash_fn=md5_long)
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+# ------------------------------------------------- q65: length quantiles
+@register(
+    "q65_quantiles",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n,
+           ROUND(quantile_cont(n_tok, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_tok, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_tok, 0.75), 4) AS p75,
+           ROUND(quantile_cont(n_tok, 0.95), 4) AS p95,
+           ROUND(quantile_cont(n_tok, 0.99), 4) AS p99
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Per-language token-count quantiles (text_analysis."
+        "length_quantiles, exact arm = percentile_cont semantics): the "
+        "distribution view behind length-filter thresholds. approx arm "
+        "(approx_percentile sketch, mergeable map-side) is the 100 TB "
+        "path — exact percentile buffers a per-group value map."
+    ),
+)
+def q65_quantiles(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import (
+        length_quantiles,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_quantiles(docs, token_count("text"), by="lang")
+
+
+# ------------------------------------------------- q66: PII redaction
+@register(
+    "q66_pii_redact",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 10.0.'
+                    || (doc_id % 256) || '.1 ssn 123-45-6789 call +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+        FROM base
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+               regexp_replace(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_email, n_ssn,
+               len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+               regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS t
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, n_email, n_ssn, n_ip,
+               len(regexp_extract_all(t, '\\+?[0-9][0-9()\\- ]{6,}[0-9]\\b')) AS n_phone,
+               regexp_replace(t, '\\+?[0-9][0-9()\\- ]{6,}[0-9]\\b', '[PHONE]', 'g') AS t
+        FROM s3
+    )
+    SELECT doc_id, n_email, n_ssn, n_ip, n_phone, t AS redacted
+    FROM s4 ORDER BY doc_id
+    """,
+    doc=(
+        "PII redaction (operators/redact.redact_pii): email/SSN/IP/phone "
+        "replaced with typed tags + per-type counts, all regexp_replace/"
+        "regexp_count in codegen — a pure map, no shuffle. The fixture "
+        "corpus has no PII, so the query plants deterministic PII derived "
+        "from doc_id on BOTH engines, then redacts it."
+    ),
+)
+def q66_pii_redact(spark, sf_dir):
+    from kfai_pipeline_spark.operators.redact import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-6789 call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return (
+        redact_pii(planted, "t", out_col="redacted")
+        .select("doc_id", "n_email", "n_ssn", "n_ip", "n_phone", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- q67: shard packing
+@register(
+    "q67_shard_pack",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 8 AS INT) AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        FROM d
+    ),
+    t AS (SELECT bucket, SUM(n_chars) AS tot FROM d GROUP BY 1),
+    o AS (
+        SELECT bucket,
+               COALESCE(SUM(tot) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM t
+    )
+    SELECT r.doc_id, r.bucket,
+           CAST(r.run + o.base AS BIGINT) AS global_offset,
+           CAST(FLOOR((r.run + o.base) / 10000.0) AS INT) AS shard
+    FROM r JOIN o ON o.bucket = r.bucket
+    ORDER BY r.doc_id
+    """,
+    doc=(
+        "Shard packing (operators/shard_pack.pack_shards): assign docs to "
+        "~10k-char output shards via a two-level parallel prefix sum — "
+        "per-bucket window cumsums run fully parallel; the only "
+        "single-partition step is the O(buckets) offset prefix, broadcast "
+        "back. Never a global one-task window over the corpus."
+    ),
+)
+def q67_shard_pack(spark, sf_dir):
+    from kfai_pipeline_spark.operators.shard_pack import pack_shards
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(
+        docs, "n_chars", "doc_id", cap=10_000, buckets=8, hash_fn=md5_long
+    )
+    return packed.select("doc_id", "bucket", "global_offset", "shard").orderBy(
+        "doc_id"
+    )
+
+
+# ------------------------------------------------- q68: boilerplate strip
+_Q68_SPLIT = r"((?:\S+\s+){7}\S+)\s+"
+_Q68_BP1 = "subscribe to our newsletter"
+_Q68_BP2 = "follow us on social media"
+
+
+@register(
+    "q68_boilerplate_strip",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '{_Q68_BP1}' || chr(10) ELSE '' END
+               || regexp_replace(text, '{_Q68_SPLIT}',
+                                 '\\1' || chr(10), 'g')
+               || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_Q68_BP2}' ELSE '' END
+                  AS t
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM base),
+    lines AS (
+        SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+        FROM toks
+    ),
+    bp AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+            FROM lines WHERE len(trim(line)) > 0 GROUP BY 1
+        ) WHERE n_docs >= 10
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM bp)),
+    re AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(re.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN re ON re.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "CCNet-style boilerplate line removal (dedup.strip_boilerplate): "
+        "lines repeated across >=10 docs are dropped, survivors reassemble "
+        "in position order. The single-line fixture docs are first split "
+        "into 8-word lines and salted with two planted boilerplate lines "
+        "on BOTH engines (%3 header, %5 footer). Scale shape: line-count "
+        "agg + broadcast anti join + one per-doc regroup."
+    ),
+)
+def q68_boilerplate_strip(spark, sf_dir):
+    from kfai_pipeline_spark.operators.dedup import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_Q68_BP1 + "\n")).otherwise(
+                F.lit("")
+            ),
+            F.regexp_replace(F.col("text"), _Q68_SPLIT, "$1\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + _Q68_BP2)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return strip_boilerplate(salted, "text", "doc_id", min_docs=10).orderBy("doc_id")
+
+
+# ------------------------------------------------- q69: radius search
+@register(
+    "q69_radius_search",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) >= 0.35
+    ORDER BY e.vec_id
+    """,
+    doc=(
+        "Radius (threshold) similarity search (similarity.cosine_radius): "
+        "all vectors with cosine >= 0.35 to the query — data-dependent "
+        "result size, query broadcast, threshold filter runs map-side in "
+        "the scan stage; unlike top-k there is NO shuffle at all."
+    ),
+)
+def q69_radius_search(spark, sf_dir):
+    from kfai_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    return (
+        S.cosine_radius(corpus, queries, tau=0.35)
+        .select("vec_id", "score")
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,110 @@
+"""Operator-level tests for the round-2 training-data additions:
+sampling, redaction, shard packing, boilerplate strip, decontamination.
+(The driver-facing q61-q69 correctness lives in test_oracle.py; these
+cover the behavioral contracts the oracles can't express.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from kfai_pipeline_spark.operators import redact, sampling
+from kfai_pipeline_spark.operators.decontaminate import decontaminate
+from kfai_pipeline_spark.operators.dedup import strip_boilerplate
+from kfai_pipeline_spark.operators.shard_pack import pack_shards, shard_manifest
+
+
+def test_hash_sample_is_layout_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sampling.hash_sample(df, "k", 0.2).collect())
+    b = sorted(
+        r.k
+        for r in sampling.hash_sample(df.repartition(7, "k"), "k", 0.2).collect()
+    )
+    assert a == b and 0 < len(a) < 2000
+    # rate is approximately honored (hash uniformity)
+    assert abs(len(a) / 2000 - 0.2) < 0.05
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in sampling.hash_sample(df, "k", 0.2, salt="a").collect()}
+    b = {r.k for r in sampling.hash_sample(df, "k", 0.2, salt="b").collect()}
+    assert a != b
+    # independent 20% samples overlap ~4%, not ~20%
+    assert len(a & b) < 0.1 * 2000
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], ["k", "g"]
+    )
+    out = sampling.stratified_sample(df, "g", 10, "k")
+    counts = {r.g: r.c for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"g0": 10, "g1": 10, "g2": 10}
+
+
+def test_redact_pii_counts_and_tags(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="mail a@b.co and c.d@e.org, ip 10.1.2.3, ssn 123-45-6789"),
+            Row(id=2, text="call +1 (555) 123-4567 now"),
+            Row(id=3, text="nothing to see"),
+        ]
+    )
+    rows = {r.id: r for r in redact.redact_pii(df, "text").collect()}
+    assert rows[1].n_email == 2 and rows[1].n_ip == 1 and rows[1].n_ssn == 1
+    assert "[EMAIL]" in rows[1].redacted and "a@b.co" not in rows[1].redacted
+    # SSN attributed once — not double-counted as phone
+    assert rows[1].n_phone == 0
+    assert rows[2].n_phone == 1 and "[PHONE]" in rows[2].redacted
+    assert rows[3].redacted == "nothing to see"
+
+
+def test_pack_shards_cap_contract(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(200)], ["k", "tok"])
+    packed = pack_shards(df, "tok", "k", cap=1000, buckets=4)
+    # every doc exactly once
+    assert packed.count() == 200
+    assert packed.select("k").distinct().count() == 200
+    # offsets are a permutation-free exclusive prefix: max+last = total
+    man = shard_manifest(packed, "tok").collect()
+    assert sum(r.n_tokens for r in man) == 200 * 100
+    # assignment-by-starting-offset: a shard exceeds cap by < one doc
+    assert all(r.n_tokens <= 1000 + 100 for r in man)
+    # deterministic under repartition
+    a = sorted((r.k, r.shard) for r in packed.collect())
+    b = sorted(
+        (r.k, r.shard)
+        for r in pack_shards(df.repartition(9), "tok", "k", cap=1000, buckets=4).collect()
+    )
+    assert a == b
+
+
+def test_strip_boilerplate_preserves_order_and_empties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "BP\nalpha\nbeta"),
+            (2, "gamma\nBP\ndelta"),
+            (3, "BP"),
+            (4, "unique only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean_text for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert out[1] == "alpha\nbeta"
+    assert out[2] == "gamma\ndelta"
+    assert out[3] == ""  # all-boilerplate doc survives, empty
+    assert out[4] == "unique only"
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    bench = spark.createDataFrame([(0, "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),  # contaminated
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = decontaminate(corpus, bench, threshold=0.2)
+    assert [r.doc_id for r in kept.collect()] == [2]

@@ -141,6 +141,44 @@ def test_q62_repetition_partial_agg(spark):
     assert "partial_count" in p or "partial_sum" in p
 
 
+def test_hash_sample_is_shuffle_free(spark):
+    # Deterministic sampling must stay a pure filter: no Exchange at all
+    # (q63 itself adds an orderBy for oracle canonicalization only).
+    import io as _io
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.sampling import hash_sample
+
+    df = hash_sample(load_table(spark, SF_ORACLE, "documents"), "doc_id", 0.1)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p
+
+
+def test_q67_shard_pack_broadcasts_offsets(spark):
+    # The O(buckets) offset table joins back via broadcast; the corpus
+    # side must never hash-shuffle for that join.
+    p = plan(spark, "q67_shard_pack")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q68_boilerplate_is_broadcast_anti(spark):
+    p = plan(spark, "q68_boilerplate_strip")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_q69_radius_has_no_window_no_shuffle(spark):
+    # Threshold search: map-side filter after a broadcast probe — unlike
+    # top-k there is no per-query window, hence no shuffle exchange.
+    p = plan(spark, "q69_radius_search")
+    assert "Window" not in p
+    assert "Exchange hashpartitioning" not in p
+
+
 def test_q07_stays_in_codegen(spark):
     # AQE's pre-execution plan hides codegen stars; "codegen" mode
     # reports the fused subtrees directly.
