@@ -205,3 +205,34 @@ def explode_chunks(
             F.col("__chunk.start").alias("start_time"),
         )
     )
+
+
+def fixed_window_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Fixed-size sliding-window character chunker: chunks start at
+    1, 1+stride, ... while the start lies inside the text; each chunk is
+    ``substr(start, size)`` (the final chunks may be shorter).
+
+    The recursive splitter (:func:`recursive_split`) is the
+    reference-faithful arm and is inherently per-row Python; THIS is the
+    at-scale arm when separator awareness doesn't matter (fixed-context
+    windows for embedding/pretraining): pure JVM sequence/transform +
+    posexplode — zero Python, zero shuffle, and (unlike the UDF arm)
+    fully SQL-expressible, so it is hash-checked against DuckDB (q70).
+
+    Returns (id, chunk_idx, start, chunk). ``stride < size`` gives
+    overlapping chunks with ``size - stride`` chars of overlap.
+    """
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.substring(F.col(text_col), s, size))
+    return (
+        df.where(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("start", F.col("chunk_idx") * stride + 1)
+    )

@@ -1008,3 +1008,47 @@ def q53_multimodal_asr(spark, sf_dir):
     )
     segs = transcribe_audio(media, chunk_idx_col="chunk_idx")
     return segs.orderBy("path", "chunk_idx", "start")
+
+
+# ------------------------------------------- Q72: event-time interval join
+@register(
+    "q72_interval_join",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    ORDER BY purchase_id, view_id
+    """,
+    doc=(
+        "Event-time interval join (streaming/joins.interval_join, batch "
+        "arm): attribute each purchase to same-user views in the "
+        "preceding hour. The same function runs as a stream-stream join "
+        "with watermarks on both sides — the time-range condition is what "
+        "bounds the join state (retention = watermark + interval width); "
+        "parity is asserted in test_streaming."
+    ),
+)
+def q72_interval_join(spark, sf_dir):
+    from kfai_pipeline_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        interval_join(purchases, views, on="user_id", interval="1 hour")
+        .select(
+            "user_id",
+            F.col("l_event_id").alias("purchase_id"),
+            F.col("r_event_id").alias("view_id"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )

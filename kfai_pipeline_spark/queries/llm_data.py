@@ -428,3 +428,103 @@ def q69_radius_search(spark, sf_dir):
         .select("vec_id", "score")
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------- q70: fixed-window chunker
+@register(
+    "q70_fixed_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+    c AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(range(1, len(text) + 1, 150), 1) - 1
+                    AS INT) AS chunk_idx,
+               substr(text, unnest(range(1, len(text) + 1, 150)), 200) AS chunk
+        FROM t
+    )
+    SELECT doc_id, chunk_idx, chunk,
+           chunk_idx * 150 + 1 AS start
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "Fixed-size sliding-window chunker (chunker.fixed_window_chunks, "
+        "size=200 stride=150): the at-scale SQL-expressible arm of W3/U4 — "
+        "pure JVM sequence+substr+posexplode, zero Python, zero shuffle. "
+        "The recursive separator-aware splitter (q37) stays the "
+        "reference-faithful Arrow-batched arm."
+    ),
+)
+def q70_fixed_chunks(spark, sf_dir):
+    from kfai_pipeline_spark.operators.chunker import fixed_window_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fixed_window_chunks(docs, "text", "doc_id", size=200, stride=150)
+        .select("doc_id", "chunk_idx", "chunk", "start")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ------------------------------------------------- q71: curation funnel
+@register(
+    "q71_curation_funnel",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, text,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
+               )) AS stop_hits
+        FROM documents
+    ),
+    f2 AS (
+        SELECT doc_id, n_tokens,
+               n_tokens BETWEEN 40 AND 80 AS ok_len,
+               (n_tokens BETWEEN 40 AND 80)
+                   AND stop_hits * 1.0 / n_tokens >= 0.03 AS ok_quality,
+               md5(text) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 < 5000 AS sample_keep
+        FROM feats
+    ),
+    f3 AS (
+        SELECT *,
+               ok_quality AND doc_id = MIN(CASE WHEN ok_quality THEN doc_id END)
+                   OVER (PARTITION BY h) AS ok_dedup
+        FROM f2
+    ),
+    f4 AS (SELECT *, ok_dedup AND sample_keep AS ok_sample FROM f3),
+    agg AS (
+        SELECT COUNT(*) AS n_raw, CAST(SUM(n_tokens) AS BIGINT) AS t_raw,
+               COUNT(*) FILTER (ok_len) AS n_len,
+               CAST(COALESCE(SUM(n_tokens) FILTER (ok_len), 0) AS BIGINT) AS t_len,
+               COUNT(*) FILTER (ok_quality) AS n_q,
+               CAST(COALESCE(SUM(n_tokens) FILTER (ok_quality), 0) AS BIGINT) AS t_q,
+               COUNT(*) FILTER (ok_dedup) AS n_d,
+               CAST(COALESCE(SUM(n_tokens) FILTER (ok_dedup), 0) AS BIGINT) AS t_d,
+               COUNT(*) FILTER (ok_sample) AS n_s,
+               CAST(COALESCE(SUM(n_tokens) FILTER (ok_sample), 0) AS BIGINT) AS t_s
+        FROM f4
+    )
+    SELECT 1 AS stage_no, 'raw' AS stage, n_raw AS n_docs, t_raw AS n_tokens FROM agg
+    UNION ALL SELECT 2, 'length', n_len, t_len FROM agg
+    UNION ALL SELECT 3, 'quality', n_q, t_q FROM agg
+    UNION ALL SELECT 4, 'dedup', n_d, t_d FROM agg
+    UNION ALL SELECT 5, 'sample', n_s, t_s FROM agg
+    ORDER BY stage_no
+    """,
+    doc=(
+        "Composed curation funnel (plans/curation.py): length gate -> "
+        "quality gate -> exact-dedup keeper election -> deterministic 50% "
+        "sample, reported as per-stage (docs, tokens). Single-pass: every "
+        "stage is a cumulative flag COLUMN (one scan + one window shuffle "
+        "+ one agg), and the funnel rows unpivot from the single agg row — "
+        "never one scan per stage."
+    ),
+)
+def q71_curation_funnel(spark, sf_dir):
+    from kfai_pipeline_spark.plans.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(docs)

@@ -179,6 +179,18 @@ def test_q69_radius_has_no_window_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in p
 
 
+def test_q71_funnel_is_single_pass(spark):
+    # The funnel must NOT re-scan the corpus per stage: one parquet scan,
+    # one window (dedup keeper election), stages as conditional aggs.
+    import re
+
+    p = plan(spark, "q71_curation_funnel")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 1, p
+    windows = re.findall(r"^\(\d+\) Window", p, flags=re.M)
+    assert len(windows) == 1, p
+
+
 def test_q07_stays_in_codegen(spark):
     # AQE's pre-execution plan hides codegen stars; "codegen" mode
     # reports the fused subtrees directly.

@@ -172,3 +172,27 @@ def test_video_records_stream_ingest(spark, tmp_path_factory):
     got = _drain(spark, stream, tmp_path_factory, "vr_out")
     assert got.count() == 12
     assert got.where(F.col("transcript_chunks").isNotNull()).count() == 11
+
+
+def test_interval_join_stream_parity(spark, events_dir, tmp_path_factory):
+    """Stream-stream interval join == batch interval join on the same
+    events (purchase -> same-user views in the preceding hour)."""
+    from kfai_pipeline_spark.streaming.joins import interval_join
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        v = df.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+        return p, v
+
+    bp, bv = split(spark.read.parquet(events_dir))
+    batch = interval_join(bp, bv, on="user_id", interval="1 hour").select(
+        "user_id", "l_event_id", "r_event_id"
+    )
+    sp, sv = split(_stream_events(spark, events_dir))
+    stream = interval_join(sp, sv, on="user_id", interval="1 hour").select(
+        "user_id", "l_event_id", "r_event_id"
+    )
+    got = _drain(spark, stream, tmp_path_factory, "interval_join_parity")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, got.collect()))
+    assert b == s and len(b) > 0
