@@ -8,14 +8,17 @@ transcribe_failures.py:29-125): media bytes ride a binary column,
 heavy per-item model work happens inside ``mapInPandas`` so a
 1000-executor cluster fans out decode/transcribe with zero shuffle.
 
-Most decode kernels are STUBBED (this container has no image/audio
+Heavy-model kernels are STUBBED (this container has no ASR/CV model
 libs): ``decoder="stub"`` produces deterministic fake outputs so the
 Spark-side plumbing — schema, batching, partitioning, chunk-offset
 arithmetic — is real and tested; plugging a real library is a one-line
 swap behind the same interface, and asking for an unavailable real
-decoder raises ``NotImplementedError`` with the dependency named. One
-kernel IS real with zero dependencies: ``decode_audio_meta`` with
-``decoder="wav"`` parses RIFF/WAVE headers via stdlib ``wave``.
+decoder raises ``NotImplementedError`` with the dependency named.
+THREE kernels ARE real with zero extra dependencies:
+``decode_audio_meta(decoder="wav")`` parses RIFF/WAVE headers via
+stdlib ``wave``; ``image_features(decoder="ppm")`` and
+``resize_images(decoder="ppm")`` decode/resize binary P6 PPM rasters
+with numpy (histogram features; nearest-neighbor resize + re-encode).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     FloatType,
     LongType,
@@ -77,6 +81,27 @@ IMAGE_FEATURE_SCHEMA = StructType(
 )
 
 
+def _parse_ppm(data: bytes):
+    """Decode a binary P6 PPM into an (h, w, 3) uint8 numpy array.
+
+    Pure numpy — the one raster format decodable with zero image
+    dependencies, which makes the ``decoder="ppm"`` kernels REAL in this
+    container (pillow/opencv kernels plug in behind the same interface).
+    """
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if not m:
+        raise ValueError("not a binary P6 PPM")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return arr.reshape(h, w, 3)
+
+
 def image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -84,27 +109,44 @@ def image_features(
     decoder: str = "stub",
     feature_dim: int = 16,
 ) -> DataFrame:
-    """Decode + feature-extract images (X5). ``stub``: deterministic
-    dimensions/features derived from the bytes' sha256 — exercises the
-    exact mapInPandas batch shape a real CV kernel would use."""
-    if decoder != "stub":
+    """Decode + feature-extract images (X5).
+
+    ``decoder="ppm"`` is a REAL kernel (numpy P6 decode; feature =
+    ``feature_dim``-bin normalized grayscale histogram). ``stub``
+    derives deterministic dimensions/features from sha256 — both run
+    the exact mapInPandas batch shape a pillow/opencv kernel would use.
+    """
+    if decoder not in ("stub", "ppm"):
         raise NotImplementedError(
-            "real image decode needs pillow/opencv (not in this container); "
-            "plug a decoder via this interface"
+            "real non-PPM image decode needs pillow/opencv (not in this "
+            "container); plug a decoder via this interface"
         )
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {"path": [], "width": [], "height": [], "feature": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                h = hashlib.sha256(bytes(content)).digest()
+                data = bytes(content)
+                if decoder == "ppm":
+                    arr = _parse_ppm(data)
+                    hh, ww = arr.shape[:2]
+                    gray = arr.astype(np.float64).mean(axis=2)
+                    hist, _ = np.histogram(gray, bins=feature_dim, range=(0, 256))
+                    feat = (hist / gray.size).astype(float).tolist()
+                    out["width"].append(ww)
+                    out["height"].append(hh)
+                    out["feature"].append(feat)
+                else:
+                    h = hashlib.sha256(data).digest()
+                    out["width"].append(64 + h[0] % 64)
+                    out["height"].append(64 + h[1] % 64)
+                    out["feature"].append(
+                        [int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(feature_dim)]
+                    )
                 out["path"].append(path)
-                out["width"].append(64 + h[0] % 64)
-                out["height"].append(64 + h[1] % 64)
-                out["feature"].append(
-                    [int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(feature_dim)]
-                )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
@@ -239,6 +281,16 @@ RESIZED_IMAGE_SCHEMA = StructType(
 )
 
 
+RESIZED_PPM_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content", BinaryType()),  # real re-encoded P6 bytes
+    ]
+)
+
+
 def resize_images(
     df: DataFrame,
     target_width: int = 224,
@@ -247,31 +299,52 @@ def resize_images(
     path_col: str = "path",
     decoder: str = "stub",
 ) -> DataFrame:
-    """Image resize plumbing (X5): one output row per input image at
-    (target_width, target_height). Stub emits a deterministic digest
-    stand-in for the resized payload — the schema/batch shape of a real
-    pillow/opencv kernel; asking for one names the dependency."""
-    if decoder != "stub":
+    """Image resize (X5): one output row per input image at
+    (target_width, target_height).
+
+    ``decoder="ppm"`` is a REAL kernel: numpy P6 decode ->
+    nearest-neighbor index resize -> P6 re-encode into a true binary
+    column. ``stub`` emits a deterministic digest stand-in (string
+    column) so pipelines without real media keep running; any other
+    value names the pillow/opencv dependency a production kernel plugs
+    in.
+    """
+    if decoder not in ("stub", "ppm"):
         raise NotImplementedError(
-            "real image resize needs pillow/opencv (not in this container); "
-            "plug a decoder via this interface"
+            "real non-PPM image resize needs pillow/opencv (not in this "
+            "container); plug a decoder via this interface"
         )
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {"path": [], "width": [], "height": [], "content": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                digest = hashlib.sha256(
-                    bytes(content) + f"|{target_width}x{target_height}".encode()
-                ).hexdigest()
+                data = bytes(content)
+                if decoder == "ppm":
+                    arr = _parse_ppm(data)
+                    hh, ww = arr.shape[:2]
+                    rows = (np.arange(target_height) * hh) // target_height
+                    cols = (np.arange(target_width) * ww) // target_width
+                    resized = arr[rows][:, cols]
+                    payload = (
+                        b"P6\n%d %d\n255\n" % (target_width, target_height)
+                        + resized.tobytes()
+                    )
+                else:
+                    payload = hashlib.sha256(
+                        data + f"|{target_width}x{target_height}".encode()
+                    ).hexdigest()[:32]
                 out["path"].append(path)
                 out["width"].append(target_width)
                 out["height"].append(target_height)
-                out["content"].append(digest[:32])
+                out["content"].append(payload)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+    schema = RESIZED_PPM_SCHEMA if decoder == "ppm" else RESIZED_IMAGE_SCHEMA
+    return df.mapInPandas(run, schema=schema)
 
 
 def sample_frames(

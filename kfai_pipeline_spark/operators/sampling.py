@@ -70,3 +70,53 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_col: str,
+    budget_frac: float,
+    key_col: str,
+    default_weight: float = 1.0,
+    hash_fn: Callable[[Column], Column] | None = None,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Weighted mixture sampling under a token budget: deterministically
+    sample docs so each source's expected token share is proportional to
+    its weight, with total expected tokens = budget_frac * corpus tokens.
+
+    Per-source keep rate = min(1, w_norm * budget * total_tokens /
+    source_tokens), capped at 1 (an up-weighted small source can at most
+    contribute all of itself — the standard "epochs capped at 1 for
+    sampling-without-replacement" behavior; re-epoching is a training-
+    loader concern, not a corpus one).
+
+    Scale shape: one small per-source aggregate (broadcast back) + the
+    same pure hash filter as :func:`hash_sample` — the corpus is scanned
+    once and never shuffled. The only windows run over the #sources-row
+    aggregate, not the corpus. Appends ``rate`` alongside the kept rows.
+    """
+    w = F.lit(default_weight)
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("__tok_s"))
+    everything = Window.partitionBy()
+    rates = totals.select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (w / F.sum(w).over(everything))
+                * F.lit(budget_frac)
+                * F.sum("__tok_s").over(everything)
+                / F.col("__tok_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    h = (hash_fn or _DEFAULT_HASH)(F.col(key_col).cast("string"))
+    return df.join(F.broadcast(rates), source_col).where(
+        F.pmod(h, F.lit(denom)) < F.col("rate") * denom
+    )

@@ -528,3 +528,50 @@ def q71_curation_funnel(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return curation_funnel(docs)
+
+
+# ------------------------------------------------- q73: mixture sampling
+@register(
+    "q73_mixture_sample",
+    oracle="""
+    WITH tot AS (
+        SELECT source, SUM(n_chars) AS tok_s,
+               CASE WHEN source IN ('src0', 'src1') THEN 3.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               ROUND(LEAST(1.0,
+                     (w / SUM(w) OVER ()) * 0.5 * SUM(tok_s) OVER () / tok_s),
+                     6) AS rate
+        FROM tot
+    )
+    SELECT d.doc_id, d.source, d.n_chars, r.rate
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < r.rate * 10000
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Token-budget mixture sampling (sampling.mixture_sample): "
+        "per-source keep rate = min(1, w_norm * budget * total_tokens / "
+        "source_tokens) — src0/src1 up-weighted 3x, 50% token budget. One "
+        "#sources-row aggregate broadcast back + the deterministic hash "
+        "filter; the corpus is scanned once and never shuffled."
+    ),
+)
+def q73_mixture_sample(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import mixture_sample
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        source_col="source",
+        weights={"src0": 3.0, "src1": 3.0},
+        token_col="n_chars",
+        budget_frac=0.5,
+        key_col="doc_id",
+        hash_fn=md5_long,
+    )
+    return out.select("doc_id", "source", "n_chars", "rate").orderBy("doc_id")

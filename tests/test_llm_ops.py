@@ -108,3 +108,24 @@ def test_decontaminate_drops_flagged_docs(spark):
     )
     kept = decontaminate(corpus, bench, threshold=0.2)
     assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_mixture_sample_shares_and_cap(spark):
+    from kfai_pipeline_spark.operators.sampling import mixture_sample
+
+    # 3 sources x 1000 docs x 10 tokens each
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), 10) for i in range(3000)], ["k", "src", "tok"]
+    )
+    out = mixture_sample(
+        df, "src", {"s0": 4.0}, "tok", budget_frac=0.5, key_col="k"
+    )
+    rates = {r.src: r.rate for r in out.select("src", "rate").distinct().collect()}
+    # w_norm = 4/6, 1/6, 1/6; total=30000 tokens, budget=15000;
+    # s0 target 10000 >= tok_s0=10000 -> capped at 1.0
+    # s1/s2 target 2500 of 10000 -> 0.25
+    assert rates["s0"] == 1.0
+    assert abs(rates["s1"] - 0.25) < 1e-6 and abs(rates["s2"] - 0.25) < 1e-6
+    counts = {r.src: r.c for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert counts["s0"] == 1000          # rate 1.0 keeps everything
+    assert abs(counts["s1"] / 1000 - 0.25) < 0.05

@@ -141,3 +141,59 @@ def test_real_decoder_gated(spark, media_dir):
         transcribe_audio(df, decoder="real")
     with pytest.raises(NotImplementedError):
         resize_images(df, decoder="real")
+
+
+@pytest.fixture(scope="module")
+def ppm_dir(spark, tmp_path_factory):
+    """Two real binary P6 PPM images: a 4x2 gradient and a 2x2 with a
+    header comment."""
+    import numpy as np
+
+    out = tmp_path_factory.mktemp("ppm")
+    a = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3) * 10
+    (out / "grad.ppm").write_bytes(b"P6\n4 2\n255\n" + a.tobytes())
+    b = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    (out / "tiny.ppm").write_bytes(b"P6\n# a comment\n2 2\n255\n" + b.tobytes())
+    return str(out)
+
+
+def test_ppm_kernel_real_decode(spark, ppm_dir):
+    from kfai_pipeline_spark.operators.multimodal import (
+        image_features,
+        read_binary_files,
+    )
+
+    df = read_binary_files(spark, ppm_dir, glob="*.ppm")
+    rows = {r.path.split("/")[-1]: r for r in image_features(df, decoder="ppm").collect()}
+    assert rows["grad.ppm"].width == 4 and rows["grad.ppm"].height == 2
+    assert rows["tiny.ppm"].width == 2 and rows["tiny.ppm"].height == 2
+    # histogram features are a probability vector over 16 bins
+    for r in rows.values():
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+        assert all(f >= 0 for f in r.feature)
+    # tiny.ppm grays: red/green/blue -> 85.0 (bin 5), white -> 255 (bin 15)
+    tiny = rows["tiny.ppm"].feature
+    assert abs(tiny[5] - 0.75) < 1e-6 and abs(tiny[15] - 0.25) < 1e-6
+
+
+def test_ppm_kernel_real_resize_roundtrip(spark, ppm_dir):
+    import numpy as np
+
+    from kfai_pipeline_spark.operators.multimodal import (
+        _parse_ppm,
+        read_binary_files,
+        resize_images,
+    )
+
+    df = read_binary_files(spark, ppm_dir, glob="tiny.ppm")
+    out = resize_images(df, target_width=4, target_height=4, decoder="ppm").collect()
+    assert len(out) == 1 and out[0].width == 4 and out[0].height == 4
+    # output is itself a valid P6 payload; nearest-neighbor doubles pixels
+    arr = _parse_ppm(bytes(out[0].content))
+    assert arr.shape == (4, 4, 3)
+    assert (arr[0, 0] == [255, 0, 0]).all() and (arr[0, 1] == [255, 0, 0]).all()
+    assert (arr[3, 3] == [255, 255, 255]).all()
+    # resize is exact upsampling: every 2x2 block is constant
+    assert (arr[::2, ::2] == arr[1::2, 1::2]).all()
