@@ -29,12 +29,20 @@ def interval_join(
     watermark: str = "10 minutes",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join rows sharing ``on`` where the right event-time lies in
+    """Join rows sharing ``on`` where the right event-time lies in
     ``[left_ts - interval, left_ts]``.
 
     Columns are prefixed (``l_``/``r_``) so both sides' payloads survive
     without ambiguity; the join key keeps its name unprefixed.
+
+    ``how="left_outer"`` keeps unmatched left rows (purchases with no
+    attributable view). On streams, outer results for a left row are
+    emitted only once the watermark passes its interval — Spark must
+    know no matching right row can still arrive — so outer rows trail
+    inner ones by the watermark delay; with Trigger.AvailableNow the
+    final batch flushes them.
     """
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
@@ -55,4 +63,4 @@ def interval_join(
         & (F.col(rts) <= F.col(lts))
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond).drop("__rk")
+    return l.join(r, cond, how).drop("__rk")

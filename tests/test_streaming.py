@@ -196,3 +196,47 @@ def test_interval_join_stream_parity(spark, events_dir, tmp_path_factory):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, got.collect()))
     assert b == s and len(b) > 0
+
+
+def test_interval_join_left_outer_stream_parity(spark, events_dir, tmp_path_factory):
+    """Left-outer stream-stream interval join vs its batch twin.
+
+    Exact equality is impossible by design: an outer (NULL-view) row is
+    emitted only once the watermark proves no matching view can still
+    arrive, and nothing advances the watermark past the last events —
+    so purchases in the final (interval + watermark) tail of the data
+    stay buffered forever. The checkable contract is therefore
+    (a) stream ⊆ batch (nothing spurious), (b) every batch row whose
+    purchase is old enough to have been finalized IS present, and
+    (c) matched (inner) rows agree exactly."""
+    from kfai_pipeline_spark.streaming.joins import interval_join
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        v = df.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+        return p, v
+
+    cols = ["user_id", "l_event_id", "r_event_id", "l_ts"]
+    bp, bv = split(spark.read.parquet(events_dir))
+    batch = interval_join(
+        bp, bv, on="user_id", interval="1 hour", how="left_outer"
+    ).select(*cols)
+    sp, sv = split(_stream_events(spark, events_dir))
+    stream = interval_join(
+        sp, sv, on="user_id", interval="1 hour", how="left_outer"
+    ).select(*cols)
+    got = _drain(spark, stream, tmp_path_factory, "interval_join_outer_parity")
+
+    b = set(map(tuple, batch.collect()))
+    s = set(map(tuple, got.collect()))
+    assert s <= b
+    import datetime
+
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=1, minutes=10)
+    finalized = {r for r in b if r[3] <= cutoff}
+    assert finalized <= s and finalized
+    # inner rows agree exactly (no watermark dependence)
+    assert {r for r in b if r[2] is not None} == {r for r in s if r[2] is not None}
+    # outer semantics actually exercised
+    assert any(r[2] is None for r in s)
