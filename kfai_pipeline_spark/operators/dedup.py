@@ -474,3 +474,42 @@ def strip_boilerplate(
     return df.select(id_col).join(reassembled, id_col, "left").select(
         id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
     )
+
+
+# ------------------------------------------------------- semantic dedup
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    use_lsh: bool = True,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
+    whose embeddings are transitively connected by cosine >= threshold
+    form one group; the min-id row is the group's keeper.
+
+    Composition of the two hash-checked primitives: near-dup pair
+    generation (:func:`embedding_neardup_pairs` — sign-LSH banding by
+    default, never all-pairs) feeding :func:`connected_components`
+    (min-label propagation). Rows with no near-neighbor are their own
+    singleton group — the LEFT join + coalesce keeps them without ever
+    materializing singleton edges.
+
+    Returns (id, group_id, is_keeper); downstream keeps
+    ``is_keeper`` rows for the deduplicated corpus.
+    """
+    pairs = embedding_neardup_pairs(
+        df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, **lsh_kwargs
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    gid = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            gid.alias("group_id"),
+            (F.col(id_col) == gid).alias("is_keeper"),
+        )
+    )

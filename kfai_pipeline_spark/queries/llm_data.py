@@ -575,3 +575,50 @@ def q73_mixture_sample(spark, sf_dir):
         hash_fn=md5_long,
     )
     return out.select("doc_id", "source", "n_chars", "rate").orderBy("doc_id")
+
+
+# ------------------------------------------------- q74: semantic dedup
+@register(
+    "q74_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+              ), 4) >= 0.55
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM cc GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS group_id,
+           e.vec_id = COALESCE(c.component, e.vec_id) AS is_keeper
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    doc=(
+        "SemDeDup-style semantic dedup (dedup.semantic_dedup): groups = "
+        "transitive closure of cosine>=0.55 edges, keeper = min-id per "
+        "group, singletons kept via LEFT join (never materialized as "
+        "edges). Brute pair arm for the oracle (eval scale, mirrors "
+        "q36); production default is sign-LSH banding + the same "
+        "components/keeper tail."
+    ),
+)
+def q74_semantic_dedup(spark, sf_dir):
+    from kfai_pipeline_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.55, use_lsh=False
+    ).orderBy("vec_id")

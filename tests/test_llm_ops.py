@@ -129,3 +129,27 @@ def test_mixture_sample_shares_and_cap(spark):
     counts = {r.src: r.c for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
     assert counts["s0"] == 1000          # rate 1.0 keeps everything
     assert abs(counts["s1"] / 1000 - 0.25) < 0.05
+
+
+def test_semantic_dedup_contract(spark):
+    import collections
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.dedup import semantic_dedup
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute = semantic_dedup(emb, threshold=0.55, use_lsh=False).collect()
+    assert len(brute) == emb.count()
+    # group_id is the min member id; keeper iff id == group_id
+    groups = collections.defaultdict(list)
+    for r in brute:
+        groups[r.group_id].append(r.vec_id)
+    assert all(gid == min(m) for gid, m in groups.items())
+    assert all((r.vec_id == r.group_id) == r.is_keeper for r in brute)
+    # default LSH arm finds a subset of the brute edges -> merges no
+    # more, so it keeps at least as many rows (and exactly as many ids)
+    lsh = semantic_dedup(emb, threshold=0.55).collect()
+    assert len(lsh) == len(brute)
+    assert sum(r.is_keeper for r in lsh) >= sum(r.is_keeper for r in brute)
