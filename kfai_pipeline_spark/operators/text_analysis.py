@@ -277,3 +277,32 @@ def length_quantiles(
         F.round(fn(v, F.lit(p)), 4).alias(f"p{int(p * 100):02d}") for p in ps
     ]
     return df.groupBy(by).agg(F.count(F.lit(1)).alias("n"), *aggs).orderBy(by)
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the SQL-expressible proxy for CCNet's LM-perplexity
+    quality filter (docs full of corpus-rare words score low; keep the
+    middle band, drop the tails).
+
+    Two aggregations: (word -> count) over the corpus, then per-doc
+    avg(ln(count/total)). The corpus total is a 1-row aggregate attached
+    via cross join (broadcast by construction — never a window over the
+    vocabulary, which would single-partition a 100M-row vocab at scale).
+    The word-frequency join shuffles on the word key, same skew profile
+    as the wordcount it extends.
+    """
+    wx = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    freq = wx.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__n"))
+    scored = (
+        wx.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(F.col("__c") / F.col("__n")).alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -622,3 +622,35 @@ def q74_semantic_dedup(spark, sf_dir):
     return semantic_dedup(
         emb, threshold=0.55, use_lsh=False
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------- q75: unigram logprob
+@register(
+    "q75_unigram_logprob",
+    oracle="""
+    WITH wx AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM wx GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM freq),
+    scored AS (
+        SELECT wx.doc_id, ln(f.c * 1.0 / t.n) AS lp
+        FROM wx JOIN freq f ON f.w = wx.w CROSS JOIN tot t
+    )
+    SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob, COUNT(*) AS n_words
+    FROM scored GROUP BY 1 ORDER BY doc_id
+    """,
+    doc=(
+        "Unigram-LM quality score (text_analysis.unigram_logprob): "
+        "per-doc mean ln(corpus word frequency) — the SQL-expressible "
+        "stand-in for CCNet's LM-perplexity filter. Corpus total rides a "
+        "broadcast 1-row cross join (never a vocabulary-wide window); "
+        "the frequency join shuffles on the word key only."
+    ),
+)
+def q75_unigram_logprob(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
