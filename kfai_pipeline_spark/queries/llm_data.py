@@ -1,6 +1,9 @@
 """Training-data pipeline queries (SURVEY.md §2.11 extension surface,
-round-2 additions): decontamination, repetition filters, deterministic
-sampling, quantiles, PII redaction, shard packing, radius search.
+round-2 additions, q61-q75): benchmark decontamination, repetition
+filters, deterministic/stratified/mixture sampling, length quantiles,
+PII redaction, shard packing, boilerplate-line removal, radius search,
+fixed-window chunking, the composed curation funnel, semantic dedup
+(SemDeDup), and unigram-LM quality scoring.
 
 Each operator is the Spark-first answer to a concrete 100 TB
 training-data need; every query here is hash-checked against a DuckDB

@@ -182,9 +182,19 @@ def test_q69_radius_has_no_window_no_shuffle(spark):
 def test_q71_funnel_is_single_pass(spark):
     # The funnel must NOT re-scan the corpus per stage: one parquet scan,
     # one window (dedup keeper election), stages as conditional aggs.
+    # Build a FRESH plan (not the registry memo): once the oracle test
+    # has executed q71, its .explain shows the AQE final plan whose
+    # formatted output renders materialized stages differently.
+    import io as _io
     import re
 
-    p = plan(spark, "q71_curation_funnel")
+    from kfai_pipeline_spark.queries.llm_data import q71_curation_funnel
+
+    df = q71_curation_funnel(spark, SF_ORACLE)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
     assert len(scans) == 1, p
     windows = re.findall(r"^\(\d+\) Window", p, flags=re.M)
