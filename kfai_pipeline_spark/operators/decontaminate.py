@@ -46,33 +46,40 @@ def contamination(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Per-document contamination ratio vs a benchmark set.
 
     Returns (id_col, n_shingles, n_overlap, ratio, contaminated) where
     ratio = |doc shingles ∩ benchmark shingles| / |doc shingles| and
-    contaminated = ratio >= threshold.
+    contaminated = ratio >= threshold. ``repartition_to``: see
+    :func:`~kfai_pipeline_spark.operators.dedup.word_shingles` — set to
+    the core count when the corpus scan has fewer splits than cores.
     """
-    doc_sh = word_shingles(corpus.select(id_col, text_col), text_col, id_col, n=n)
+    doc_sh = word_shingles(
+        corpus.select(id_col, text_col), text_col, id_col, n=n,
+        repartition_to=repartition_to,
+    )
     bench_sh = benchmark_shingle_set(bench, text_col=text_col, n=n)
 
-    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    overlap = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    # Single pass: a broadcast LEFT join tags each corpus shingle as
+    # hit/miss, then ONE aggregation yields both the total and the
+    # overlap — the corpus shingle pipeline (explode + per-doc distinct)
+    # executes once, not once per branch as a totals⋈overlap join would.
+    flagged = doc_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
     )
     ratio = F.col("n_overlap") / F.col("n_shingles")
-    return (
-        totals.join(overlap, id_col, "left")
-        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
-        .select(
-            id_col,
-            "n_shingles",
-            "n_overlap",
-            F.round(ratio, 4).alias("ratio"),
-            (ratio >= F.lit(threshold)).alias("contaminated"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 4).alias("ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
     )
 
 

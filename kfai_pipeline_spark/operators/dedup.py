@@ -52,12 +52,29 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text", by: str | None = None
 
 
 # ---------------------------------------------------------------- shingling / minhash
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    repartition_to: int | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built from slice+transform over the word array — no UDF. Documents
     shorter than ``n`` words contribute their full text as one shingle.
+
+    ``repartition_to``: the shingle transform is CPU-heavy-narrow
+    (interpreted higher-order functions), so its parallelism is pinned
+    to the SCAN's split count. Parquet can't split below row-group
+    boundaries — a small/few-row-group input runs the whole transform
+    on a handful of cores. Pass the cluster's core count to force a
+    redistribute first (measured 5x at sf1 on local[32], where the
+    fixture reads as 2 partitions); leave None when the scan is already
+    wide, which a 100 TB table is by construction.
     """
+    if repartition_to:
+        df = df.repartition(repartition_to)
     words = F.split(F.col(text_col), r"\s+")
     n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
     shingles = F.transform(
@@ -161,6 +178,11 @@ def connected_components(
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Materialize the edge list ONCE: every iteration joins against it,
+    # and without this cut the entire upstream pair pipeline (shingling /
+    # LSH banding / pairwise dot products) re-executes per iteration —
+    # the difference between O(pairs) and O(iterations x pairs) work.
+    sym = sym.localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("id"))
