@@ -153,3 +153,85 @@ def test_semantic_dedup_contract(spark):
     lsh = semantic_dedup(emb, threshold=0.55).collect()
     assert len(lsh) == len(brute)
     assert sum(r.is_keeper for r in lsh) >= sum(r.is_keeper for r in brute)
+
+
+def test_hash_sample_rate_monotonicity(spark):
+    """keep(rate) is a SUBSET of keep(rate') for rate < rate' — the same
+    doc never flips out as the budget grows (hash filter is monotone in
+    the threshold). Guarantees reproducible nested samples (10% eval
+    slice stays inside the 50% training slice)."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    small = {r.k for r in sampling.hash_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in sampling.hash_sample(df, "k", 0.5).collect()}
+    assert small < big
+
+
+def test_redact_pii_is_idempotent(spark):
+    """redact(redact(x)) == redact(x): the inserted tags contain no
+    digits or @, so a second pass finds nothing."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        bits = ["word%d" % rng.randrange(50)]
+        if i % 3 == 0:
+            bits.append("u%d@ex%d.com" % (i, i % 7))
+        if i % 4 == 0:
+            bits.append("10.%d.0.%d" % (i % 256, i % 200))
+        if i % 5 == 0:
+            bits.append("%03d-%02d-%04d" % (i % 900 + 100, i % 90 + 10, i))
+        rows.append((i, " ".join(bits)))
+    df = spark.createDataFrame(rows, ["id", "text"])
+    once = redact.redact_pii(df, "text")
+    twice = redact.redact_pii(
+        once.select("id", F.col("redacted").alias("text")), "text"
+    )
+    a = sorted((r.id, r.redacted) for r in once.collect())
+    b = sorted((r.id, r.redacted) for r in twice.collect())
+    assert a == b
+    again = {r.id: r for r in twice.collect()}
+    assert all(r.n_email == 0 and r.n_ssn == 0 and r.n_ip == 0 for r in again.values())
+
+
+def test_strip_boilerplate_is_idempotent(spark):
+    """Surviving lines keep exactly their original doc sets, so their
+    corpus counts are unchanged and a second pass removes nothing."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        lines = ["unique %d %d" % (i, j) for j in range(rng.randrange(1, 4))]
+        if i % 2 == 0:
+            lines.insert(rng.randrange(len(lines) + 1), "COMMON FOOTER")
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = strip_boilerplate(df, min_docs=10)
+    twice = strip_boilerplate(
+        once.select("doc_id", F.col("clean_text").alias("text")), min_docs=10
+    )
+    a = sorted((r.doc_id, r.clean_text) for r in once.collect())
+    b = sorted((r.doc_id, r.clean_text) for r in twice.collect())
+    assert a == b
+    assert all("COMMON FOOTER" not in t for _, t in a)
+
+
+def test_pack_shards_conservation_random(spark):
+    """Random token sizes: offsets are a permutation of the exclusive
+    prefix sums (conservation), shard ids are dense from 0."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(1, 500)) for i in range(1000)]
+    total = sum(t for _, t in rows)
+    df = spark.createDataFrame(rows, ["k", "tok"])
+    packed = pack_shards(df, "tok", "k", cap=5000, buckets=16).collect()
+    got = sorted(r.global_offset for r in packed)
+    # exclusive prefix sums over SOME deterministic order: max offset +
+    # its token == total, min == 0, all distinct
+    assert got[0] == 0 and len(set(got)) == len(got)
+    by_off = {r.global_offset: r.tok for r in packed}
+    assert got[-1] + by_off[got[-1]] == total
+    shards = sorted({r.shard for r in packed})
+    assert shards == list(range(len(shards)))
