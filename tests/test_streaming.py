@@ -240,3 +240,33 @@ def test_interval_join_left_outer_stream_parity(spark, events_dir, tmp_path_fact
     assert {r for r in b if r[2] is not None} == {r for r in s if r[2] is not None}
     # outer semantics actually exercised
     assert any(r[2] is None for r in s)
+
+
+def test_foreach_batch_sink_idempotent_replay(spark, events_dir, tmp_path_factory):
+    """The exactly-once contract for non-transactional sinks: an upsert
+    keyed on (row key) receives identical (content, batch_id) pairs on
+    replay, so re-draining the same checkpoint adds nothing new."""
+    from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
+
+    store: dict = {}  # (event_id) -> (batch_id, value) — fake upsert target
+    batches: list = []
+
+    def upsert(df, batch_id):
+        rows = df.select("event_id", "user_id").collect()
+        batches.append((batch_id, len(rows)))
+        for r in rows:
+            store[r.event_id] = (batch_id, r.user_id)
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_febatch"))
+    src = _stream_events(spark, events_dir)
+    q = write_stream_foreach_batch(src, upsert, ckpt)
+    q.awaitTermination()
+    n_events = spark.read.parquet(events_dir).count()
+    assert len(store) == n_events
+    first = dict(store)
+
+    # re-drain the SAME checkpoint: no new data -> write_fn not called
+    # with any new batch ids, store unchanged (idempotent replay)
+    q2 = write_stream_foreach_batch(_stream_events(spark, events_dir), upsert, ckpt)
+    q2.awaitTermination()
+    assert store == first
