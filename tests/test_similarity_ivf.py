@@ -130,3 +130,24 @@ def test_persisted_index_prunes_and_matches(spark, tmp_path):
     p = buf.getvalue()
     assert "PartitionFilters" in p
     assert "cluster_id" in p.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_blas_arm_equals_jvm_arm(spark):
+    """cosine_topk_blas must return EXACTLY the JVM arm's rows — same
+    scores (both double-precision), same (score desc, id asc) tie-break,
+    across a multi-query batch."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_blas
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 20)
+    a = sorted(map(tuple, cosine_topk(corpus, queries, k=7).collect()))
+    b = sorted(map(tuple, cosine_topk_blas(corpus, queries, k=7).collect()))
+    assert a == b and len(a) == 20 * 7
