@@ -405,12 +405,19 @@ def embedding_neardup_pairs(
                 raise ValueError("cannot infer dim from an empty DataFrame")
             dim = first["__d"]
         planes = random_hyperplanes(dim, bands * rows_per_band, seed)
+        from pyspark import StorageLevel
+
+        # Both sides of the self-join branch from this frame; without the
+        # persist each branch re-computes every hyperplane dot product
+        # (bands*rows_per_band HOF dots per row — the expensive part).
+        # Same idiom as minhash_dedup's shingle persist; no unpersist for
+        # the same lazy-plan reason noted there.
         bucketed = v.select(
             F.col(id_col), "__v",
             F.explode(_band_signatures(F.col("__v"), planes, bands, rows_per_band)).alias(
                 "__sig"
             ),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         a = bucketed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__sig")
         b = bucketed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__sig")
         pairs = (
