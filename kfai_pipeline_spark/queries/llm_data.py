@@ -1,9 +1,9 @@
 """Training-data pipeline queries (SURVEY.md §2.11 extension surface,
-round-2 additions, q61-q75): benchmark decontamination, repetition
+round-2 additions, q61-q77): benchmark decontamination, repetition
 filters, deterministic/stratified/mixture sampling, length quantiles,
 PII redaction, shard packing, boilerplate-line removal, radius search,
 fixed-window chunking, the composed curation funnel, semantic dedup
-(SemDeDup), and unigram-LM quality scoring.
+(SemDeDup), unigram-LM quality scoring, and context packing.
 
 Each operator is the Spark-first answer to a concrete 100 TB
 training-data need; every query here is hash-checked against a DuckDB
@@ -657,3 +657,81 @@ def q75_unigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------- q77: context packing
+@register(
+    "q77_context_pack",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 8 AS INT) AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        FROM d
+    ),
+    t AS (SELECT bucket, SUM(n_chars) AS tot FROM d GROUP BY 1),
+    o AS (
+        SELECT bucket,
+               COALESCE(SUM(tot) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM t
+    ),
+    packed AS (
+        SELECT r.doc_id, r.text,
+               CAST(r.run + o.base AS BIGINT) AS global_offset,
+               CAST(FLOOR((r.run + o.base) / 10000.0) AS INT) AS shard
+        FROM r JOIN o ON o.bucket = r.bucket
+    ),
+    shard_text AS (
+        SELECT shard, string_agg(text, ' ' ORDER BY global_offset) AS t
+        FROM packed GROUP BY shard
+    ),
+    ctx AS (
+        SELECT shard,
+               CAST(generate_subscripts(range(1, len(t) + 1, 2048), 1) - 1
+                    AS INT) AS ctx_idx,
+               substr(t, unnest(range(1, len(t) + 1, 2048)), 2048) AS context
+        FROM shard_text WHERE len(t) > 0
+    )
+    SELECT shard, ctx_idx, context FROM ctx ORDER BY shard, ctx_idx
+    """,
+    doc=(
+        "Context packing — the full pretraining packing story composed "
+        "from two checked primitives: pack_shards assigns docs to "
+        "~10k-char shards (two-level parallel prefix sum), each shard "
+        "concatenates its docs in global-offset order (bounded by cap, "
+        "never corpus-sized), and fixed 2048-char training windows are "
+        "cut with the q70 chunker (stride == size: no overlap, docs "
+        "cross window boundaries exactly as training loaders pack them)."
+    ),
+)
+def q77_context_pack(spark, sf_dir):
+    from kfai_pipeline_spark.operators.chunker import fixed_window_chunks
+    from kfai_pipeline_spark.operators.shard_pack import pack_shards
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(
+        docs, "n_chars", "doc_id", cap=10_000, buckets=8, hash_fn=md5_long
+    )
+    shard_text = packed.groupBy("shard").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("global_offset", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("t")
+    )
+    ctx = fixed_window_chunks(shard_text, "t", "shard", size=2048, stride=2048)
+    return ctx.select(
+        "shard", F.col("chunk_idx").alias("ctx_idx"), F.col("chunk").alias("context")
+    ).orderBy("shard", "ctx_idx")
