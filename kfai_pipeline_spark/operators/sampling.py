@@ -120,3 +120,66 @@ def mixture_sample(
     return df.join(F.broadcast(rates), source_col).where(
         F.pmod(h, F.lit(denom)) < F.col("rate") * denom
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    token_col: str,
+    budget_frac: float,
+    key_col: str,
+    default_weight: float = 1.0,
+    max_epochs: float = 4.0,
+    hash_fn: Callable[[Column], Column] | None = None,
+    denom: int = 10_000,
+) -> DataFrame:
+    """:func:`mixture_sample` without the rate-1 cap: a source whose
+    target share exceeds its size is REPLICATED (multiple epochs), the
+    standard treatment for small high-quality sources in a training mix
+    (capped at ``max_epochs`` — unbounded duplication hurts more than it
+    helps).
+
+    Each row is emitted ``floor(rate)`` times deterministically plus one
+    more with probability ``frac(rate)`` decided by hash(key, copy) — so
+    the expected token share matches the target exactly and the chosen
+    copies are a pure function of the key. Output rows carry ``copy``
+    (0-based epoch index) and ``rate``.
+
+    Scale shape: identical to mixture_sample (tiny broadcast rate table,
+    no corpus shuffle) plus a bounded explode (<= ceil(max_epochs) rows
+    per input row).
+    """
+    w = F.lit(default_weight)
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("__tok_s"))
+    everything = Window.partitionBy()
+    rates = totals.select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(float(max_epochs)),
+                (w / F.sum(w).over(everything))
+                * F.lit(budget_frac)
+                * F.sum("__tok_s").over(everything)
+                / F.col("__tok_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    joined = df.join(F.broadcast(rates), source_col)
+    copies = F.explode(
+        F.sequence(F.lit(0), F.ceil(F.col("rate")).cast("int") - 1)
+    ).alias("copy")
+    h = (hash_fn or _DEFAULT_HASH)(
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("copy").cast("string"))
+    )
+    frac = F.col("rate") - F.floor(F.col("rate"))
+    return (
+        joined.select("*", copies)
+        .where(
+            (F.col("copy") < F.floor(F.col("rate")))
+            | (F.pmod(h, F.lit(denom)) < frac * denom)
+        )
+    )

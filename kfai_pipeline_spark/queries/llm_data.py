@@ -735,3 +735,59 @@ def q77_context_pack(spark, sf_dir):
     return ctx.select(
         "shard", F.col("chunk_idx").alias("ctx_idx"), F.col("chunk").alias("context")
     ).orderBy("shard", "ctx_idx")
+
+
+# ------------------------------------------------- q78: mixture epochs
+@register(
+    "q78_mixture_epochs",
+    oracle="""
+    WITH tot AS (
+        SELECT source, SUM(n_chars) AS tok_s,
+               CASE WHEN source = 'src0' THEN 8.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               ROUND(LEAST(4.0,
+                     (w / SUM(w) OVER ()) * 0.5 * SUM(tok_s) OVER () / tok_s),
+                     6) AS rate
+        FROM tot
+    ),
+    rep AS (
+        SELECT d.doc_id, d.source, r.rate, u.copy
+        FROM documents d
+        JOIN rates r ON r.source = d.source,
+        LATERAL (SELECT unnest(range(0, CAST(CEIL(r.rate) AS INT))) AS copy) u
+    )
+    SELECT doc_id, source, copy, rate
+    FROM rep
+    WHERE copy < FLOOR(rate)
+       OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                              || CAST(copy AS VARCHAR)), 1, 15))::BIGINT
+          % 10000 < (rate - FLOOR(rate)) * 10000
+    ORDER BY doc_id, copy
+    """,
+    doc=(
+        "Mixture upsampling with epochs (sampling.mixture_upsample): "
+        "src0 up-weighted 8x so its target share exceeds its size — rows "
+        "replicate floor(rate) times plus a hash-decided fractional "
+        "copy, capped at 4 epochs. Same broadcast-rate/no-corpus-shuffle "
+        "shape as q73; the explode is bounded by ceil(max_epochs)."
+    ),
+)
+def q78_mixture_epochs(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import mixture_upsample
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_upsample(
+        docs,
+        source_col="source",
+        weights={"src0": 8.0},
+        token_col="n_chars",
+        budget_frac=0.5,
+        key_col="doc_id",
+        max_epochs=4.0,
+        hash_fn=md5_long,
+    )
+    return out.select("doc_id", "source", "copy", "rate").orderBy("doc_id", "copy")

@@ -235,3 +235,29 @@ def test_pack_shards_conservation_random(spark):
     assert got[-1] + by_off[got[-1]] == total
     shards = sorted({r.shard for r in packed})
     assert shards == list(range(len(shards)))
+
+
+def test_mixture_upsample_epochs(spark):
+    from kfai_pipeline_spark.operators.sampling import mixture_upsample
+
+    # s0 tiny (100 docs x 10 tok), s1 big (1900 x 10) — s0 up-weighted
+    rows = [(i, "s0" if i < 100 else "s1", 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "src", "tok"])
+    out = mixture_upsample(
+        df, "src", {"s0": 5.0}, "tok", budget_frac=0.5, key_col="k", max_epochs=4.0
+    ).collect()
+    rates = {r.src: r.rate for r in out}
+    # s0 target: (5/6)*0.5*20000 = 8333 tokens of 1000 -> rate capped at 4
+    assert rates["s0"] == 4.0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.k, []).append(r.copy)
+    # integer rate -> every s0 doc exactly 4 copies, ids 0..3
+    for i in range(100):
+        assert sorted(by_doc[i]) == [0, 1, 2, 3]
+    # fractional s1 rate in (0,1): every doc has at most one copy, id 0
+    assert 0 < rates["s1"] < 1
+    s1_counts = [len(by_doc.get(i, [])) for i in range(100, 2000)]
+    assert max(s1_counts) <= 1
+    got_frac = sum(s1_counts) / 1900
+    assert abs(got_frac - rates["s1"]) < 0.05
