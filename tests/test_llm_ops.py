@@ -261,3 +261,38 @@ def test_mixture_upsample_epochs(spark):
     assert max(s1_counts) <= 1
     got_frac = sum(s1_counts) / 1900
     assert abs(got_frac - rates["s1"]) < 0.05
+
+
+def test_quality_classifier_learns_separable_labels(spark):
+    """End-to-end MLlib scaffold: features from raw text, LR training,
+    distributed scoring. Labels are constructed separable (docs salted
+    with heavy word repetition = bad), so the model must rank a held-out
+    bad doc below a held-out good doc."""
+    import random
+
+    from kfai_pipeline_spark.operators.quality_classifier import (
+        build_features,
+        score_quality,
+        train_quality_model,
+    )
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "the", "for", "with", "is"]
+    rows = []
+    for i in range(300):
+        if i % 2 == 0:  # good: varied words
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+            label = 1.0
+        else:  # bad: one word stuffed
+            words = ["spamword"] * 60
+            label = 0.0
+        rows.append((i, " ".join(words), label))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    feats = build_features(df).join(df.select("doc_id", "label"), "doc_id")
+    train = feats.where(F.col("doc_id") < 280)
+    test = feats.where(F.col("doc_id") >= 280)
+    model = train_quality_model(train)
+    scored = {r.doc_id: r.quality_prob for r in score_quality(model, test).collect()}
+    good = [scored[i] for i in range(280, 300) if i % 2 == 0]
+    bad = [scored[i] for i in range(280, 300) if i % 2 == 1]
+    assert min(good) > max(bad)
