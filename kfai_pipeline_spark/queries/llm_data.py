@@ -1,9 +1,10 @@
 """Training-data pipeline queries (SURVEY.md §2.11 extension surface,
-round-2 additions, q61-q77): benchmark decontamination, repetition
+round-2 additions, q61-q78): benchmark decontamination, repetition
 filters, deterministic/stratified/mixture sampling, length quantiles,
 PII redaction, shard packing, boilerplate-line removal, radius search,
 fixed-window chunking, the composed curation funnel, semantic dedup
-(SemDeDup), unigram-LM quality scoring, and context packing.
+(SemDeDup), unigram-LM quality scoring, context packing, and mixture
+upsampling with epochs.
 
 Each operator is the Spark-first answer to a concrete 100 TB
 training-data need; every query here is hash-checked against a DuckDB
