@@ -1086,3 +1086,47 @@ def q76_simsearch_blas(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") != 0)
     topk = S.cosine_topk_blas(corpus, queries, k=10)
     return topk.select("vec_id", "score").orderBy(F.desc("score"), F.asc("vec_id"))
+
+
+# --------------------------------------------- Q79: statistical aggregates
+@register(
+    "q79_stat_aggs",
+    oracle="""
+    WITH t AS (
+        SELECT lang, n_chars,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+        FROM documents
+    )
+    SELECT lang,
+           ROUND(corr(n_chars, n_tok), 4) AS corr_chars_tok,
+           ROUND(covar_samp(n_chars, n_tok), 2) AS covar_st,
+           ROUND(stddev_samp(n_chars), 4) AS sd_chars,
+           ROUND(regr_slope(n_tok, n_chars), 6) AS slope_tok_per_char
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Statistical aggregates (A7 completion): per-language Pearson "
+        "correlation, sample covariance/stddev, and regression slope of "
+        "token count on char count — all single-pass JVM aggregates with "
+        "map-side partial moment accumulation (Welford-style merge), one "
+        "shuffle on the group key."
+    ),
+)
+def q79_stat_aggs(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "n_chars", token_count("text").alias("n_tok")
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.round(F.corr("n_chars", "n_tok"), 4).alias("corr_chars_tok"),
+            F.round(F.covar_samp("n_chars", "n_tok"), 2).alias("covar_st"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+            F.round(F.regr_slope("n_tok", "n_chars"), 6).alias("slope_tok_per_char"),
+        )
+        .orderBy("lang")
+    )
