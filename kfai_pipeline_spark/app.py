@@ -256,11 +256,60 @@ def query(
     return answer_query(store, question, parser, embedder, synthesizer, k=k)
 
 
+def curate(
+    spark: SparkSession,
+    workdir: str,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_stop_ratio: float = 0.0,
+    sample_rate: float = 1.0,
+) -> dict[str, int]:
+    """Stage 7: training-data curation over the loaded store — the
+    composed X-surface as a pipeline stage: length/quality gates ->
+    exact-dedup keeper election -> deterministic hash sample
+    (plans/curation.py, single-pass flag columns). Writes the surviving
+    chunk rows to ``curated/`` and returns the funnel counts.
+
+    The chunk key is (video_id, start_time) — stringified into one
+    surrogate id so keeper election (min id per exact-text group) stays
+    deterministic.
+    """
+    from kfai_pipeline_spark.plans.curation import curation_flags
+
+    store = spark.read.parquet(_dir(workdir, "store"))
+    keyed = store.withColumn(
+        "__cid",
+        F.concat_ws("#", F.col("video_id"), F.col("start_time").cast("string")),
+    )
+    flags = curation_flags(
+        keyed,
+        text_col="text",
+        id_col="__cid",
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_stop_ratio=min_stop_ratio,
+        sample_rate=sample_rate,
+    ).persist()
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("ok_len").cast("int")).alias("len_ok"),
+        F.sum(F.col("ok_quality").cast("int")).alias("quality_ok"),
+        F.sum(F.col("ok_dedup").cast("int")).alias("deduped"),
+        F.sum(F.col("ok_sample").cast("int")).alias("sampled"),
+    ).collect()[0]
+    kept = flags.where(F.col("ok_sample")).select("__cid")
+    curated = keyed.join(kept, "__cid", "left_semi").drop("__cid")
+    curated.write.mode("overwrite").parquet(_dir(workdir, "curated"))
+    flags.unpersist()
+    return {k: int(counts[k]) for k in ("raw", "len_ok", "quality_ok", "deduped", "sampled")}
+
+
 STAGES = {
     "1": ("extract", extract),
     "3": ("transcribe_failed", transcribe_failed),
     "4": ("transform", transform),
     "5": ("load", load),
+    "7": ("curate", curate),
 }
 
 # stages that take the source catalog (1 diffs it, 3 joins metadata back)

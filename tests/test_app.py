@@ -144,3 +144,20 @@ def test_transcribe_failed_recovers_video(spark, catalog, tmp_path):
     # rerun is a no-op: the video now exists in raw/ (file checkpoint)
     stats3 = app.run_chain(spark, catalog, wd, "3")
     assert stats3["transcribe_failed"]["transcribed_videos"] == 0
+
+
+def test_curate_stage_in_chain(spark, catalog, workdir):
+    stats = app.run_chain(spark, catalog, workdir, "1>4>5>7")
+    funnel = stats["curate"]
+    # the funnel is monotone and something survives
+    assert (
+        funnel["raw"] >= funnel["len_ok"] >= funnel["quality_ok"]
+        >= funnel["deduped"] >= funnel["sampled"] > 0
+    )
+    curated = spark.read.parquet(f"{workdir}/curated")
+    assert curated.count() == funnel["sampled"]
+    # curated keeps the store schema (no surrogate key leakage)
+    store_cols = set(spark.read.parquet(f"{workdir}/store").columns)
+    assert set(curated.columns) == store_cols
+    # exact-dedup held: no two curated rows share identical text
+    assert curated.count() == curated.select("text").distinct().count()
