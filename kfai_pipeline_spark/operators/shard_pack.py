@@ -92,3 +92,40 @@ def shard_manifest(packed: DataFrame, token_col: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str,
+    id_col: str,
+    cap: int,
+    buckets: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
+    fmt: str = "json",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """The end artifact of the curation pipeline: assign docs to
+    fixed-token-budget shards (:func:`pack_shards`) and write them
+    ``partitionBy("shard")`` — one directory per training shard, JSONL
+    by default (the interchange format training loaders read).
+
+    ``repartition("shard")`` before the write makes each shard's rows
+    land in one task -> one file per shard directory (plus Spark's
+    _SUCCESS bookkeeping), instead of every task writing a sliver of
+    every shard — at 100 TB the difference between #shards output files
+    and #shards x #tasks small-file debris.
+
+    Returns the packed DataFrame (with shard/global_offset columns) so
+    callers can build a manifest without re-planning.
+    """
+    packed = pack_shards(df, token_col, id_col, cap, buckets=buckets, hash_fn=hash_fn)
+    (
+        packed.drop("bucket")
+        .repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    return packed

@@ -296,3 +296,28 @@ def test_quality_classifier_learns_separable_labels(spark):
     good = [scored[i] for i in range(280, 300) if i % 2 == 0]
     bad = [scored[i] for i in range(280, 300) if i % 2 == 1]
     assert min(good) > max(bad)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import os
+
+    from kfai_pipeline_spark.operators.shard_pack import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, "doc %d text" % i, 50 + (i % 7) * 10) for i in range(300)],
+        ["k", "text", "tok"],
+    )
+    out = str(tmp_path / "shards")
+    packed = write_training_shards(df, out, "tok", "k", cap=2000, buckets=8)
+    back = spark.read.json(out)
+    # every row survives the roundtrip into its assigned shard partition
+    assert back.count() == 300
+    a = sorted((r.k, r.shard) for r in packed.select("k", "shard").collect())
+    b = sorted((int(r.k), int(r.shard)) for r in back.select("k", "shard").collect())
+    assert a == b
+    # one data file per shard directory (repartition('shard') held)
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == len({s for _, s in a})
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".json")]
+        assert len(files) == 1, (d, files)
