@@ -46,21 +46,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _DF_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    # events.ts is parquet TIMESTAMP(NANOS); a session without
-    # spark.sql.legacy.parquet.nanosAsLong throws PARQUET_TYPE_ILLEGAL at
-    # scan time. The conf is runtime-settable, so set it defensively here
-    # — callers (e.g. an external harness) may hand us a plain session
-    # built without our session factory.
+    # events.ts vintage handling. Current fixtures store
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false), which every session reads
+    # natively as TIMESTAMP_NTZ — naive values, so results match a
+    # naive-timestamp oracle regardless of session time zone. Earlier
+    # fixture drops stored TIMESTAMP(NANOS), which a session without
+    # spark.sql.legacy.parquet.nanosAsLong rejects (PARQUET_TYPE_ILLEGAL)
+    # at scan time. The conf is runtime-settable, so set it defensively —
+    # callers (e.g. an external harness) may hand us a plain session
+    # built without our session factory, and the conf is a no-op for the
+    # micros/NTZ form.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf locked down (e.g. Spark Connect policy) — reads of
         # nanos parquet will fail as before; non-events tables unaffected.
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long
-    # (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType by
-    # integer nanos->micros division — `div` stays in long arithmetic
-    # (a double division would lose precision above 2^53).
+    # Legacy nanos fixtures only: nanosAsLong surfaces ts as long;
+    # convert to TimestampType by integer nanos->micros division — `div`
+    # stays in long arithmetic (a double division would lose precision
+    # above 2^53). Micros/NTZ fixtures skip this (ts is not LongType).
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 

@@ -22,6 +22,28 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def epoch_seconds_fn(df, ts_col: str):
+    """Return ``Column -> Column`` mapping a timestamp of ``ts_col``'s
+    type to seconds-since-epoch DOUBLE at full microsecond precision.
+
+    TIMESTAMP (LTZ) casts to double directly (micros/1e6, tz-free).
+    TIMESTAMP_NTZ forbids that cast, so we diff in microseconds from the
+    NAIVE epoch and divide — the exact twin of SQL ``epoch(ts)`` on a
+    naive timestamp, independent of the session time zone. Both arms
+    convert each VALUE to double before any subtraction, matching the
+    oracle's ``epoch(a) - epoch(b)`` rounding bit-for-bit.
+
+    The returned function applies to any Column of the SAME type as
+    ``ts_col`` (e.g. ``lag(ts)``), not just the column itself.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return lambda c: F.timestamp_diff("MICROSECOND", origin, c) / F.lit(1000000.0)
+    return lambda c: c.cast("double")
+
+
 def iso_to_epoch(col: str | Column) -> Column:
     """ISO-8601 string -> Unix epoch seconds, UTC-forced (F11; ref
     datetime.py:4-22). Empty/unparseable -> 0 like the reference."""

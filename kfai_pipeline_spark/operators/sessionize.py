@@ -28,13 +28,16 @@ def sessionize(
     """Assign a per-key session id; a new session starts when the gap to
     the previous event exceeds ``gap_seconds``.
 
-    Timestamps compare at full (sub-second) precision — ``cast("double")``
-    keeps fractional seconds, matching SQL ``epoch(ts)`` semantics.
+    Timestamps compare at full (sub-second) precision via
+    ``epoch_seconds_fn`` — the NTZ-safe twin of SQL ``epoch(ts)``.
     """
+    from kfai_pipeline_spark.functions.datetime_fns import epoch_seconds_fn
+
+    secs = epoch_seconds_fn(df, ts_col)
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev_ts: Column = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap = secs(F.col(ts_col)) - secs(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_col,
@@ -50,11 +53,12 @@ def session_stats(
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key session count and mean session length (seconds, 2dp)."""
+    from kfai_pipeline_spark.functions.datetime_fns import epoch_seconds_fn
+
+    secs = epoch_seconds_fn(df, ts_col)
     sess = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_cols)
     per_session = sess.groupBy(key_col, "session_id").agg(
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
-            "session_len"
-        )
+        (F.max(secs(F.col(ts_col))) - F.min(secs(F.col(ts_col)))).alias("session_len")
     )
     return (
         per_session.groupBy(key_col)

@@ -17,7 +17,10 @@ tests/test_oracle.py at sf0.01.
 
 Dialect deltas vs the DuckDB oracles (queries/*.py `oracle=`):
   - unnest(string_split(..)) -> explode(split(..))
-  - epoch(ts)                -> cast(ts as double)  (keeps sub-second)
+  - epoch(ts)                -> timestampdiff(MICROSECOND, naive epoch, ts)/1e6
+                                (events.ts is TIMESTAMP_NTZ, which cannot
+                                cast to double; the µs diff keeps sub-second
+                                precision and is session-tz-free)
   - string_agg(x, ',' ORDER BY x) -> concat_ws(',', sort_array(collect_list(x)))
   - derived-table alias required
 """
@@ -99,7 +102,8 @@ BENCH_SQL: dict[str, str] = {
         flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                             OR cast(ts AS double) - cast(prev_ts AS double) > 1800
+                             OR timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1e6
+                              - timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', prev_ts) / 1e6 > 1800
                         THEN 1 ELSE 0 END AS is_new
             FROM lagged
         ),
@@ -113,7 +117,8 @@ BENCH_SQL: dict[str, str] = {
         ),
         per_session AS (
             SELECT user_id, session_id,
-                   cast(MAX(ts) AS double) - cast(MIN(ts) AS double) AS session_len
+                   MAX(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1e6)
+                 - MIN(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 1e6) AS session_len
             FROM sess GROUP BY user_id, session_id
         )
         SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(session_len), 2) AS avg_len

@@ -60,6 +60,9 @@ def streaming_dedup(
     bounded by the watermark (dropDuplicatesWithinWatermark); without,
     state grows with distinct keys — only for bounded key domains."""
     if ts_col and df.isStreaming:
+        from kfai_pipeline_spark.streaming.event_time import as_event_time
+
+        df = as_event_time(df, ts_col)
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 

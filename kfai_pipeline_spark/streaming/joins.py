@@ -44,10 +44,12 @@ def interval_join(
     inner ones by the watermark delay; with Trigger.AvailableNow the
     final batch flushes them.
     """
+    from kfai_pipeline_spark.streaming.event_time import as_event_time
+
     if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
+        left = as_event_time(left, left_ts).withWatermark(left_ts, watermark)
     if right.isStreaming:
-        right = right.withWatermark(right_ts, watermark)
+        right = as_event_time(right, right_ts).withWatermark(right_ts, watermark)
 
     l = left.select(
         F.col(on),

@@ -64,11 +64,14 @@ def sessionize_terminator_batch(
 ) -> DataFrame:
     """Batch arm: gaps-and-islands with the extra terminator break rule.
     One shuffle on the key (window), then a per-session aggregate."""
+    from kfai_pipeline_spark.functions.datetime_fns import epoch_seconds_fn
+
+    secs = epoch_seconds_fn(df, ts_col)
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev_ts: Column = F.lag(F.col(ts_col)).over(w)
     prev_ev: Column = F.lag(F.col(event_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap = secs(F.col(ts_col)) - secs(prev_ts)
     is_new = F.when(
         prev_ts.isNull() | (gap > gap_seconds) | (prev_ev == terminator), 1
     ).otherwise(0)
@@ -76,8 +79,8 @@ def sessionize_terminator_batch(
         "__sid", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return sess.groupBy(key_col, "__sid").agg(
-        F.min(F.col(ts_col).cast("double")).alias("start_s"),
-        F.max(F.col(ts_col).cast("double")).alias("end_s"),
+        F.min(secs(F.col(ts_col))).alias("start_s"),
+        F.max(secs(F.col(ts_col))).alias("end_s"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("__sid")
 
@@ -141,8 +144,11 @@ def sessionize_terminator_stream(
             state.remove()
         yield pd.DataFrame(closed, columns=[key_col, "start_s", "end_s", "n_events"])
 
+    from kfai_pipeline_spark.streaming.event_time import as_event_time
+
     return (
-        df.withWatermark(ts_col, watermark)
+        as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,

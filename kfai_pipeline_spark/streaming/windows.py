@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
     if delay and df.isStreaming:
-        return df.withWatermark(ts_col, delay)
+        from kfai_pipeline_spark.streaming.event_time import as_event_time
+
+        return as_event_time(df, ts_col).withWatermark(ts_col, delay)
     return df
 
 
