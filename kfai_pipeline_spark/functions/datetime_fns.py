@@ -44,6 +44,18 @@ def epoch_seconds_fn(df, ts_col: str):
     return lambda c: c.cast("double")
 
 
+def epoch_micros_fn(df, ts_col: str):
+    """Like ``epoch_seconds_fn`` but returns LONG microseconds — the
+    exact integer form, for ordering keys and range-frame arithmetic
+    where a double would be lossy or reject ``rangeBetween`` offsets."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return lambda c: F.timestamp_diff("MICROSECOND", origin, c)
+    return lambda c: F.unix_micros(c)
+
+
 def iso_to_epoch(col: str | Column) -> Column:
     """ISO-8601 string -> Unix epoch seconds, UTC-forced (F11; ref
     datetime.py:4-22). Empty/unparseable -> 0 like the reference."""

@@ -306,3 +306,47 @@ def unigram_logprob(
         F.round(F.avg("__lp"), 4).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per group: tf = term count within the
+    group, idf = ln(N_docs / docs containing the term), ranked by
+    rounded score (desc) then term (asc) for cross-engine determinism.
+
+    Corpus analytics staple (what characterizes each language/source
+    slice). Shuffle profile: one explode + two word-keyed aggregates
+    that reuse the exploded frame, a word-keyed join (same skew profile
+    as wordcount — ubiquitous words are the hot keys, and they carry
+    exactly one row per (group, word) after aggregation, so no salting
+    is needed), a broadcast 1-row total, and a final window over the
+    per-group term lists — already reduced to |vocab| rows, not corpus
+    rows, before the window shuffles on the group key.
+    """
+    wx = df.select(F.col(id_col), F.col(group_col), F.explode(_words(text_col)).alias("w"))
+    wx = wx.where(F.col("w") != "")
+    tf = wx.groupBy(group_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wx.groupBy("w").agg(F.count_distinct(id_col).alias("dfn"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("dfn")), 4
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return scored.withColumn("rn", rn).where(F.col("rn") <= k)

@@ -1130,3 +1130,41 @@ def q79_stat_aggs(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- Q80: rolling range
+@register(
+    "q80_rolling_range",
+    # Trailing 1-hour per-user event count and spend at event grain —
+    # the RANGE-INTERVAL frame twin (W5 covers ROW frames; this is the
+    # time-based frame). Both engines frame on the same inclusive
+    # [ts - 1h, ts] bound; the Spark arm orders by exact epoch
+    # microseconds, which equals ordering by ts.
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "Time-range rolling aggregate (operators/rolling.py): trailing "
+        "1-hour count/sum per user via a RANGE frame over epoch-micros "
+        "ordering — one shuffle on the key, no range self-join."
+    ),
+)
+def q80_rolling_range(spark, sf_dir):
+    from kfai_pipeline_spark.operators.rolling import rolling_time_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = rolling_time_agg(ev, "user_id", "ts", "value", duration_seconds=3600)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("roll_n").alias("n_1h"),
+        F.round("roll_sum", 2).alias("sum_1h"),
+    ).orderBy("user_id", "event_id")

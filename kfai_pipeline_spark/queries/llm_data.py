@@ -792,3 +792,48 @@ def q78_mixture_epochs(spark, sf_dir):
         hash_fn=md5_long,
     )
     return out.select("doc_id", "source", "copy", "rate").orderBy("doc_id", "copy")
+
+
+# ------------------------------------------------- q81: TF-IDF top terms
+@register(
+    "q81_tfidf_terms",
+    # Same ln() parity ground as q75 (both engines evaluate natural log
+    # on identical count-ratio doubles); rank by the ROUNDED score then
+    # term so tie order is engine-independent.
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    ),
+    wx AS (SELECT * FROM w WHERE word <> ''),
+    tf AS (SELECT lang, word, COUNT(*) AS tf FROM wx GROUP BY lang, word),
+    dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS dfn FROM wx GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.word AS term,
+               ROUND(tf.tf * ln(tot.n_docs * 1.0 / dfq.dfn), 4) AS score
+        FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT lang, term, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY score DESC, term
+               ) AS rn
+        FROM scored
+    )
+    SELECT lang, term, score, rn FROM ranked WHERE rn <= 10
+    ORDER BY lang, rn
+    """,
+    doc=(
+        "Per-language TF-IDF top terms (text_analysis.tfidf_top_terms): "
+        "corpus-slice characterization; word-keyed aggregates + "
+        "broadcast 1-row doc total, window only over the reduced "
+        "per-group vocabulary."
+    ),
+)
+def q81_tfidf_terms(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "lang", "doc_id", k=10).orderBy("lang", "rn")

@@ -279,7 +279,33 @@ _NESTED_LOOP_OK = {
     "q73_mixture_sample",   # 1-row totals cross join inside rates
     "q74_semantic_dedup",   # brute pair oracle arm
     "q75_unigram_logprob",  # broadcast 1-row corpus-total cross join
+    "q81_tfidf_terms",      # broadcast 1-row doc-total cross join
 }
+
+
+def test_q80_rolling_is_window_not_self_join(spark):
+    """The RANGE-frame rolling aggregate must plan as a single Window
+    over one exchange on the key — never a range self-join (which
+    duplicates every row once per window hit)."""
+    p = plan(spark, "q80_rolling_range")
+    assert "Window" in p
+    assert "Join" not in p, "rolling agg must not expand into a self-join"
+    assert p.count("hashpartitioning(user_id") == 1, "one key shuffle only"
+    # both aggregates share one window spec -> a single Window operator
+    assert p.count("Window (") == 1, "count+sum must share one Window op"
+
+
+def test_q81_tfidf_total_broadcasts_and_window_is_post_agg(spark):
+    """The 1-row doc total must broadcast (never a vocab-wide window),
+    and the ranking window input must be the aggregated (lang, word)
+    frame, not the exploded corpus."""
+    p = plan(spark, "q81_tfidf_terms")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the window must consume the post-aggregate frame: HashAggregate
+    # appears below (= printed after) the Window operator in the tree
+    win_at = p.index("Window")
+    assert "HashAggregate" in p[win_at:], "ranking window must follow aggregation"
 
 
 def test_no_accidental_cartesian_anywhere(spark):
