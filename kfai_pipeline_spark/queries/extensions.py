@@ -1168,3 +1168,222 @@ def q80_rolling_range(spark, sf_dir):
         F.col("roll_n").alias("n_1h"),
         F.round("roll_sum", 2).alias("sum_1h"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------- Q82: record merge
+@register(
+    "q82_merge_records",
+    # J3 upgrade from tests-only to hash-checked: enrichment columns win
+    # on name collisions (dict-| right bias). The collision is real —
+    # o_totalprice recomputed from lineitem prices genuinely differs
+    # from orders' stored tax/discount-adjusted total, so a wrong-bias
+    # merge cannot hash-match.
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+           ROUND(SUM(l.l_extendedprice), 2) AS o_totalprice,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderstatus
+    ORDER BY o.o_orderkey
+    """,
+    doc=(
+        "Map-side record merge (pipeline.merge_records, J3): catalog "
+        "rows + enrichment rows by key, enrichment right-bias on "
+        "collisions — ref fetch_raw_data.py:88-93 dict-merge semantics."
+    ),
+)
+def q82_merge_records(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import merge_records
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    enrich = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("o_totalprice"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return merge_records(orders, enrich, key="o_orderkey").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------- Q83: LLM clean
+@register(
+    "q83_llm_clean",
+    # U1 upgrade from tests-only to hash-checked: a DETERMINISTIC
+    # injected clean_fn (uppercase; raise on chunks starting 'slow')
+    # makes the all-or-nothing-per-video contract SQL-expressible —
+    # failed videos must surface their ORIGINAL chunks, cleaned videos
+    # the transformed ones, verified by md5 over the ordered concat.
+    oracle="""
+    WITH v AS (SELECT doc_id % 50 AS video_id, doc_id, text FROM documents),
+    g AS (
+        SELECT video_id,
+               NOT bool_or(text LIKE 'slow%') AS clean_ok,
+               md5(string_agg(text, '|' ORDER BY text, doc_id)) AS orig_md5,
+               md5(string_agg(upper(text), '|' ORDER BY text, doc_id)) AS clean_md5
+        FROM v GROUP BY video_id
+    )
+    SELECT video_id, clean_ok,
+           CASE WHEN clean_ok THEN clean_md5 ELSE orig_md5 END AS chunks_md5
+    FROM g ORDER BY video_id
+    """,
+    doc=(
+        "LLM cleaning connector (operators/llm_clean.py, U1): "
+        "applyInPandas all-or-nothing per video with the deterministic "
+        "uppercase stand-in for the injected LLM; failure keeps original "
+        "chunks + clean_ok=false (ref clean_locally.py:57-76)."
+    ),
+)
+def q83_llm_clean(spark, sf_dir):
+    from kfai_pipeline_spark.operators.llm_clean import clean_chunks_grouped
+
+    def upper_failing(text: str, metadata: dict) -> str:
+        if text.startswith("slow"):
+            raise ValueError("llm failed on chunk")
+        return text.upper()
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("video_id"),
+            F.struct(
+                F.col("text").alias("text"),
+                F.col("doc_id").cast("double").alias("start"),
+            ).alias("chunk"),
+        )
+        .groupBy("video_id")
+        .agg(F.sort_array(F.collect_list("chunk")).alias("transcript_chunks"))
+    )
+    cleaned = clean_chunks_grouped(vids, upper_failing, key="video_id")
+    return cleaned.select(
+        "video_id",
+        "clean_ok",
+        F.md5(
+            F.concat_ws(
+                "|", F.transform("transcript_chunks", lambda c: c["text"])
+            )
+        ).alias("chunks_md5"),
+    ).orderBy("video_id")
+
+
+# ---------------------------------------------------------------- Q84: funnel
+@register(
+    "q84_funnel",
+    # Ordered-step funnel over the events stream: first view, first
+    # click strictly after it, first purchase strictly after that.
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT '2_click', COUNT(*) FROM s2
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+    ORDER BY stage
+    """,
+    doc=(
+        "Sequential conversion funnel (events analytics): per-stage "
+        "user counts with strict event-time ordering between stages; "
+        "three key-partitioned aggregates + equi joins, no window over "
+        "the full stream."
+    ),
+)
+def q84_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    count_stage = lambda df, label: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit(label).alias("stage"), "n_users")
+    return (
+        count_stage(s1, "1_view")
+        .unionAll(count_stage(s2, "2_click"))
+        .unionAll(count_stage(s3, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------- Q85: retention
+@register(
+    "q85_retention",
+    # Weekly cohort retention: cohort = week of a user's first event;
+    # a user counts in week-offset k if any event falls k calendar
+    # weeks after the cohort week. Cohort weeks rendered as strings so
+    # both engines agree on the type.
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               datediff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS wk
+        FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, wk, COUNT(*) AS n_users
+    FROM act GROUP BY cohort_week, wk
+    ORDER BY cohort_week, wk
+    """,
+    doc=(
+        "Weekly cohort retention (events analytics): first-activity "
+        "cohorts x week offsets; one aggregate for cohorts, an equi "
+        "join back to events, then a distinct + count — all key-"
+        "partitioned, no per-user window."
+    ),
+)
+def q85_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.to_date(F.col("cohort")),
+                )
+                / F.lit(7)
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "wk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "wk")
+    )
