@@ -1387,3 +1387,109 @@ def q85_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "wk")
     )
+
+
+# ---------------------------------------------------------------- Q86: integrity + DLQ
+@register(
+    "q86_integrity_deadletter",
+    # A6 + I3 upgrade from tests-only to hash-checked: the cleaned side
+    # drops over-length chunks (count mismatch) and every 7th video
+    # entirely (missing key); integrity_check must flag exactly those,
+    # and split_dead_letter must route them.
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id % 40 AS video_id, COUNT(*) AS n_raw
+        FROM documents GROUP BY doc_id % 40
+    ),
+    cln AS (
+        SELECT doc_id % 40 AS video_id, COUNT(*) AS n_cleaned
+        FROM documents
+        WHERE n_chars <= 500 AND (doc_id % 40) % 7 <> 0
+        GROUP BY doc_id % 40
+    ),
+    j AS (
+        SELECT COALESCE(r.video_id, c.video_id) AS video_id,
+               r.n_raw, c.n_cleaned,
+               (r.n_raw IS NOT NULL AND c.n_cleaned IS NOT NULL
+                AND r.n_raw = c.n_cleaned) AS ok
+        FROM raw r FULL JOIN cln c ON r.video_id = c.video_id
+    )
+    SELECT CASE WHEN ok THEN 'good' ELSE 'dead' END AS route,
+           video_id, n_raw, n_cleaned, ok
+    FROM j ORDER BY video_id
+    """,
+    doc=(
+        "Integrity count-equality + dead-letter routing "
+        "(pipeline.integrity_check A6, split_dead_letter I3): per-video "
+        "raw-vs-cleaned chunk counts full-joined, ok=false routed to the "
+        "dead side — ref transformers/utils/helpers.py:38-70."
+    ),
+)
+def q86_integrity_deadletter(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import (
+        integrity_check,
+        split_dead_letter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "video_id", F.col("doc_id") % 40
+    )
+    as_chunks = lambda d: d.groupBy("video_id").agg(  # noqa: E731
+        F.collect_list("text").alias("transcript_chunks")
+    )
+    raw = as_chunks(docs)
+    cleaned = as_chunks(
+        docs.where((F.col("n_chars") <= 500) & (F.col("video_id") % 7 != 0))
+    )
+    checked = integrity_check(raw, cleaned, key="video_id")
+    good, dead = split_dead_letter(checked, ok_col="ok")
+    tag = lambda d, r: d.select(  # noqa: E731
+        F.lit(r).alias("route"), "video_id", "n_raw", "n_cleaned", "ok"
+    )
+    return tag(good, "good").unionAll(tag(dead, "dead")).orderBy("video_id")
+
+
+# ---------------------------------------------------------------- Q87: composite resume
+@register(
+    "q87_composite_resume",
+    # J5 upgrade from tests-only to hash-checked: resume at the
+    # composite (user_id, event_type) grain against work done before
+    # the cutoff, with a broadcast skip list on the leading key —
+    # db − (processed ∪ skip), ref fetch_raw_data.py:53-67 +
+    # build_vector_store.py:78-80.
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    WHERE NOT EXISTS (
+            SELECT 1 FROM events d
+            WHERE d.ts < TIMESTAMP '2024-01-10 00:00:00'
+              AND d.user_id = e.user_id AND d.event_type = e.event_type
+          )
+      AND e.user_id % 31 <> 0
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc=(
+        "Composite-key resume (pipeline.new_work, J5/J4/I2): left anti "
+        "on (user_id, event_type) vs the pre-cutoff done set, then a "
+        "broadcast left anti on the user skip list."
+    ),
+)
+def q87_composite_resume(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import new_work
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    done = ev.where(F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+    skip = (
+        ev.select("user_id").where(F.col("user_id") % 31 == 0).dropDuplicates()
+    )
+    todo = new_work(ev, done, keys=["user_id", "event_type"], skip=skip)
+    return (
+        todo.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -84,6 +84,17 @@ SECTIONS = [
         "per-key state bounded by the watermark.",
     ),
     (
+        "q80_rolling_range",
+        "Time-range rolling aggregate (X23)",
+        "Trailing 1-hour count/sum per user as a RANGE frame over exact "
+        "epoch-microsecond ordering: one `hashpartitioning(user_id)` exchange "
+        "and a SINGLE `Window` operator computing both aggregates (machine-"
+        "asserted). The relational alternative — a range self-join plus "
+        "re-aggregate — shuffles the events table twice and duplicates every "
+        "row once per window hit; at 100 TB the window form shuffles each row "
+        "exactly once.",
+    ),
+    (
         "q52_multimodal_meta",
         "Multimodal binary metadata (X5)",
         "The typed-metadata layer over an opaque binary column stays entirely "

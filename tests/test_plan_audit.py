@@ -287,7 +287,16 @@ def test_q80_rolling_is_window_not_self_join(spark):
     """The RANGE-frame rolling aggregate must plan as a single Window
     over one exchange on the key — never a range self-join (which
     duplicates every row once per window hit)."""
-    p = plan(spark, "q80_rolling_range")
+    # Build a FRESH plan (not the registry memo): once the oracle test
+    # has executed q80, .explain renders the AQE final plan and the
+    # operator/exchange counts below would see materialized stages.
+    from kfai_pipeline_spark.queries.extensions import q80_rolling_range
+
+    df = q80_rolling_range(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "Window" in p
     assert "Join" not in p, "rolling agg must not expand into a self-join"
     assert p.count("hashpartitioning(user_id") == 1, "one key shuffle only"
