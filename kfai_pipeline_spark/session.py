@@ -76,7 +76,9 @@ def get_spark(
         #    slow-down on the 5-table join). Fact tables must never ride the
         #    auto threshold. --
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS); read as long, catalog converts
+        # Legacy-fixture compat: older events.parquet drops stored
+        # TIMESTAMP(NANOS) (read as long, catalog converts); the current
+        # micros/NTZ drop ignores this conf entirely.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -24,9 +24,10 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
-    """Events with proper TimestampType, written as a parquet directory
-    (the fixture file stores TIMESTAMP(NANOS) which streaming reads as
-    long — materialize the converted form once)."""
+    """Events re-written as a multi-file parquet directory via
+    ``load_table`` (which normalizes legacy nanos fixtures; current
+    micros/NTZ fixtures pass through) so the file stream source has
+    several files to trigger on."""
     out = str(tmp_path_factory.mktemp("events_stream"))
     load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(out)
     return out
