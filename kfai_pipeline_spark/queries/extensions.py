@@ -1493,3 +1493,47 @@ def q87_composite_resume(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- Q88: skip-list file
+@register(
+    "q88_skiplist_roundtrip",
+    # S6 upgrade from tests-only to hash-checked: the JSON side file is
+    # actually written and re-read (save -> load -> broadcast anti), so
+    # the persisted control-metadata path itself is what's verified.
+    oracle="""
+    SELECT lang, COUNT(*) AS n
+    FROM documents WHERE doc_id % 17 <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Skip-list side file roundtrip (sources/skip_list.py, S6/I3/P4): "
+        "persist failed ids as the reference's JSON array "
+        "(ref fetch_raw_data.py:20-39,106-117), reload, filter via "
+        "broadcast anti join."
+    ),
+)
+def q88_skiplist_roundtrip(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from kfai_pipeline_spark.sources.skip_list import (
+        filter_skipped,
+        load_skip_set,
+        save_skip_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("doc_id").cast("string").alias("video_id"), "lang"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"kfai_q88_{tag}", "skip.json")
+    save_skip_set(docs.where(F.col("doc_id") % 17 == 0).select("video_id"), path)
+    skip = load_skip_set(spark, path)
+    return (
+        filter_skipped(docs, skip)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
