@@ -24,12 +24,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join. Returns ``left`` columns plus the right-side
     ``value_cols`` (coalesced carry-forward, NULL if no prior right row).
 
     Ties (right_ts == left_ts) match, with right rows sorting before left
     rows at the same timestamp.
+
+    ``tolerance_seconds`` bounds the lookback like
+    ``pd.merge_asof(tolerance=...)``: a matched right row older than
+    ``left_ts - tolerance`` yields NULLs instead. Implemented as a
+    post-carry filter — the carried match timestamp rides along as one
+    extra column, so the plan shape (one shuffle, one window) is
+    unchanged.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
 
@@ -39,6 +47,7 @@ def asof_join(
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
@@ -46,6 +55,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
     )
 
     w = (
@@ -55,11 +65,30 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "__side",
+        "__ts",
         "__left",
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in value_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
     )
-    out = carried.where(F.col("__side") == 1).select(
+    matched = carried.where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        from kfai_pipeline_spark.functions.datetime_fns import epoch_seconds_fn
+
+        secs_l = epoch_seconds_fn(matched, "__ts")
+        secs_r = epoch_seconds_fn(matched, "__r_ts")  # sides may differ in tz-ness
+        # NULL __r_ts (no match at all) makes the condition NULL -> NULLs
+        within = secs_l(F.col("__ts")) - secs_r(F.col("__r_ts")) <= F.lit(
+            float(tolerance_seconds)
+        )
+        matched = matched.select(
+            "__side",
+            "__left",
+            *[
+                F.when(within, F.col(f"__r_{c}")).alias(f"__r_{c}")
+                for c in value_cols
+            ],
+        )
+    return matched.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in value_cols],
     )
-    return out

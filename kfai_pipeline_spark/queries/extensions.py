@@ -1537,3 +1537,44 @@ def q88_skiplist_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- Q89: as-of tolerance
+@register(
+    "q89_asof_tolerance",
+    # J8 extension: pd.merge_asof(tolerance=...)-style bounded lookback.
+    # DuckDB has ASOF but no tolerance, so the oracle post-filters the
+    # matched timestamp — matched-but-stale rows must surface NULLs,
+    # exactly what the Spark arm's post-carry filter produces.
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           CASE WHEN v.ts >= p.ts - INTERVAL 2 HOUR THEN v.event_id END AS view_id,
+           CASE WHEN v.ts >= p.ts - INTERVAL 2 HOUR THEN v.ts END AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY purchase_id
+    """,
+    doc=(
+        "As-of join with tolerance (J8+, operators.asof): latest prior "
+        "view per purchase only if within 2 hours — the bounded-lookback "
+        "form every feature-at-prediction-time pipeline needs. Same "
+        "one-shuffle carry-forward plan; tolerance is a post-carry filter."
+    ),
+)
+def q89_asof_tolerance(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts",
+        value_cols=["view_id", "view_ts"], tolerance_seconds=7200,
+    )
+    return joined.select("purchase_id", "user_id", "view_id", "view_ts").orderBy(
+        "purchase_id"
+    )
