@@ -924,7 +924,7 @@ def q55_minhash_md5(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           ROUND(AVG(n_events), 2) AS avg_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
            ROUND(AVG(session_len), 2) AS avg_len
     FROM per_session GROUP BY user_id ORDER BY user_id
     """,
@@ -945,7 +945,11 @@ def q54_sessionize_terminator(spark, sf_dir):
         sessions.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("n_events"), 2).alias("avg_events"),
+            # SUM not AVG: a mean of small integers lands on exact .xx5
+            # decimals (e.g. 82/80 = 1.025) where Spark's HALF_UP
+            # BigDecimal round and DuckDB's float round disagree — the
+            # integer total carries the same information exactly.
+            F.sum("n_events").alias("total_events"),
             F.round(F.avg(F.col("end_s") - F.col("start_s")), 2).alias("avg_len"),
         )
         .orderBy("user_id")
