@@ -242,24 +242,55 @@ def cosine_topk_lsh(
 # --------------------------------------------------------------------------
 
 
-def _centroid_dots(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of dot(vec, centroid_i) — one codegen stage, no join.
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Append the 0-based nearest-centroid id (max dot; first wins on
+    ties — for unit vectors max dot == max cosine, i.e. spherical
+    k-means assignment). NULL vectors get a NULL cluster id.
 
-    Centroids are embedded as literals: k*dim doubles in the plan. Fine
-    for routing-scale k (<= a few thousand); beyond that, switch to a
-    broadcast join + window argmax.
+    Scale shape: the centroid matrix ships ONCE per executor as a Spark
+    broadcast variable and each Arrow batch scores with a single
+    ``V @ C.T`` matmul + row argmax. The plan holds zero centroid
+    literals, so plan size and compile time are O(1) in k*dim — a
+    production IVF (k≈4096, dim≈1024) is a 32 MB broadcast, not ~4M
+    expression nodes. (An earlier revision embedded centroids as
+    ``F.lit`` trees; that plan stops compiling at routing-scale k.)
+    ``numpy.argmax``'s first-max tie-break matches the previous
+    ``array_position(dots, array_max(dots))`` semantics exactly.
     """
-    return F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
+    import numpy as np
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based id of the max-dot centroid (first wins on ties).
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.array(centroids, dtype=np.float64)
+    )
+    # copy the field list — df.schema is a cached object and
+    # StructType.add mutates in place, which would corrupt the input df
+    out_schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
 
-    For unit vectors max dot == max cosine == min angle, so this is
-    spherical-k-means assignment.
-    """
-    dots = _centroid_dots(vec, centroids)
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    def kernel(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            out = np.full(len(pdf), None, dtype=object)
+            if mask.any():
+                V = np.array(vals[mask].tolist(), dtype=np.float64)
+                out[mask] = np.argmax(V @ C.T, axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(out, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def kmeans_centroids(
@@ -273,42 +304,68 @@ def kmeans_centroids(
 
     Init is the first ``n_clusters`` rows in ``id_col`` order (no RNG —
     reproducible across runs/partitionings). Each iteration is one
-    data-parallel pass: assignment happens JVM-side against literal
-    centroids; the elementwise mean reduces via posexplode ->
-    groupBy(cluster, pos) — a single shuffle of |corpus|*dim scalar
-    rows with map-side partial aggregation. Only k*dim floats ever
-    reach the driver. IVF needs well-spread centroids, not converged
-    ones — 3 iterations is the standard routing tradeoff.
+    data-parallel pass: every partition assigns its vectors with one
+    broadcast-numpy matmul (see :func:`assign_clusters`) and emits ONE
+    partial (cluster, count, sum-vector) row per non-empty cluster, so
+    the shuffle carries O(partitions * k * dim) scalars instead of
+    |corpus| * dim — at 100 TB that is the difference between a
+    kilobyte-scale reduce and re-shuffling the corpus every iteration.
+    Only k*dim floats ever reach the driver. IVF needs well-spread
+    centroids, not converged ones — 3 iterations is the standard
+    routing tradeoff.
     """
+    import numpy as np
+
     normed = vectors.select(
         F.col(id_col).alias("__id"), l2_normalize(_as_double(vec_col)).alias("__v")
     ).where(F.col("__v").isNotNull())
     init_rows = normed.orderBy("__id").limit(n_clusters).select("__v").collect()
     centroids = [list(r["__v"]) for r in init_rows]
+    sc = vectors.sparkSession.sparkContext
 
     for _ in range(iters):
-        assigned = normed.select(
-            _nearest_centroid(F.col("__v"), centroids).alias("__c"),
-            F.posexplode("__v").alias("__pos", "__x"),
-        )
-        mean_rows = (
-            assigned.groupBy("__c", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("__c")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
-                    lambda s: s["__m"],
-                ).alias("__centroid")
+        bc = sc.broadcast(np.array(centroids, dtype=np.float64))
+
+        def partials(batches):
+            import pandas as pd
+
+            C = bc.value
+            k, d = C.shape
+            sums = np.zeros((k, d), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                assign = np.argmax(V @ C.T, axis=1)
+                np.add.at(sums, assign, V)
+                counts += np.bincount(assign, minlength=k)
+            live = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "__c": live.astype("int32"),
+                    "__n": counts[live],
+                    "__s": [sums[c].tolist() for c in live],
+                }
             )
+
+        agg_rows = (
+            normed.select("__v")
+            .mapInPandas(partials, schema="__c int, __n bigint, __s array<double>")
+            .select("__c", "__n", F.posexplode("__s").alias("__pos", "__x"))
+            .groupBy("__c", "__pos")
+            .agg(F.sum("__x").alias("__sx"), F.sum("__n").alias("__cnt"))
             .collect()
         )
+        dim = len(centroids[0])
         new_centroids = list(centroids)  # empty clusters keep their old centroid
-        for r in mean_rows:
-            v = list(r["__centroid"])
+        acc: dict[int, list[float]] = {}
+        for r in sorted(agg_rows, key=lambda r: (r["__c"], r["__pos"])):
+            acc.setdefault(r["__c"], [0.0] * dim)[r["__pos"]] = r["__sx"] / r["__cnt"]
+        for c, v in acc.items():
             n = math.sqrt(sum(x * x for x in v))
             if n > 0:
-                new_centroids[r["__c"]] = [x / n for x in v]
+                new_centroids[c] = [x / n for x in v]
         centroids = new_centroids
     return centroids
 
@@ -322,12 +379,15 @@ def ivf_index(
     """(id, unit vector, cluster_id) — the inverted file.
 
     Persist with ``.write.partitionBy("cluster_id")`` and probe-time
-    cluster filters become parquet partition pruning.
+    cluster filters become parquet partition pruning. Assignment is the
+    broadcast-numpy path (:func:`assign_clusters`) — plan size stays
+    O(1) in k*dim.
     """
-    return vectors.select(
+    normed = vectors.select(
         F.col(id_col),
         l2_normalize(_as_double(vec_col)).alias("__v"),
-    ).withColumn("cluster_id", _nearest_centroid(F.col("__v"), centroids))
+    )
+    return assign_clusters(normed, centroids, "__v", "cluster_id")
 
 
 def save_ivf_index(
@@ -373,29 +433,43 @@ def ivf_probe_topk(
     ``nprobe`` nearest clusters; the (query, cluster) pairs broadcast,
     so the index never shuffles — and on a persisted index the
     cluster_id equi-join prunes to the probed partitions' files."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     qn = queries.select(
         F.col(query_id_col).alias("__qid"),
         l2_normalize(_as_double(query_vec_col)).alias("__qv"),
     )
-    cdots = _centroid_dots(F.col("__qv"), centroids)
-    # top-nprobe cluster ids per query: ascending sort on (-dot, cluster)
-    # = dot desc with deterministic low-id tie-break
-    probes = qn.select(
-        "__qid",
-        "__qv",
-        F.explode(
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        cdots,
-                        lambda d, i: F.struct((-d).alias("nd"), i.alias("c")),
-                    )
-                ),
-                1,
-                nprobe,
-            )["c"]
-        ).alias("cluster_id"),
+    # top-nprobe cluster ids per query: broadcast-numpy routing (zero
+    # centroid literals in the plan — O(1) plan size in k*dim). Stable
+    # argsort on -dot = dot desc with deterministic low-id tie-break,
+    # matching the assignment kernel's argmax. NULL (zero-norm) query
+    # vectors emit no probe rows, as explode(NULL) did before.
+    bc = queries.sparkSession.sparkContext.broadcast(
+        np.array(centroids, dtype=np.float64)
     )
+    probe_schema = StructType(
+        qn.schema.fields + [StructField("cluster_id", IntegerType())]
+    )
+    np_ = min(nprobe, len(centroids))
+
+    def route(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = pdf["__qv"].notna().to_numpy()
+            sub = pdf[mask]
+            if not len(sub):
+                continue
+            V = np.array(sub["__qv"].tolist(), dtype=np.float64)
+            order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :np_]
+            out = sub.iloc[np.repeat(np.arange(len(sub)), np_)].copy()
+            out["cluster_id"] = order.ravel().astype("int32")
+            yield out
+
+    probes = qn.mapInPandas(route, schema=probe_schema)
     score = dot(F.col("__v"), F.col("__qv"))
     if round_to is not None:
         score = F.round(score, round_to)

@@ -132,6 +132,42 @@ def test_persisted_index_prunes_and_matches(spark, tmp_path):
     assert "cluster_id" in p.split("PartitionFilters")[1].splitlines()[0]
 
 
+def test_plan_size_flat_in_centroid_count(spark):
+    """Assignment/probe plans must hold ZERO centroid literals: a
+    production IVF (k~4096, dim~1024) is a broadcast variable, not
+    millions of expression nodes. Guard: the formatted plan for a
+    k=1024 index is the same size as for k=8 (same operators, same
+    expressions — only the broadcast payload differs)."""
+    import contextlib
+    import io
+
+    corpus, queries = _corpus_queries(spark)
+    dim = 64
+
+    def plan_chars(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(buf.getvalue())
+
+    def fake_centroids(k):
+        return [[1.0 if i % dim == j else 0.0 for j in range(dim)] for i in range(k)]
+
+    small = plan_chars(S.ivf_index(corpus, fake_centroids(8)))
+    big = plan_chars(S.ivf_index(corpus, fake_centroids(1024)))
+    assert big < small * 1.3 + 200, f"index plan grows with k: {small} -> {big}"
+
+    small_p = plan_chars(
+        S.ivf_probe_topk(S.ivf_index(corpus, fake_centroids(8)), fake_centroids(8), queries, k=5)
+    )
+    big_p = plan_chars(
+        S.ivf_probe_topk(
+            S.ivf_index(corpus, fake_centroids(1024)), fake_centroids(1024), queries, k=5
+        )
+    )
+    assert big_p < small_p * 1.3 + 200, f"probe plan grows with k: {small_p} -> {big_p}"
+
+
 def test_blas_arm_equals_jvm_arm(spark):
     """cosine_topk_blas must return EXACTLY the JVM arm's rows — same
     scores (both double-precision), same (score desc, id asc) tie-break,
