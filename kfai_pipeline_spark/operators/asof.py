@@ -72,13 +72,15 @@ def asof_join(
     )
     matched = carried.where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        from kfai_pipeline_spark.functions.datetime_fns import epoch_seconds_fn
+        from kfai_pipeline_spark.functions.datetime_fns import epoch_micros_fn
 
-        secs_l = epoch_seconds_fn(matched, "__ts")
-        secs_r = epoch_seconds_fn(matched, "__r_ts")  # sides may differ in tz-ness
+        us_l = epoch_micros_fn(matched, "__ts")
+        us_r = epoch_micros_fn(matched, "__r_ts")  # sides may differ in tz-ness
+        # Exact integer-micros compare — double epoch-seconds could in
+        # principle round an exactly-at-tolerance match the wrong way.
         # NULL __r_ts (no match at all) makes the condition NULL -> NULLs
-        within = secs_l(F.col("__ts")) - secs_r(F.col("__r_ts")) <= F.lit(
-            float(tolerance_seconds)
+        within = us_l(F.col("__ts")) - us_r(F.col("__r_ts")) <= F.lit(
+            int(round(tolerance_seconds * 1_000_000))
         )
         matched = matched.select(
             "__side",

@@ -44,7 +44,7 @@ def rolling_time_agg(
     ``[row.ts - duration, row.ts]`` (inclusive both ends, matching the
     SQL RANGE-INTERVAL frame)."""
     micros = epoch_micros_fn(df, ts_col)
-    frame_us = int(duration_seconds * 1_000_000)
+    frame_us = int(round(duration_seconds * 1_000_000))
     # Materialize the ordering key once and express both aggregates over
     # the SAME window spec in one select — Spark then plans a single
     # Window operator (one sort per partition) instead of two stacked

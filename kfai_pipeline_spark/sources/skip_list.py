@@ -32,8 +32,13 @@ def save_skip_set(df: DataFrame, path: str) -> int:
     (thousands of ids at most), not data-plane rows."""
     ids = sorted(r[0] for r in df.select("video_id").distinct().collect())
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
+    # write-then-rename so concurrent readers never see a torn file
+    # (os.replace is atomic on POSIX); salt the temp name with the pid
+    # so concurrent writers don't clobber each other's temp.
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(ids, f, indent=4)
+    os.replace(tmp, path)
     return len(ids)
 
 

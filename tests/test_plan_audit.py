@@ -311,10 +311,24 @@ def test_q81_tfidf_total_broadcasts_and_window_is_post_agg(spark):
     p = plan(spark, "q81_tfidf_terms")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
-    # the window must consume the post-aggregate frame: HashAggregate
-    # appears below (= printed after) the Window operator in the tree
-    win_at = p.index("Window")
-    assert "HashAggregate" in p[win_at:], "ranking window must follow aggregation"
+    # The window must consume the post-aggregate frame. Anchor on the
+    # numbered tree lines ("OpName (n)"): formatted-plan ids increase
+    # leaf -> root, so an aggregate feeding the window has a LOWER id
+    # than the window. A bare substring index could match column names
+    # or the details header instead of tree position.
+    import re
+
+    op_ids = [
+        (m.group(1), int(m.group(2)))
+        for m in re.finditer(r"([A-Za-z][A-Za-z]*)\s+\((\d+)\)\s*$", p, re.M)
+    ]
+    win_ids = [v for k, v in op_ids if "Window" in k]
+    agg_ids = [v for k, v in op_ids if "HashAggregate" in k]
+    assert win_ids and agg_ids, f"missing operators in tree: {op_ids}"
+    assert min(agg_ids) < min(win_ids), (
+        "ranking window must consume the aggregated frame "
+        f"(agg ids {agg_ids} vs window ids {win_ids})"
+    )
 
 
 def test_no_accidental_cartesian_anywhere(spark):
