@@ -386,21 +386,81 @@ def q37_chunk_docs(spark, sf_dir):
 
 @register(
     "q38_embed_pipeline",
-    oracle=None,  # encoder is the injected hash stub; determinism asserted in tests
-    doc="Embedding connector (U2): mapInPandas hash-stub encode + self-cosine sanity.",
+    # Full-value oracle: the hash-embed stub is sha256-seeded, and DuckDB
+    # replicates it BIT-EXACTLY — ('0x' || substr(sha256(..),1,16))::UBIGINT
+    # equals Python's int.from_bytes(digest[:8],'big'), and CAST(.. AS
+    # FLOAT) reproduces Arrow's float32 rounding. So the resume-anti-join
+    # -> mapInPandas-encode pipeline is value-checked end to end (dim,
+    # lane-0 component, lane-weighted checksum, self-cosine), upgrading
+    # U2 from rows-only. Lane values: int64(sha256(lane || NUL || text)
+    # [:8]) / 2^63 - 1, unit-normalized, stored float32.
+    oracle="""
+    WITH todo AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM documents d2
+            WHERE d2.doc_id % 7 = 0 AND d2.doc_id = documents.doc_id
+          )
+    ),
+    lanes AS (
+        SELECT doc_id, lane,
+               (('0x' || substr(sha256(lane::VARCHAR || chr(0) || text), 1, 16))::UBIGINT
+                 / 9223372036854775808.0) - 1.0 AS v
+        FROM todo, (SELECT unnest(range(0, 64)) AS lane)
+    ),
+    normed AS (
+        SELECT doc_id, lane,
+               CAST(CAST(v / sqrt(sum(v*v) OVER (PARTITION BY doc_id)) AS FLOAT)
+                    AS DOUBLE) AS e
+        FROM lanes
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS dim,
+           ROUND(max(CASE WHEN lane = 0 THEN e END), 6) AS lane0,
+           ROUND(sum(e * (lane + 1)), 4) AS wsum,
+           ROUND(sum(e * e), 4) AS self_cos
+    FROM normed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Embedding pipeline (U2 + I1 resume): anti-join out the "
+        "already-embedded set, mapInPandas hash-stub encode, value-check "
+        "the vectors against a bit-exact sha256 replica in SQL."
+    ),
 )
 def q38_embed_pipeline(spark, sf_dir):
     from kfai_pipeline_spark.operators.embed import embed_texts
-    from kfai_pipeline_spark.operators.similarity import cosine, _as_double
+    from kfai_pipeline_spark.operators.pipeline import new_work
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
-    emb = embed_texts(docs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    # resume twin: pretend every doc_id % 7 == 0 is already embedded
+    done = docs.where(F.col("doc_id") % 7 == 0)
+    emb = embed_texts(new_work(docs, done, "doc_id"))
+    emb_d = F.col("embedding").cast("array<double>")
+    weighted = F.zip_with(
+        emb_d,
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda x, i: x * i.cast("double"),
+    )
     return emb.select(
         "doc_id",
-        F.size("embedding").alias("dim"),
-        F.round(cosine(_as_double("embedding"), _as_double("embedding")), 4).alias(
-            "self_cos"
-        ),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 6).alias("lane0"),
+        F.round(
+            F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v), 4
+        ).alias("wsum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb_d, emb_d, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("self_cos"),
     ).orderBy("doc_id")
 
 
