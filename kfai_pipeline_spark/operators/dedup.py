@@ -22,6 +22,8 @@ extension surface.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,12 +167,58 @@ def jaccard_verify(
     )
 
 
+def _release_blocks(df: DataFrame) -> None:
+    """Free a frame's executor blocks whether it came from ``persist()``
+    or ``localCheckpoint()``. ``DataFrame.unpersist`` only talks to the
+    cache manager, which does NOT know about checkpoint RDDs (verified:
+    blocks survive it) — those are reachable via the analyzed plan's
+    LogicalRDD and must be unpersisted at the RDD level."""
+    df.unpersist(blocking=True)
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(True)
+    except Exception:  # pragma: no cover - py4j internals shifted; cache
+        pass  # manager already handled the persist() case above
+
+
+class CacheScope:
+    """Tracks DataFrames holding executor memory (persist /
+    localCheckpoint) so a pipeline can release them deterministically —
+    the scale-safety valve for loops over many corpora, where lazily
+    returned plans would otherwise accrete cached partitions forever.
+
+    Used via :func:`minhash_dedup_scoped`; also composable directly:
+    ``scope.add(df.persist())`` then ``scope.release()`` when done.
+    """
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> None:
+        """Blocking-unpersist every tracked frame (idempotent). After
+        this, DataFrames derived from the scope are no longer usable —
+        localCheckpoint cuts lineage, so dropped blocks can't recompute."""
+        for d in self._dfs:
+            _release_blocks(d)
+        self._dfs.clear()
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, scope: CacheScope | None = None
 ) -> DataFrame:
     """(id, component) from undirected edges (id_a, id_b) by iterative
     min-label propagation. Each iteration is one shuffle; lineage is cut
     with localCheckpoint so 100-iteration graphs don't blow the plan.
+    Superseded per-iteration checkpoints are unpersisted as soon as the
+    next one materializes, so peak cache is 2 label frames, not
+    O(iterations). The frames that must outlive the call (edge list +
+    final labels) register with ``scope`` when given, for deterministic
+    release via :meth:`CacheScope.release`.
 
     Converges in O(log n) iterations for typical near-dup graphs (small
     diameter); ``max_iterations`` bounds pathological chains.
@@ -183,12 +231,15 @@ def connected_components(
     # LSH banding / pairwise dot products) re-executes per iteration —
     # the difference between O(pairs) and O(iterations x pairs) work.
     sym = sym.localCheckpoint(eager=True)
+    if scope is not None:
+        scope.add(sym)
 
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -212,10 +263,52 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the compare above was the last consumer of the previous
+        # iteration's checkpoint — drop its blocks now
+        if prev_ckpt is not None:
+            _release_blocks(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break
+    if scope is not None and prev_ckpt is not None:
+        scope.add(prev_ckpt)
     return labels
+
+
+def _minhash_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    scope: CacheScope | None,
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    # shingles feed BOTH the signature build and the exact-Jaccard verify
+    # — persist once (memory, spill to disk) instead of recomputing the
+    # explode+dedup lineage twice
+    shingles = word_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if scope is not None:
+        scope.add(shingles)
+    sigs = minhash_signatures(shingles, id_col, num_hashes)
+    cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
+    dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
+    comps = connected_components(dup_edges.select("id_a", "id_b"), scope=scope)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
 
 
 def minhash_dedup(
@@ -229,31 +322,45 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id, component) for
     every document, where near-duplicates share a component (singletons
-    keep their own id). Keep one doc per component to dedup."""
-    from pyspark import StorageLevel
+    keep their own id). Keep one doc per component to dedup.
 
-    rows_per_band = num_hashes // bands
-    # shingles feed BOTH the signature build and the exact-Jaccard verify
-    # — persist once (memory, spill to disk) instead of recomputing the
-    # explode+dedup lineage twice
-    shingles = word_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    NOTE: the returned plan is lazy and references a persisted shingle
+    cache plus component checkpoints; they stay resident until session
+    teardown or ``spark.catalog.clearCache()``. A pipeline LOOPING over
+    corpora should use :func:`minhash_dedup_scoped` instead, which
+    releases all of it deterministically on exit."""
+    return _minhash_components(
+        df, text_col, id_col, shingle_n, num_hashes, bands, threshold, scope=None
     )
-    sigs = minhash_signatures(shingles, id_col, num_hashes)
-    cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
-    dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
-    # NOTE: no unpersist here — the returned plan is lazy and still
-    # references the persisted shingles; callers may evict via
-    # spark.catalog.clearCache() after materializing.
-    comps = connected_components(dup_edges.select("id_a", "id_b"))
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return (
-        all_ids.join(comps, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id")).alias("component"),
+
+
+@contextmanager
+def minhash_dedup_scoped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+):
+    """Scoped twin of :func:`minhash_dedup`: yields the (id, component)
+    frame; on exit every block the pipeline cached (shingles, the edge
+    checkpoint, the final label checkpoint) is blocking-unpersisted.
+    Materialize (write / collect / convert) INSIDE the ``with`` — the
+    checkpoints cut lineage, so the frame cannot recompute after
+    release::
+
+        with minhash_dedup_scoped(docs) as comps:
+            comps.write.parquet(out)   # nothing left cached afterwards
+    """
+    scope = CacheScope()
+    try:
+        yield _minhash_components(
+            df, text_col, id_col, shingle_n, num_hashes, bands, threshold, scope=scope
         )
-    )
+    finally:
+        scope.release()
 
 
 # ---------------------------------------------------------------- simhash
@@ -381,6 +488,7 @@ def embedding_neardup_pairs(
     bands: int = 16,
     rows_per_band: int = 2,
     seed: int = 42,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -410,14 +518,17 @@ def embedding_neardup_pairs(
         # Both sides of the self-join branch from this frame; without the
         # persist each branch re-computes every hyperplane dot product
         # (bands*rows_per_band HOF dots per row — the expensive part).
-        # Same idiom as minhash_dedup's shingle persist; no unpersist for
-        # the same lazy-plan reason noted there.
+        # Same idiom as minhash_dedup's shingle persist; pass ``scope``
+        # (CacheScope) to release it deterministically after
+        # materializing, as minhash_dedup_scoped does.
         bucketed = v.select(
             F.col(id_col), "__v",
             F.explode(_band_signatures(F.col("__v"), planes, bands, rows_per_band)).alias(
                 "__sig"
             ),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        if scope is not None:
+            scope.add(bucketed)
         a = bucketed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__sig")
         b = bucketed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__sig")
         pairs = (

@@ -82,6 +82,29 @@ def test_minhash_dedup_components(spark, dup_docs):
     assert len(set(singles)) == 40  # perturbed docs stay singletons at 0.7
 
 
+def test_minhash_dedup_scoped_releases_all_blocks(spark, dup_docs):
+    """The scoped variant must leave NOTHING resident: shingle persist,
+    the components edge checkpoint, and the label checkpoints all drop
+    on exit — the API contract that makes looping over corpora safe.
+    (localCheckpoint blocks are invisible to DataFrame.unpersist; the
+    scope frees them at the RDD level.)"""
+    jsc = spark.sparkContext._jsc
+
+    def resident_ids() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    dup_docs.count()  # materialize the fixture's own .cache() first
+    # compare RDD-id SETS, not counts: earlier tests' checkpoint blocks
+    # may be GC-reaped asynchronously mid-test and would skew a total
+    base = resident_ids()
+    with D.minhash_dedup_scoped(dup_docs, "text", "doc_id", threshold=0.7) as comps:
+        by_id = {r["doc_id"]: r["component"] for r in comps.collect()}
+        assert by_id[100] == by_id[101] == by_id[102] == 100  # same answer as unscoped
+        assert resident_ids() - base, "pipeline should be using the cache inside the scope"
+    leaked = resident_ids() - base
+    assert not leaked, f"scope exit must release every cached/checkpointed block: {leaked}"
+
+
 def test_simhash_identical_and_hamming(spark, dup_docs):
     sigs = D.simhash(dup_docs, "text", "doc_id")
     by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
