@@ -11,7 +11,8 @@ Stage map (reference menu number -> function):
 | 3 | transcribe_failures.run        | ``transcribe_failed`` — stubbed ASR over audio binaries |
 | 4 | clean_locally.run              | ``transform`` — per-video all-or-nothing clean + integrity |
 | 5 | build_vector_store.run         | ``load`` — explode -> resume anti-join -> embed -> vector parquet |
-| 6 | interactive_qa.run             | ``query`` — RAG plan with injected LLM stubs |
+| 6 | interactive_qa.run             | ``interact`` — CLI QA REPL over the RAG plan (``query`` is the batch form) |
+| 7 | gradio_app.run                 | ``interact_gui`` (stage "8" here; "7" is curate) — optional Gradio chat |
 
 Workspace layout (all under ``workdir``):
     raw/        partitioned video-record JSON (stage 1 + 3 output)
@@ -249,11 +250,64 @@ def query(
     synthesizer,
     k: int = 120,
 ):
-    """Stage 6: the RAG plan over the loaded store."""
+    """Stage 6 (batch form): the RAG plan over the loaded store."""
     from kfai_pipeline_spark.plans.rag import answer_query
 
     store = spark.read.parquet(_dir(workdir, "store"))
     return answer_query(store, question, parser, embedder, synthesizer, k=k)
+
+
+def interact(
+    spark: SparkSession,
+    workdir: str,
+    parser=None,
+    embedder=None,
+    synthesizer=None,
+    k: int = 120,
+    input_fn=input,
+    output_fn=print,
+) -> dict[str, int]:
+    """Stage 6 (interactive form): the reference's CLI QA loop (ref
+    interactive_qa.py:7-36) over the loaded store. LLM boundaries
+    default to the deterministic stubs; production injects real ones.
+    ``input_fn``/``output_fn`` are injectable so tests (and chained
+    runs) can script a session."""
+    from kfai_pipeline_spark.plans import interactive as I
+
+    store = spark.read.parquet(_dir(workdir, "store"))
+    session = I.QueryAgentSession(
+        store,
+        parser=parser or I.default_parser,
+        embedder=embedder,
+        synthesizer=synthesizer or I.default_synthesizer,
+        k=k,
+    )
+    n = I.run_repl(session, input_fn=input_fn, output_fn=output_fn)
+    return {"questions_answered": n}
+
+
+def interact_gui(
+    spark: SparkSession,
+    workdir: str,
+    parser=None,
+    embedder=None,
+    synthesizer=None,
+    k: int = 120,
+) -> None:
+    """Stage 8: the Gradio GUI twin (ref gradio_app.py:8-64; stage 7
+    there — 7 is taken by curate here). Raises NotImplementedError
+    naming the optional dependency when gradio is absent."""
+    from kfai_pipeline_spark.plans import interactive as I
+
+    store = spark.read.parquet(_dir(workdir, "store"))
+    session = I.QueryAgentSession(
+        store,
+        parser=parser or I.default_parser,
+        embedder=embedder,
+        synthesizer=synthesizer or I.default_synthesizer,
+        k=k,
+    )
+    I.run_gradio(session)
 
 
 def curate(
@@ -309,7 +363,9 @@ STAGES = {
     "3": ("transcribe_failed", transcribe_failed),
     "4": ("transform", transform),
     "5": ("load", load),
+    "6": ("interact", interact),
     "7": ("curate", curate),
+    "8": ("interact_gui", interact_gui),
 }
 
 # stages that take the source catalog (1 diffs it, 3 joins metadata back)

@@ -96,6 +96,80 @@ def test_bad_stage_rejected(spark, catalog, workdir):
         app.run_chain(spark, catalog, workdir, "1>9")
 
 
+def test_interactive_repl_two_turn_session(spark, catalog, workdir):
+    """Stage 6 twin of ref interactive_qa.py:22-36: a scripted 2-turn
+    session end-to-end — banner each turn, blank input skipped, 'exit'
+    quits — with citations rendered in the q06/q18 source shape
+    (grouped per video, youtube watch URLs, formatted timestamps)."""
+    app.run_chain(spark, catalog, workdir, "1>4>5")  # idempotent store build
+
+    def parser(q):
+        return ParsedQuery()
+
+    def synth(q, rows):
+        assert rows, "retrieval returned no context"
+        return f"answer to {q}", [Citation(rows[0]["video_id"], rows[0]["start_time"])]
+
+    script = iter(["what did Alpha Show cover?", "   ", "and the second topic?", "exit"])
+    outputs: list[str] = []
+    stats = app.interact(
+        spark,
+        workdir,
+        parser=parser,
+        embedder=hash_embed,
+        synthesizer=synth,
+        input_fn=lambda prompt: next(script),
+        output_fn=outputs.append,
+    )
+    assert stats == {"questions_answered": 2}
+    text = "\n".join(outputs)
+    # banner prints before every read: 2 questions + 1 blank + 1 exit
+    assert outputs.count("\n--- Ask a question, or type 'exit' to quit. ---") == 4
+    assert text.count("Answer:\nanswer to ") == 2  # one per non-empty question
+    assert text.count("Sources:") == 2
+    # q06/q18 citation shape: per-video group with watch URL + m:ss time
+    assert "  Video: " in text
+    assert "https://www.youtube.com/watch?v=" in text
+    assert "  Referenced at: " in text
+    assert "\nExiting..." in outputs[-1]
+
+
+def test_interactive_repl_no_docs_warns(spark, catalog, workdir):
+    """An unanswerable question (predicate matches nothing) must warn
+    and continue, not crash — ref query_agent.py:370-374."""
+
+    def parser(q):
+        return ParsedQuery(shows=["No Such Show Anywhere"])
+
+    script = iter(["unanswerable?", "exit"])
+    outputs: list[str] = []
+    stats = app.interact(
+        spark,
+        workdir,
+        parser=parser,
+        embedder=hash_embed,
+        input_fn=lambda prompt: next(script),
+        output_fn=outputs.append,
+    )
+    assert stats == {"questions_answered": 0}
+    assert any("WARNING: No documents found" in o for o in outputs)
+
+
+def test_interactive_gui_optional_dependency():
+    """Stage 8 builds a ChatInterface when gradio is present; otherwise
+    the guard must raise NotImplementedError naming the dependency."""
+    from kfai_pipeline_spark.plans import interactive as I
+
+    session = object.__new__(I.QueryAgentSession)  # no spark needed for the guard
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="gradio"):
+            I.build_gradio_app(session)
+    else:
+        assert I.build_gradio_app(session) is not None
+
+
 def test_transcribe_failed_recovers_video(spark, catalog, tmp_path):
     # full fallback path (reference stages 2-3): the NULL-transcript
     # video lands in the skip list at extract, its "downloaded" audio
