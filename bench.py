@@ -31,6 +31,15 @@ measuring engine fixed costs, not plan quality.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The line also carries the 10x growth experiment (BASELINE.md §3d) as
+first-class fields, regenerated every round instead of living in
+prose: the same suite runs at sf1 ($SPARK_GRAFT_SF1_DIR, default
+./bench_sf1, skipped when absent), and DuckDB runs every query's
+oracle SQL at both SFs ("duckdb"/"duckdb_total" and the "sf1" object's
+twins). "growth_spark" vs "growth_duckdb" is the marginal-cost
+evidence: fixed per-statement floor dominates Spark at sf0.1, so the
+scaling story lives in how total time GROWS with data.
 """
 
 from __future__ import annotations
@@ -90,31 +99,93 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t)
     floor_sec = round(sorted(floor_runs)[len(floor_runs) // 2], 4)
 
-    timings: dict[str, float] = {}
-    for bench_name, qname in BENCH_QUERIES.items():
-        sql = BENCH_SQL[qname]
-        spark.sql(sql).collect()  # warm-up (codegen JIT, buffer pools)
-        runs = []
-        for _ in range(5):
-            t = time.perf_counter()
-            spark.sql(sql).collect()
-            runs.append(time.perf_counter() - t)
-        timings[bench_name] = round(sorted(runs)[len(runs) // 2], 4)
+    def time_suite(n_runs: int = 5) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for bench_name, qname in BENCH_QUERIES.items():
+            sql = BENCH_SQL[qname]
+            spark.sql(sql).collect()  # warm-up (codegen JIT, buffer pools)
+            runs = []
+            for _ in range(n_runs):
+                t = time.perf_counter()
+                spark.sql(sql).collect()
+                runs.append(time.perf_counter() - t)
+            out[bench_name] = round(sorted(runs)[len(runs) // 2], 4)
+        return out
 
+    def time_duckdb(dir_: str, n_runs: int = 3) -> dict[str, float]:
+        """Median oracle-SQL wall per bench query on the same files."""
+        import duckdb
+
+        from kfai_pipeline_spark.catalog import TABLES
+        from kfai_pipeline_spark.queries import oracle_queries
+
+        oracles = oracle_queries()
+        con = duckdb.connect()
+        for t_ in TABLES:
+            con.execute(f"CREATE VIEW {t_} AS SELECT * FROM '{dir_}/{t_}.parquet'")
+        out: dict[str, float] = {}
+        for bench_name, qname in BENCH_QUERIES.items():
+            sql = oracles[qname]
+            con.execute(sql).fetchall()  # warm-up (buffer pool)
+            runs = []
+            for _ in range(n_runs):
+                t = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t)
+            out[bench_name] = round(sorted(runs)[len(runs) // 2], 4)
+        con.close()
+        return out
+
+    timings = time_suite()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                "init_sec": round(init_sec, 2),
-                "floor_sec": floor_sec,
-            }
-        )
-    )
+    duck = time_duckdb(sf_dir)
+    duck_total = round(sum(duck.values()), 4)
+
+    result = {
+        "metric": "bench_total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "init_sec": round(init_sec, 2),
+        "floor_sec": floor_sec,
+        "duckdb": duck,
+        "duckdb_total": duck_total,
+    }
+
+    # 10x growth arm (BASELINE.md §3d), regenerated per round
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sf1_default = os.path.join(repo_dir, "bench_sf1")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", sf1_default)
+    if sf1_dir == sf1_default and not os.path.isdir(sf1_dir):
+        # the fixture is git-ignored; regenerate deterministically from
+        # sf0.1 on a fresh checkout (~15 s, scripts/make_sf1.py)
+        try:
+            sys.path.insert(0, os.path.join(repo_dir, "scripts"))
+            import make_sf1
+
+            make_sf1.main()
+        except Exception as exc:  # degrade to the sf0.1-only line
+            print(f"sf1 fixture generation failed: {exc}", file=sys.stderr)
+    if os.path.isdir(sf1_dir):
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        register_views(spark, sf1_dir)
+        sf1_timings = time_suite()
+        sf1_total = round(sum(sf1_timings.values()), 4)
+        sf1_duck = time_duckdb(sf1_dir)
+        sf1_duck_total = round(sum(sf1_duck.values()), 4)
+        result["sf1"] = {
+            "queries": sf1_timings,
+            "total": sf1_total,
+            "duckdb": sf1_duck,
+            "duckdb_total": sf1_duck_total,
+            "growth_spark": round(sf1_total / total, 2) if total else None,
+            "growth_duckdb": (
+                round(sf1_duck_total / duck_total, 2) if duck_total else None
+            ),
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
