@@ -43,6 +43,31 @@ from pyspark.sql.types import (
 CHUNK_THRESHOLD_SECONDS = 7200
 
 
+def _require(module: str, pip_name: str, what: str) -> None:
+    """Guard a real-decoder path on its optional dependency, raising
+    with the dependency NAMED so the failure is actionable."""
+    import importlib
+
+    try:
+        importlib.import_module(module)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {what} needs the optional dependency '{pip_name}' "
+            f"(not in this container); pip install {pip_name} or use "
+            "decoder='stub'"
+        ) from exc
+
+
+def _require_binary(name: str, what: str) -> None:
+    import shutil
+
+    if shutil.which(name) is None:
+        raise NotImplementedError(
+            f"real {what} needs the '{name}' binary on PATH (not in this "
+            "container); install it or use decoder='stub'"
+        )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Binary-file source: (path, modificationTime, length, content).
     Spark's built-in ``binaryFile`` format — splittable by file."""
@@ -112,14 +137,19 @@ def image_features(
     """Decode + feature-extract images (X5).
 
     ``decoder="ppm"`` is a REAL kernel (numpy P6 decode; feature =
-    ``feature_dim``-bin normalized grayscale histogram). ``stub``
-    derives deterministic dimensions/features from sha256 — both run
-    the exact mapInPandas batch shape a pillow/opencv kernel would use.
+    ``feature_dim``-bin normalized grayscale histogram).
+    ``decoder="pillow"`` decodes ANY PIL-supported format the same way
+    (guarded: raises naming the dependency when PIL is absent —
+    exercised by the skip-marked integration tests). ``stub`` derives
+    deterministic dimensions/features from sha256 — all three run the
+    exact mapInPandas batch shape an opencv kernel would use.
     """
-    if decoder not in ("stub", "ppm"):
+    if decoder == "pillow":
+        _require("PIL", "pillow", "image decode")
+    elif decoder not in ("stub", "ppm"):
         raise NotImplementedError(
-            "real non-PPM image decode needs pillow/opencv (not in this "
-            "container); plug a decoder via this interface"
+            "unknown image decoder; use 'stub', 'ppm', or 'pillow' "
+            "(pillow requires the optional PIL dependency)"
         )
     import pandas as pd
 
@@ -130,8 +160,15 @@ def image_features(
             out = {"path": [], "width": [], "height": [], "feature": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)
-                if decoder == "ppm":
-                    arr = _parse_ppm(data)
+                if decoder in ("ppm", "pillow"):
+                    if decoder == "ppm":
+                        arr = _parse_ppm(data)
+                    else:
+                        import io
+
+                        from PIL import Image
+
+                        arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
                     hh, ww = arr.shape[:2]
                     gray = arr.astype(np.float64).mean(axis=2)
                     hist, _ = np.histogram(gray, bins=feature_dim, range=(0, 256))
@@ -235,25 +272,59 @@ def transcribe_audio(
     path_col: str = "path",
     chunk_idx_col: str | None = None,
     decoder: str = "stub",
+    whisper_model: str = "tiny",
 ) -> DataFrame:
     """U3 shape: audio binary -> transcript segment rows. The W4 offset
     shift (Whisper chunk i starts at i*7200s, ref
     transcribe_failures.py:87-96) is applied when ``chunk_idx_col`` is
-    given. ``stub`` emits deterministic fake segments; the real kernel
-    would call Whisper per partition with the model loaded once."""
-    if decoder != "stub":
+    given. ``stub`` emits deterministic fake segments;
+    ``decoder="whisper"`` is the REAL kernel (ref
+    transcribe_failures.py:44-58,87-96): guarded on the optional
+    ``openai-whisper`` dependency, model loaded ONCE per partition
+    (``whisper_model`` names the checkpoint), each binary row written to
+    a temp file and transcribed, segments emitted with the same chunk
+    offset — exercised by the skip-marked integration tests."""
+    if decoder == "whisper":
+        _require("whisper", "openai-whisper", "ASR")
+    elif decoder != "stub":
         raise NotImplementedError(
-            "real ASR needs whisper (not in this container); plug via this interface"
+            "unknown ASR decoder; use 'stub' or 'whisper' (whisper "
+            "requires the optional openai-whisper dependency)"
         )
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = None
+        if decoder == "whisper":
+            import whisper
+
+            model = whisper.load_model(whisper_model)  # once per partition
         for pdf in batches:
             out = {"path": [], "chunk_idx": [], "text": [], "start": [], "duration": []}
             for i in range(len(pdf)):
                 path = pdf[path_col].iloc[i]
                 chunk_idx = int(pdf[chunk_idx_col].iloc[i]) if chunk_idx_col else 0
                 content = bytes(pdf[content_col].iloc[i])
+                offset = chunk_idx * CHUNK_THRESHOLD_SECONDS  # W4 shift
+                if model is not None:
+                    import os
+                    import tempfile
+
+                    suffix = os.path.splitext(str(path))[1] or ".wav"
+                    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+                        f.write(content)
+                        tmp = f.name
+                    try:
+                        segments = model.transcribe(tmp)["segments"]
+                    finally:
+                        os.unlink(tmp)
+                    for seg in segments:
+                        out["path"].append(path)
+                        out["chunk_idx"].append(chunk_idx)
+                        out["text"].append(seg["text"].strip())
+                        out["start"].append(round(seg["start"] + offset, 2))
+                        out["duration"].append(round(seg["end"] - seg["start"], 2))
+                    continue
                 h = hashlib.sha256(content).digest()
                 n_segments = 1 + h[0] % 4
                 t = 0.0
@@ -263,7 +334,7 @@ def transcribe_audio(
                     out["chunk_idx"].append(chunk_idx)
                     out["text"].append(f"segment {s} of {h[:4].hex()}")
                     # W4: offset by chunk position in the source media
-                    out["start"].append(round(t + chunk_idx * CHUNK_THRESHOLD_SECONDS, 2))
+                    out["start"].append(round(t + offset, 2))
                     out["duration"].append(round(seg_len, 2))
                     t += seg_len
             yield pd.DataFrame(out)
@@ -304,15 +375,17 @@ def resize_images(
 
     ``decoder="ppm"`` is a REAL kernel: numpy P6 decode ->
     nearest-neighbor index resize -> P6 re-encode into a true binary
-    column. ``stub`` emits a deterministic digest stand-in (string
-    column) so pipelines without real media keep running; any other
-    value names the pillow/opencv dependency a production kernel plugs
-    in.
+    column. ``decoder="pillow"`` resizes ANY PIL-supported format
+    (PNG re-encode; guarded on the optional dependency). ``stub`` emits
+    a deterministic digest stand-in (string column) so pipelines
+    without real media keep running.
     """
-    if decoder not in ("stub", "ppm"):
+    if decoder == "pillow":
+        _require("PIL", "pillow", "image resize")
+    elif decoder not in ("stub", "ppm"):
         raise NotImplementedError(
-            "real non-PPM image resize needs pillow/opencv (not in this "
-            "container); plug a decoder via this interface"
+            "unknown image decoder; use 'stub', 'ppm', or 'pillow' "
+            "(pillow requires the optional PIL dependency)"
         )
     import pandas as pd
 
@@ -333,6 +406,15 @@ def resize_images(
                         b"P6\n%d %d\n255\n" % (target_width, target_height)
                         + resized.tobytes()
                     )
+                elif decoder == "pillow":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data)).convert("RGB")
+                    buf = io.BytesIO()
+                    img.resize((target_width, target_height)).save(buf, format="PNG")
+                    payload = buf.getvalue()
                 else:
                     payload = hashlib.sha256(
                         data + f"|{target_width}x{target_height}".encode()
@@ -343,7 +425,7 @@ def resize_images(
                 out["content"].append(payload)
             yield pd.DataFrame(out)
 
-    schema = RESIZED_PPM_SCHEMA if decoder == "ppm" else RESIZED_IMAGE_SCHEMA
+    schema = RESIZED_PPM_SCHEMA if decoder in ("ppm", "pillow") else RESIZED_IMAGE_SCHEMA
     return df.mapInPandas(run, schema=schema)
 
 
@@ -353,32 +435,78 @@ def sample_frames(
     path_col: str = "path",
     every_n_bytes: int = 1024,
     decoder: str = "stub",
+    fps_seconds: int = 1,
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     (stub: one per ``every_n_bytes`` of payload) with a binary
-    ``frame`` column — the schema/batch shape of a real ffmpeg kernel."""
-    if decoder != "stub":
-        raise NotImplementedError("real frame sampling needs ffmpeg bindings")
+    ``frame`` column. ``decoder="ffmpeg"`` is the REAL kernel: guarded
+    on the ffmpeg binary, each video row writes to a temp file and
+    ``ffmpeg -vf fps=1/fps_seconds`` extracts PNG frames into true
+    binary rows — exercised by the skip-marked integration tests."""
+    if decoder == "ffmpeg":
+        _require_binary("ffmpeg", "frame sampling")
+    elif decoder != "stub":
+        raise NotImplementedError(
+            "unknown frame sampler; use 'stub' or 'ffmpeg' (ffmpeg "
+            "requires the binary on PATH)"
+        )
     import pandas as pd
 
-    schema = StructType(
-        [
-            StructField("path", StringType()),
-            StructField("frame_idx", LongType()),
-            StructField("frame", StructType([StructField("data", StringType())])),
-        ]
-    )
+    if decoder == "ffmpeg":
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("frame_idx", LongType()),
+                StructField("frame", BinaryType()),  # real PNG bytes
+            ]
+        )
+    else:
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("frame_idx", LongType()),
+                StructField("frame", StructType([StructField("data", StringType())])),
+            ]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"path": [], "frame_idx": [], "frame": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                n = max(1, len(bytes(content)) // every_n_bytes)
+                data = bytes(content)
+                if decoder == "ffmpeg":
+                    import glob as globmod
+                    import os
+                    import subprocess
+                    import tempfile
+
+                    suffix = os.path.splitext(str(path))[1] or ".mp4"
+                    with tempfile.TemporaryDirectory() as tmpdir:
+                        src = os.path.join(tmpdir, f"in{suffix}")
+                        with open(src, "wb") as f:
+                            f.write(data)
+                        subprocess.run(
+                            [
+                                "ffmpeg", "-v", "error", "-i", src,
+                                "-vf", f"fps=1/{fps_seconds}",
+                                os.path.join(tmpdir, "f%06d.png"),
+                            ],
+                            check=True,
+                            capture_output=True,
+                        )
+                        frames = sorted(globmod.glob(os.path.join(tmpdir, "f*.png")))
+                        for i, fp in enumerate(frames):
+                            with open(fp, "rb") as f:
+                                out["path"].append(path)
+                                out["frame_idx"].append(i)
+                                out["frame"].append(f.read())
+                    continue
+                n = max(1, len(data) // every_n_bytes)
                 for i in range(n):
                     out["path"].append(path)
                     out["frame_idx"].append(i)
                     out["frame"].append(
-                        {"data": hashlib.sha256(bytes(content) + bytes([i % 256])).hexdigest()[:16]}
+                        {"data": hashlib.sha256(data + bytes([i % 256])).hexdigest()[:16]}
                     )
             yield pd.DataFrame(out)
 
