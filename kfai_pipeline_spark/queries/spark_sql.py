@@ -47,13 +47,19 @@ BENCH_SQL: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    # Fact-FIRST declared order, matching the canonical builder
+    # (relational.py q22): with the dims declared first Catalyst builds
+    # a left-deep tree whose LAST join broadcasts the column-pruned
+    # LINEITEM fact (its 3-column size estimate slips under the 10 MB
+    # threshold) — measured 0.80 s vs 0.59 s at sf0.1. The fact must be
+    # the probe side at every join; declared order is how SQL says so.
     "q22": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM region
-        JOIN nation   ON n_regionkey = r_regionkey
-        JOIN customer ON c_nationkey = n_nationkey
-        JOIN orders   ON o_custkey   = c_custkey
-        JOIN lineitem ON l_orderkey  = o_orderkey
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
