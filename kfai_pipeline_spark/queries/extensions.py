@@ -1642,3 +1642,79 @@ def q89_asof_tolerance(spark, sf_dir):
     return joined.select("purchase_id", "user_id", "view_id", "view_ts").orderBy(
         "purchase_id"
     )
+
+
+# ---------------------------------------------------------------- Q90: cluster assignment
+@register(
+    "q90_cluster_assign",
+    # Oracle-checks the broadcast-numpy nearest-centroid kernel
+    # (similarity.assign_clusters — the IVF/k-means assignment path):
+    # 4 FIXED centroids (embeddings vec_id 0..3), every corpus vector
+    # assigned to its max-cosine centroid with first-wins tie-break.
+    # DuckDB replays it with list_cosine_similarity + a greatest/CASE
+    # argmax; per-cluster counts and a membership checksum make the
+    # result insensitive to row order but sensitive to every single
+    # assignment.
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos
+        FROM embeddings e, cents c
+        WHERE e.vec_id >= 4
+    ),
+    best AS (
+        SELECT vec_id,
+               (SELECT MIN(cid) FROM (
+                   SELECT cid, cos FROM scored s2
+                   WHERE s2.vec_id = s.vec_id
+                     AND s2.cos = (SELECT MAX(cos) FROM scored s3 WHERE s3.vec_id = s.vec_id)
+               )) AS cluster_id
+        FROM scored s
+        GROUP BY vec_id
+    )
+    SELECT cluster_id::BIGINT AS cluster_id,
+           COUNT(*)::BIGINT AS n,
+           SUM(vec_id)::BIGINT AS id_sum
+    FROM best
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc=(
+        "Nearest-centroid assignment (X3 routing kernel, "
+        "operators/similarity.py assign_clusters): broadcast-numpy argmax "
+        "vs a DuckDB cosine-argmax replay — the hash check that the IVF "
+        "rewrite assigns every vector identically to the declarative form."
+    ),
+)
+def q90_cluster_assign(spark, sf_dir):
+    from kfai_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        l2_normalize,
+        _as_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 4 fixed centroids: a bounded driver-side collect by construction
+    cent_rows = (
+        emb.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(l2_normalize(_as_double("embedding")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in cent_rows]
+    corpus = emb.where(F.col("vec_id") >= 4).select(
+        "vec_id", l2_normalize(_as_double("embedding")).alias("__v")
+    )
+    assigned = assign_clusters(corpus, centroids, "__v", "cluster_id")
+    return (
+        assigned.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("cluster_id")
+    )
