@@ -84,7 +84,10 @@ def main() -> None:
             # interactive/bench posture for sub-second queries; the engine
             # default (session.py) keeps AQE on for the 100 TB posture.
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": "8" if sf_num <= 0.1 else "16",
+            # measured minimum for sub-second shuffles: 4 at sf0.1
+            # (vs 8: -28% total — fewer task launches), 8 at sf1; at
+            # cluster scale AQE coalesce makes this knob self-sizing.
+            "spark.sql.shuffle.partitions": "4" if sf_num <= 0.1 else "8",
             # Split the single-file-per-table fixtures so scans
             # parallelize: at the 128 MB default the 10.8 MB sf0.1
             # lineitem is ONE task and the whole b2 probe runs on 1 of
@@ -179,7 +182,7 @@ def main() -> None:
         except Exception as exc:  # degrade to the sf0.1-only line
             print(f"sf1 fixture generation failed: {exc}", file=sys.stderr)
     if os.path.isdir(sf1_dir):
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
         register_views(spark, sf1_dir)
         sf1_timings = time_suite()
