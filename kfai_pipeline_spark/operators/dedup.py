@@ -59,7 +59,7 @@ def word_shingles(
     text_col: str,
     id_col: str,
     n: int = 3,
-    repartition_to: int | None = None,
+    repartition_to: int | str | None = "auto",
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -70,11 +70,17 @@ def word_shingles(
     (interpreted higher-order functions), so its parallelism is pinned
     to the SCAN's split count. Parquet can't split below row-group
     boundaries — a small/few-row-group input runs the whole transform
-    on a handful of cores. Pass the cluster's core count to force a
-    redistribute first (measured 5x at sf1 on local[32], where the
-    fixture reads as 2 partitions); leave None when the scan is already
-    wide, which a 100 TB table is by construction.
+    on a handful of cores. The default ``"auto"`` widens the input to
+    ``defaultParallelism`` only when it arrives narrower than half of
+    it (measured: the sf1 fixture reads as 2 partitions and shingling
+    50k docs took 38 s on 2 of 32 cores; widened it's one narrow
+    shuffle then full-core transform). A 100 TB table is already wide,
+    so auto is a no-op there; pass None to force passthrough or an int
+    to pin it.
     """
+    if repartition_to == "auto":
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
     if repartition_to:
         df = df.repartition(repartition_to)
     words = F.split(F.col(text_col), r"\s+")
@@ -381,6 +387,12 @@ def simhash(
     hash-checked twins (q50); production keeps the one-op JVM hash.
     """
     hash_fn = hash_fn or F.xxhash64
+    # same narrow-input widening as word_shingles: the per-word explode
+    # + 64 bit-aggregates are CPU-heavy and otherwise pinned to the
+    # scan's split count
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores // 2:
+        df = df.repartition(cores)
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
