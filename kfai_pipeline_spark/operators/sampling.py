@@ -183,3 +183,38 @@ def mixture_upsample(
             | (F.pmod(h, F.lit(denom)) < frac * denom)
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    salt: str = "epoch0",
+    hash_fn: Callable[[Column], Column] | None = None,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort:
+    every row gets a (shard, position-within-shard) that is a pure
+    function of (key, salt) — change ``salt`` per epoch for a fresh
+    permutation, rerun anywhere for byte-identical order.
+
+    Scale shape: a global ORDER BY rand() is a full-corpus range
+    shuffle through ONE sort — the classic 100 TB anti-pattern for
+    training-order generation. Here the hash assigns shards map-side
+    (narrow), and ordering exists only WITHIN each shard (one window
+    per shard partition) — exactly what a sharded data loader needs,
+    since readers consume shards independently. One shuffle on the
+    shard key, O(|shard|) state per task.
+
+    Uses the same stable-key hashing contract as :func:`hash_sample`
+    (layout-independent; default xxhash64, md5_long for oracle twins).
+    """
+    h = (hash_fn or _DEFAULT_HASH)(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__ord"), F.col(key_col))
+    return (
+        df.withColumn("__ord", h)
+        .withColumn(shard_col, F.pmod(F.col("__ord"), F.lit(n_shards)).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__ord")
+    )

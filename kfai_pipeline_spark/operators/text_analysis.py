@@ -350,3 +350,62 @@ def tfidf_top_terms(
         Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term"))
     )
     return scored.withColumn("rn", rn).where(F.col("rn") <= k)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own LM — one rung up from :func:`unigram_logprob` toward
+    CCNet's n-gram-perplexity filter:
+
+        P(w2|w1) = lam * c(w1 w2)/c(w1)  +  (1-lam) * c(w2)/N
+
+    (interpolation, not backoff, so the score is a pure join-and-avg —
+    no per-row branching on zero counts; ``lam=0.75`` is an exact
+    binary fraction for cross-engine float parity). Docs shorter than
+    2 words have no transitions and drop out.
+
+    Scale shape: one bigram explode reused for corpus counts and doc
+    scoring; joins key on (w1,w2) and each word — the wordcount skew
+    profile; the corpus total rides a broadcast 1-row cross join. No
+    vocabulary-wide window anywhere.
+    """
+    words = _words(text_col)
+    pair_expr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(words)),
+            lambda i: F.struct(
+                F.element_at(words, i - 1).alias("w1"),
+                F.element_at(words, i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bx = df.select(F.col(id_col), F.explode(pair_expr).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    wx = df.select(F.explode(words).alias("w"))
+    c1 = wx.groupBy("w").agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = bx.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    total = c1.agg(F.sum("__c1").alias("__n"))
+    scored = (
+        bx.join(c2, ["w1", "w2"])
+        .join(c1.withColumnsRenamed({"w": "w1", "__c1": "__cw1"}), "w1")
+        .join(c1.withColumnsRenamed({"w": "w2", "__c1": "__cw2"}), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * F.col("__c2") / F.col("__cw1")
+                + F.lit(1.0 - lam) * F.col("__cw2") / F.col("__n")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

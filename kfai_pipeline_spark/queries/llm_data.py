@@ -837,3 +837,104 @@ def q81_tfidf_terms(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "text", "lang", "doc_id", k=10).orderBy("lang", "rn")
+
+
+# ------------------------------------------------------- q91: training order
+@register(
+    "q91_training_order",
+    # Portable twin: md5_long ordering key so DuckDB replays the exact
+    # permutation. Checks every (shard, pos) assignment via per-shard
+    # counts plus position-weighted membership checksums — sensitive to
+    # any row landing in the wrong shard OR the wrong position.
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('epoch0' || doc_id::VARCHAR), 1, 15))::BIGINT AS ord
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id,
+               (ord % 16 + 16) % 16 AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY (ord % 16 + 16) % 16 ORDER BY ord, doc_id
+               ) AS pos
+        FROM keyed
+    )
+    SELECT shard::INT AS shard,
+           COUNT(*)::BIGINT AS n,
+           SUM(doc_id * pos)::BIGINT AS order_sum,
+           MIN(CASE WHEN pos = 1 THEN doc_id END)::BIGINT AS first_doc
+    FROM placed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc=(
+        "Deterministic training shuffle + shard assignment "
+        "(operators/sampling.py training_order): hash-keyed permutation "
+        "with per-shard-only ordering — no global sort, one shard-key "
+        "shuffle; salt per epoch. The shuffle-free answer to 'globally "
+        "shuffle 100 TB for training'."
+    ),
+)
+def q91_training_order(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import training_order
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    placed = training_order(
+        docs, n_shards=16, key_col="doc_id", salt="epoch0", hash_fn=md5_long
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("order_sum"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ------------------------------------------------- q92: bigram LM score
+@register(
+    "q92_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bx AS (
+        SELECT doc_id, w[i-1] AS w1, w[i] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(2, len(w) + 1)) AS i) t
+        WHERE len(w) >= 2
+    ),
+    wx AS (SELECT unnest(w) AS word FROM toks),
+    c1 AS (SELECT word, count(*) AS c FROM wx GROUP BY 1),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bx GROUP BY 1, 2),
+    tot AS (SELECT SUM(c) AS n FROM c1),
+    scored AS (
+        SELECT bx.doc_id,
+               ln(0.75 * c2.c * 1.0 / a.c + 0.25 * b.c * 1.0 / t.n) AS lp
+        FROM bx
+        JOIN c2 ON c2.w1 = bx.w1 AND c2.w2 = bx.w2
+        JOIN c1 a ON a.word = bx.w1
+        JOIN c1 b ON b.word = bx.w2
+        CROSS JOIN tot t
+    )
+    SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob,
+           COUNT(*)::BIGINT AS n_bigrams
+    FROM scored GROUP BY 1 ORDER BY doc_id
+    """,
+    doc=(
+        "Interpolated bigram-LM quality score (text_analysis."
+        "bigram_logprob): P(w2|w1) = 0.75*c(w1w2)/c(w1) + 0.25*c(w2)/N, "
+        "one rung up from q75 toward CCNet's n-gram perplexity filter. "
+        "Word/pair-keyed joins only; broadcast 1-row total; no "
+        "vocabulary-wide window."
+    ),
+)
+def q92_bigram_logprob(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs).orderBy("doc_id")

@@ -321,3 +321,47 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     for d in shard_dirs:
         files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".json")]
         assert len(files) == 1, (d, files)
+
+
+def test_training_order_layout_independent_and_salted(spark):
+    """(shard, pos) must be a pure function of (key, salt): identical
+    under repartition, permuted by a different salt, and pos must be a
+    dense 1..n sequence within every shard."""
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = sampling.training_order(df, n_shards=8, key_col="doc_id")
+    b = sampling.training_order(df.repartition(13), n_shards=8, key_col="doc_id")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b, "assignment must not depend on physical layout"
+
+    c = sampling.training_order(df, n_shards=8, key_col="doc_id", salt="epoch1")
+    assert sorted(map(tuple, c.collect())) != rows_a, "salt must re-permute"
+
+    by_shard: dict[int, list[int]] = {}
+    for doc_id, shard, pos in rows_a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), f"gap in shard {shard}"
+
+
+def test_bigram_logprob_contract(spark):
+    """Short docs drop out, identical docs score identically, and every
+    mean log-probability is negative (probabilities < 1)."""
+    from kfai_pipeline_spark.operators.text_analysis import bigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "solo"),
+            (4, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 3 not in rows, "single-word doc has no transitions"
+    assert rows[1]["avg_logprob"] == rows[2]["avg_logprob"]
+    assert rows[1]["n_bigrams"] == 5
+    for r in rows.values():
+        assert r["avg_logprob"] < 0
