@@ -13,9 +13,12 @@ covers both; these wrappers pin the options that matter at scale:
 * **batched writes**: ``batchsize`` mirrors the reference's insert
   batching (BATCH_SIZE=256, loaders/utils/config.py:14).
 
-No database ships in this container, so these functions are exercised
-by construction (option plumbing) in tests; the call path is the stock
-``spark.read.format("jdbc")`` one.
+The call path is the stock ``spark.read.format("jdbc")`` one, and it
+is integration-tested LIVE against embedded Derby (the in-JVM database
+Spark ships for its metastore) in tests/test_jdbc_integration.py:
+write/read round trip, database-side query pushdown, parallel
+range-partitioned scans, batched writes. Only the Postgres-specific
+JSONB resume scan (S11) stays construction-tested — Derby has no JSONB.
 """
 
 from __future__ import annotations

@@ -1,0 +1,95 @@
+"""LIVE JDBC round-trip integration tests (S1/S2/S10) against embedded
+Derby — the in-JVM database Spark already ships for its Hive metastore
+(pyspark/jars/derby-*.jar), so the stock ``format("jdbc")`` read/write
+paths get exercised against a REAL database with zero extra
+dependencies. In local mode executors share the driver JVM, so every
+task's connection sees the same ``jdbc:derby:memory:`` store — the
+same visibility a cluster gets from a networked database.
+
+Covers what construction tests could not: actual DDL/insert round
+trips, database-side query pushdown, parallel range-partitioned scans,
+and batched writes. Postgres-specific surface (pgvector JSONB resume
+scan, S11) stays construction-tested — Derby has no JSONB.
+
+Derby quirk worth documenting: Spark writes case-preserving quoted
+identifiers, so database-side SQL must quote them ("id", not ID).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+import pyspark
+
+from kfai_pipeline_spark.sources import jdbc as J
+
+_DERBY_PRESENT = bool(
+    glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "derby-*.jar"))
+)
+pytestmark = pytest.mark.skipif(
+    not _DERBY_PRESENT, reason="embedded Derby jars not shipped with this Spark"
+)
+
+PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _url(name: str) -> str:
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def test_write_read_roundtrip_and_append(spark):
+    url = _url("rt")
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    J.write_table(df, url, "t_rt", mode="overwrite", properties=PROPS)
+    back = J.read_table(spark, url, "t_rt", properties=PROPS)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    J.write_table(df.where("id < 10"), url, "t_rt", mode="append", properties=PROPS)
+    assert J.read_table(spark, url, "t_rt", properties=PROPS).count() == 110
+
+
+def test_query_pushdown_executes_database_side(spark):
+    url = _url("push")
+    df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS LONG) as grp")
+    J.write_table(df, url, "t_push", mode="overwrite", properties=PROPS)
+    # the WHERE and the aggregate both run inside Derby (query option);
+    # identifiers must be quoted — Spark writes case-preserving names
+    q = J.read_query(
+        spark,
+        url,
+        'SELECT "grp", COUNT(*) AS "n" FROM t_push WHERE "id" < 700 GROUP BY "grp"',
+        properties=PROPS,
+    )
+    got = {r["grp"]: r["n"] for r in q.collect()}
+    assert sum(got.values()) == 700
+    assert set(got) == set(range(7))
+
+
+def test_parallel_range_partitioned_scan(spark):
+    url = _url("par")
+    df = spark.range(1000).selectExpr("id", "id * 3 as v")
+    J.write_table(df, url, "t_par", mode="overwrite", properties=PROPS)
+    par = J.read_table(
+        spark,
+        url,
+        "t_par",
+        partition_column='"id"',
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+        properties=PROPS,
+    )
+    assert par.rdd.getNumPartitions() == 4, "range scan must split into 4 queries"
+    assert par.count() == 1000  # no row lost/duplicated at stride boundaries
+
+
+def test_batched_write_batch_size_plumbs(spark):
+    url = _url("batch")
+    df = spark.range(100).selectExpr("id", "id as v")
+    # the reference's pgvector batch size (256); odd size exercises the
+    # final partial batch
+    J.write_table(df, url, "t_b", mode="overwrite", batch_size=7, properties=PROPS)
+    assert J.read_table(spark, url, "t_b", properties=PROPS).count() == 100
