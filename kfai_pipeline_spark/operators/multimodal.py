@@ -14,11 +14,15 @@ Spark-side plumbing — schema, batching, partitioning, chunk-offset
 arithmetic — is real and tested; plugging a real library is a one-line
 swap behind the same interface, and asking for an unavailable real
 decoder raises ``NotImplementedError`` with the dependency named.
-THREE kernels ARE real with zero extra dependencies:
+FOUR kernels ARE real with zero extra dependencies:
 ``decode_audio_meta(decoder="wav")`` parses RIFF/WAVE headers via
 stdlib ``wave``; ``image_features(decoder="ppm")`` and
 ``resize_images(decoder="ppm")`` decode/resize binary P6 PPM rasters
-with numpy (histogram features; nearest-neighbor resize + re-encode).
+with numpy (histogram features; nearest-neighbor resize + re-encode);
+``decode_video_meta(decoder="mp4")`` walks ISO-BMFF boxes with stdlib
+``struct`` (ftyp brand, mvhd v0/v1 duration, track count). Real
+pillow/whisper/ffmpeg kernels additionally plug in behind
+named-dependency guards (tests/test_multimodal_optional.py).
 """
 
 from __future__ import annotations
@@ -511,3 +515,102 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("major_brand", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_tracks", LongType()),
+    ]
+)
+
+
+def _parse_mp4_meta(data: bytes) -> dict:
+    """Minimal ISO-BMFF (MP4) box walk — pure stdlib ``struct``, the
+    video sibling of the wave-header and PPM kernels: ftyp major brand,
+    mvhd timescale/duration (v0 and v1 layouts), trak count. Raises
+    ValueError on non-BMFF payloads."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[off : off + 8])
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[off + 8 : off + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - off
+            if size < hdr or off + size > end:
+                raise ValueError("malformed BMFF box")
+            yield btype, off + hdr, off + size
+            off += size
+
+    out = {"major_brand": None, "timescale": None, "duration_s": None, "n_tracks": 0}
+    seen_any = False
+    for btype, body, bend in boxes(data, 0, len(data)):
+        seen_any = True
+        if btype == b"ftyp":
+            out["major_brand"] = data[body : body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for ityp, ibody, _iend in boxes(data, body, bend):
+                if ityp == b"mvhd":
+                    version = data[ibody]
+                    if version == 1:
+                        ts, dur = struct.unpack(">IQ", data[ibody + 20 : ibody + 32])
+                    else:
+                        ts, dur = struct.unpack(">II", data[ibody + 12 : ibody + 20])
+                    out["timescale"] = ts
+                    out["duration_s"] = round(dur / ts, 4) if ts else 0.0
+                elif ityp == b"trak":
+                    out["n_tracks"] += 1
+    if not seen_any or out["major_brand"] is None:
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    return out
+
+
+def decode_video_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    decoder: str = "stub",
+) -> DataFrame:
+    """Video container metadata -> typed rows (X5, video dimension).
+
+    ``decoder="mp4"`` is a REAL kernel: the stdlib ISO-BMFF box walk
+    above runs inside ``mapInPandas`` — no external dependency, the
+    same batch shape an ffprobe kernel would use. ``stub`` derives
+    deterministic fake metadata from sha256 so pipelines without real
+    media keep running."""
+    if decoder not in ("stub", "mp4"):
+        raise NotImplementedError(
+            "unknown video decoder; use 'stub' or 'mp4' (full stream "
+            "inspection needs ffprobe — plug it via this interface)"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("path", "major_brand", "timescale", "duration_s", "n_tracks")}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
+                if decoder == "mp4":
+                    meta = _parse_mp4_meta(data)
+                else:
+                    h = hashlib.sha256(data).digest()
+                    meta = {
+                        "major_brand": "stub",
+                        "timescale": 1000,
+                        "duration_s": round((h[0] * 256 + h[1]) / 10.0, 4),
+                        "n_tracks": 1 + h[2] % 3,
+                    }
+                out["path"].append(path)
+                for k in ("major_brand", "timescale", "duration_s", "n_tracks"):
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)

@@ -1718,3 +1718,77 @@ def q90_cluster_assign(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------- Q93: video metadata
+@register(
+    "q93_multimodal_video",
+    # X5's video dimension, oracle-checked end to end: each document
+    # becomes a hand-assembled ISO-BMFF payload (ftyp + moov(mvhd v0 +
+    # traks)) whose duration/timescale/track-count derive from its own
+    # columns; the REAL stdlib box-walk kernel then decodes the binary,
+    # and DuckDB recomputes the expected values directly. Any misparse
+    # in the box walk (offsets, v0 layout, track recursion) breaks the
+    # hash.
+    oracle="""
+    SELECT doc_id,
+           'isom' AS major_brand,
+           1000::BIGINT AS timescale,
+           ROUND(n_chars / 1000.0, 4) AS duration_s,
+           (doc_id % 3 + 1)::BIGINT AS n_tracks
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "Multimodal video metadata (X5, operators/multimodal.py "
+        "decode_video_meta): deterministic ISO-BMFF payloads decoded by "
+        "the real stdlib box-walk kernel, hash-checked against the "
+        "source columns they encode."
+    ),
+)
+def q93_multimodal_video(spark, sf_dir):
+    import struct
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from kfai_pipeline_spark.operators.multimodal import decode_video_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        import pandas as pd
+
+        def box(btype: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                mvhd = box(
+                    b"mvhd",
+                    b"\x00\x00\x00\x00"
+                    + struct.pack(">II", 0, 0)
+                    + struct.pack(">II", 1000, int(n_chars))
+                    + b"\x00" * 80,
+                )
+                traks = b"".join(
+                    box(b"trak", b"") for _ in range(int(doc_id) % 3 + 1)
+                )
+                payloads.append(
+                    box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + traks)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    media = docs.mapInPandas(
+        build,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("content", BinaryType())]
+        ),
+    ).withColumn("path", F.concat(F.lit("doc://"), F.col("doc_id")))
+    meta = decode_video_meta(media, decoder="mp4")
+    return (
+        meta.withColumn(
+            "doc_id", F.regexp_extract("path", r"doc://(\d+)", 1).cast("long")
+        )
+        .select("doc_id", "major_brand", "timescale", "duration_s", "n_tracks")
+        .orderBy("doc_id")
+    )

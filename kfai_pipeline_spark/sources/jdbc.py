@@ -104,3 +104,34 @@ def pgvector_resume_keys(
         WHERE c.name = '{collection}'
     """
     return read_query(spark, url, q, properties)
+
+
+def snapshot_tables(
+    spark: SparkSession,
+    url: str,
+    exports: dict[str, str],
+    out_dir: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, int]:
+    """Database -> local columnar snapshot (the reference's MySQL ->
+    SQLite export, ref extractors/utils/helpers/database.py:20-131,
+    re-targeted at parquet — the right local store for an analytics
+    engine; a SQLite sink would re-serialize row-wise).
+
+    ``exports`` maps table name -> the SELECT to export (so predicates
+    like the reference's ``channel_id < 3`` push into the database,
+    database.py:70-71). Each result lands at ``out_dir/<name>.parquet``
+    and downstream stages read the snapshot instead of hammering the
+    live DB — same isolation the reference's SQLite copy buys. Returns
+    per-table row counts. Integration-tested live against embedded
+    Derby (tests/test_jdbc_integration.py)."""
+    import os
+
+    counts: dict[str, int] = {}
+    for name, query in exports.items():
+        df = read_query(spark, url, query, properties)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        df.write.mode(mode).parquet(path)
+        counts[name] = spark.read.parquet(path).count()
+    return counts

@@ -93,3 +93,34 @@ def test_batched_write_batch_size_plumbs(spark):
     # final partial batch
     J.write_table(df, url, "t_b", mode="overwrite", batch_size=7, properties=PROPS)
     assert J.read_table(spark, url, "t_b", properties=PROPS).count() == 100
+
+
+def test_snapshot_tables_mirrors_reference_export(spark, tmp_path):
+    """The MySQL->SQLite export twin (ref database.py:20-131): multiple
+    tables, one with a pushed-down predicate, land as parquet and read
+    back row-identical."""
+    url = _url("snap")
+    videos = spark.createDataFrame(
+        [(i, f"v{i}", i % 3, i % 5, i % 4) for i in range(100)],
+        "id long, video_id string, show_id long, producer_id long, channel_id long",
+    )
+    shows = spark.createDataFrame([(i, f"show {i}") for i in range(3)], "id long, name string")
+    J.write_table(videos, url, "videos_video", mode="overwrite", properties=PROPS)
+    J.write_table(shows, url, "shows_show", mode="overwrite", properties=PROPS)
+
+    counts = J.snapshot_tables(
+        spark,
+        url,
+        {
+            # the reference's channel_id < 3 predicate, pushed into the DB
+            "videos_video": 'SELECT "id", "video_id", "show_id", "producer_id" '
+            'FROM videos_video WHERE "channel_id" < 3',
+            "shows_show": 'SELECT "id", "name" FROM shows_show',
+        },
+        str(tmp_path / "snap"),
+        properties=PROPS,
+    )
+    assert counts == {"videos_video": 75, "shows_show": 3}
+    snap = spark.read.parquet(str(tmp_path / "snap" / "videos_video.parquet"))
+    assert snap.columns == ["id", "video_id", "show_id", "producer_id"]
+    assert snap.where("id % 4 = 3").count() == 0, "predicate rows must be absent"

@@ -197,3 +197,68 @@ def test_ppm_kernel_real_resize_roundtrip(spark, ppm_dir):
     assert (arr[3, 3] == [255, 255, 255]).all()
     # resize is exact upsampling: every 2x2 block is constant
     assert (arr[::2, ::2] == arr[1::2, 1::2]).all()
+
+
+def _minimal_mp4(duration: int = 5000, timescale: int = 1000, n_tracks: int = 2) -> bytes:
+    """Hand-assembled ISO-BMFF: ftyp + moov(mvhd v0 + n empty traks)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd_payload = (
+        b"\x00" + b"\x00\x00\x00"          # version 0 + flags
+        + struct.pack(">II", 0, 0)           # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80                       # rate..next_track_id
+    )
+    mvhd = box(b"mvhd", mvhd_payload)
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def test_mp4_metadata_kernel_real(spark):
+    """The stdlib ISO-BMFF kernel must parse brand/duration/tracks from
+    a hand-assembled MP4 — the video sibling of the WAV/PPM kernels."""
+    from kfai_pipeline_spark.operators.multimodal import decode_video_meta
+
+    payload = _minimal_mp4(duration=5000, timescale=1000, n_tracks=2)
+    df = spark.createDataFrame([("clip.mp4", payload)], "path string, content binary")
+    rows = decode_video_meta(df, decoder="mp4").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["major_brand"] == "isom"
+    assert r["timescale"] == 1000
+    assert r["duration_s"] == 5.0
+    assert r["n_tracks"] == 2
+
+
+def test_mp4_metadata_kernel_v1_and_errors(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.multimodal import _parse_mp4_meta, decode_video_meta
+
+    # mvhd version 1 (64-bit duration)
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 90000 * 7)
+        + b"\x00" * 80,
+    )
+    data = box(b"ftyp", b"mp42" + b"\x00" * 8) + box(b"moov", mvhd1)
+    meta = _parse_mp4_meta(data)
+    assert (meta["major_brand"], meta["timescale"], meta["duration_s"]) == ("mp42", 90000, 7.0)
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        _parse_mp4_meta(b"\x00" * 32)
+
+    # stub arm still runs for non-BMFF payloads
+    df = spark.createDataFrame([("x.bin", b"not a video")], "path string, content binary")
+    assert decode_video_meta(df, decoder="stub").count() == 1
