@@ -206,3 +206,68 @@ def test_fetch_batched_exhausts_retries(spark):
     fetched = fetch_batched(df.coalesce(1), always_down, batch_size=10, max_retries=1)
     ok, skip, transient = route_statuses(fetched)
     assert transient.count() == 2 and ok.count() == 0 and skip.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b", "c"]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    # unique (key, rts) on the right: with duplicate right timestamps the
+    # carried value among equals is tie-ambiguous in BOTH engines
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=0,
+            max_size=12,
+            unique=True,
+        )
+    )
+    return left, right
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """Property: the union+carry-forward plan is semantically
+    pd.merge_asof(direction='backward', allow_exact_matches=True) for
+    arbitrary key/timestamp layouts, including ties, empty right sides,
+    and keys absent on either side."""
+    import pandas as pd
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, f"r{k}{t}") for (k, t) in right_rows], "k string, rts long, rval string"
+    )
+    got = {
+        (r["k"], r["ts"], r["lid"]): r["rval"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["rval"]).collect()
+    }
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)],
+                      columns=["k", "ts", "lid"]).sort_values(["ts", "lid"])
+    rp = pd.DataFrame([(k, t, f"r{k}{t}") for (k, t) in right_rows],
+                      columns=["k", "rts", "rval"]).sort_values("rts")
+    if len(rp):
+        exp_df = pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="k",
+            direction="backward", allow_exact_matches=True,
+        )
+        expected = {
+            (r.k, r.ts, r.lid): (None if pd.isna(r.rval) else r.rval)
+            for r in exp_df.itertuples()
+        }
+    else:
+        expected = {(r.k, r.ts, r.lid): None for r in lp.itertuples()}
+    assert got == expected
