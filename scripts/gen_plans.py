@@ -103,6 +103,28 @@ SECTIONS = [
         "kernels (`decode_audio_meta`/`transcribe_audio`) appear only where a "
         "model genuinely runs.",
     ),
+    (
+        "q90_cluster_assign",
+        "Broadcast-numpy cluster assignment (X27, the IVF routing kernel)",
+        "Nearest-centroid assignment holds ZERO centroid literals in the "
+        "plan: the centroid matrix ships once per executor as a Spark "
+        "broadcast variable and each Arrow batch scores with one matmul "
+        "inside `mapInPandas`. Plan size and compile time are O(1) in k*dim "
+        "(machine-asserted: k=8 and k=1024 produce equal-size plans) — a "
+        "production IVF (k~4096, dim~1024) is a 32 MB broadcast, not ~4M "
+        "expression nodes.",
+    ),
+    (
+        "q91_training_order",
+        "Deterministic training order without a global sort (X28)",
+        "The classic `ORDER BY rand()` training shuffle range-partitions the "
+        "whole corpus through one sort. Here the permutation is hash-derived "
+        "map-side, the only exchange is `hashpartitioning(shard)` (machine-"
+        "asserted: no rangepartitioning anywhere), and ordering exists only "
+        "WITHIN shards — exactly what a sharded loader consumes. Salt per "
+        "epoch re-permutes with zero extra cost; layout independence is "
+        "property-tested.",
+    ),
 ]
 
 

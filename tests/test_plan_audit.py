@@ -331,6 +331,30 @@ def test_q81_tfidf_total_broadcasts_and_window_is_post_agg(spark):
     )
 
 
+def test_q91_training_order_has_no_global_sort(spark):
+    """The training-order permutation must never range-partition the
+    corpus (the ORDER BY rand() anti-pattern): the only exchange is the
+    hash partition on the shard key feeding the per-shard window."""
+    import re
+
+    p = plan(spark, "q91_training_order")
+    assert "Window" in p
+    assert "hashpartitioning(shard" in p, "window input must shuffle on the shard key"
+    # rangepartitioning may appear ONCE: the display orderBy on the
+    # 16-row aggregate. Formatted-plan ids increase leaf -> root, so the
+    # range exchange must sit ABOVE every aggregate (post-reduction),
+    # proving the corpus itself never global-sorts.
+    range_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange\s*\nArguments: rangepartitioning", p)
+    ]
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"HashAggregate \((\d+)\)", p)]
+    assert len(range_ids) <= 1, "more than one range shuffle"
+    assert agg_ids, "aggregation missing from plan"
+    for rid in range_ids:
+        assert rid > max(agg_ids), "corpus must not be globally sorted pre-aggregation"
+
+
 def test_no_accidental_cartesian_anywhere(spark):
     """Registry-wide sweep: no query may plan a CartesianProduct, and
     nested-loop joins may appear only in the whitelisted brute-arm /
