@@ -665,3 +665,84 @@ def semantic_dedup(
             (F.col(id_col) == gid).alias("is_keeper"),
         )
     )
+
+
+# --------------------------------------------------- duplicated spans
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    flag_threshold: float = 0.05,
+    repartition_to: int | str | None = "auto",
+) -> DataFrame:
+    """Cross-document duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its word-``n``-gram spans (counted by
+    position, i.e. with multiplicity) that also occur in at least one
+    OTHER document. Exact-substring-grain dedup — the sibling of
+    whole-doc MinHash (X2) and benchmark decontamination (X6): MinHash
+    misses a copied paragraph inside an otherwise-unique page; this
+    catches it.
+
+    Returns (id, n_spans, n_dup_spans, dup_span_frac, flagged) where
+    flagged = dup_span_frac >= ``flag_threshold``.
+
+    Scale design (the suffix-array of the paper re-expressed as
+    shingle-keyed shuffles — Spark's native strength):
+
+    * spans explode map-side from slice+transform (no UDF, codegen);
+      the per-(doc, shingle) count is a partial-agg groupBy, so the
+      first shuffle moves one row per distinct (doc, shingle), not one
+      per occurrence.
+    * the cross-doc test is a groupBy on shingle over that doc×shingle
+      grain — ``ndocs = count(*)`` needs no countDistinct because the
+      grain already is distinct per doc. Per-shingle row count is
+      bounded by the doc count, and AQE skew-join splits any
+      hyper-common shingle's bucket.
+    * nothing broadcasts an unbounded set; nothing forms a pair join.
+      Total cost is O(|span occurrences|) map-side + shuffles keyed on
+      (doc, shingle), shingle, and doc — each with map-side partials.
+
+    Tokenization matches :func:`word_shingles` (split on ``\\s+``, docs
+    shorter than ``n`` words contribute their full text as one span).
+    """
+    if repartition_to == "auto":
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
+    if repartition_to:
+        df = df.repartition(repartition_to)
+    words = F.split(F.col(text_col), r"\s+")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    sc = (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_sh = (
+        sc.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("shingle")
+    )
+    dup = (
+        sc.join(dup_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_dup_spans"))
+    )
+    tot = sc.groupBy(id_col).agg(F.sum("c").alias("n_spans"))
+    frac = F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans")
+    return (
+        tot.join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.round(frac, 4).alias("dup_span_frac"),
+            (frac >= F.lit(flag_threshold)).alias("flagged"),
+        )
+    )

@@ -938,3 +938,48 @@ def q92_bigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------- q94: duplicated spans
+@register(
+    "q94_dup_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-7,1)+1)) AS i) t
+    ),
+    sc AS (SELECT doc_id, shingle, count(*) AS c FROM sp GROUP BY 1, 2),
+    nd AS (SELECT shingle, count(*) AS ndocs FROM sc GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_spans FROM sc GROUP BY 1),
+    dup AS (
+        SELECT sc.doc_id, CAST(SUM(sc.c) AS BIGINT) AS n_dup_spans
+        FROM sc JOIN nd ON nd.shingle = sc.shingle AND nd.ndocs >= 2
+        GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n_spans,
+           COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(COALESCE(d.n_dup_spans, 0) * 1.0 / t.n_spans, 4) AS dup_span_frac,
+           COALESCE(d.n_dup_spans, 0) * 1.0 / t.n_spans >= 0.05 AS flagged
+    FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=(
+        "Cross-document duplicated-span fraction (dedup.duplicated_spans; "
+        "Lee et al. 2022 exact-substring dedup at word-8-gram grain): the "
+        "paper's suffix array re-expressed as shingle-keyed shuffles with "
+        "map-side partial aggs — catches a copied paragraph inside an "
+        "otherwise-unique page, which whole-doc MinHash (q34) misses. "
+        "No pair join, no broadcast of unbounded sets."
+    ),
+)
+def q94_dup_spans(spark, sf_dir):
+    from kfai_pipeline_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "text", "doc_id", n=8, flag_threshold=0.05).orderBy(
+        "doc_id"
+    )

@@ -280,6 +280,7 @@ _NESTED_LOOP_OK = {
     "q74_semantic_dedup",   # brute pair oracle arm
     "q75_unigram_logprob",  # broadcast 1-row corpus-total cross join
     "q81_tfidf_terms",      # broadcast 1-row doc-total cross join
+    "q92_bigram_logprob",   # broadcast 1-row corpus-total cross join
 }
 
 
@@ -374,3 +375,17 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "BroadcastNestedLoopJoin" in p and name not in _NESTED_LOOP_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
+    """Duplicated-span detection must stay shingle-keyed: no cartesian
+    or nested-loop pair join anywhere, and the per-(doc, shingle) count
+    must partial-aggregate map-side before its exchange (the first
+    shuffle moves distinct grains, not raw span occurrences)."""
+    p = plan(spark, "q94_dup_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # cross-doc test + dup-span sum ride equi joins on the shingle key
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # map-side partial agg before every exchange (HashAggregate pairs)
+    assert p.count("HashAggregate") >= 4, "expected partial+final agg pairs"
