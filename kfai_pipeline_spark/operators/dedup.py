@@ -723,26 +723,25 @@ def duplicated_spans(
         .groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    dup_sh = (
-        sc.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
-        .select("shingle")
-    )
-    dup = (
-        sc.join(dup_sh, "shingle", "left_semi")
+    nd = sc.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    # Inner join is lossless (nd covers every shingle of sc by
+    # construction), and BOTH per-doc aggregates ride ONE groupBy — the
+    # naive tot/dup split re-derives the shingle pipeline per branch
+    # (three scans statically; exchange reuse only partially saves it).
+    dup_c = F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(F.lit(0))
+    per_doc = (
+        sc.join(nd, "shingle")
         .groupBy(id_col)
-        .agg(F.sum("c").alias("n_dup_spans"))
-    )
-    tot = sc.groupBy(id_col).agg(F.sum("c").alias("n_spans"))
-    frac = F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans")
-    return (
-        tot.join(dup, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_spans"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-            F.round(frac, 4).alias("dup_span_frac"),
-            (frac >= F.lit(flag_threshold)).alias("flagged"),
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("n_dup_spans"),
         )
+    )
+    frac = F.col("n_dup_spans") / F.col("n_spans")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_spans"),
+        F.col("n_dup_spans"),
+        F.round(frac, 4).alias("dup_span_frac"),
+        (frac >= F.lit(flag_threshold)).alias("flagged"),
     )

@@ -125,6 +125,24 @@ SECTIONS = [
         "epoch re-permutes with zero extra cost; layout independence is "
         "property-tested.",
     ),
+    (
+        "q94_dup_spans",
+        "Cross-doc duplicated spans without a pair join (X31)",
+        "Lee et al.'s exact-substring dedup re-expressed as shingle-keyed "
+        "shuffles: spans explode map-side (slice+transform, codegen), the "
+        "per-(doc, shingle) count partial-aggregates BEFORE its exchange so "
+        "the first shuffle moves distinct grains rather than raw "
+        "occurrences, and the cross-doc test is a groupBy on the shingle "
+        "key whose per-key row count is bounded by the doc count. Both "
+        "per-doc aggregates (total spans, duplicated spans) ride ONE "
+        "groupBy over the sc-join-nd frame — no separate totals branch. "
+        "Machine-asserted: no CartesianProduct / nested-loop join, >=4 "
+        "HashAggregate partial+final pairs, <=2 static corpus scans "
+        "(collapsed further by exchange reuse at runtime). At 100 TB "
+        "every stage is an "
+        "equi-keyed shuffle with map-side combine — the same data motion "
+        "a suffix-array build would need, minus the global sort.",
+    ),
 ]
 
 

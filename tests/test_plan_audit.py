@@ -389,3 +389,11 @@ def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     # map-side partial agg before every exchange (HashAggregate pairs)
     assert p.count("HashAggregate") >= 4, "expected partial+final agg pairs"
+    # single-pass: both per-doc aggregates share one shingle pipeline —
+    # the corpus scan appears at most twice statically (sc + its nd
+    # re-derivation, collapsed by exchange reuse at runtime), never a
+    # third time for a separate totals branch
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", p, flags=_re.M)
+    assert len(scans) <= 2, f"{len(scans)} scans — totals branch re-derived"
