@@ -83,14 +83,21 @@ def word_shingles(
         repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
     if repartition_to:
         df = df.repartition(repartition_to)
-    words = F.split(F.col(text_col), r"\s+")
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # STAGED split: a higher-order lambda re-evaluates every captured
+    # non-lambda subtree per element, so slicing split(text) inside the
+    # transform would re-split the document once per shingle — O(n^2)
+    # in words. Binding the array to a column first makes each slice a
+    # cheap attribute read; the projections don't collapse because the
+    # alias is non-cheap and referenced more than once.
+    staged = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
+    w = F.col("__w")
+    n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        staged.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 
@@ -712,14 +719,17 @@ def duplicated_spans(
         repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
     if repartition_to:
         df = df.repartition(repartition_to)
-    words = F.split(F.col(text_col), r"\s+")
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # staged split — see word_shingles: slicing split(text) inside the
+    # transform lambda would re-split the document per span (O(n^2))
+    staged = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
+    w = F.col("__w")
+    n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
     sc = (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        staged.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
     )

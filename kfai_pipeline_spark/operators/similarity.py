@@ -65,9 +65,16 @@ def l2_normalize(a: Column) -> Column:
     Normalizing each side ONCE before a pairwise join turns per-pair
     cosine (3 higher-order-function passes) into a single dot product —
     the difference between O(3·d·|pairs|) and O(d·|sides| + d·|pairs|)
-    interpreted-expression evals at 100 TB."""
+    interpreted-expression evals at 100 TB.
+
+    zip_with against an array_repeat of the norm, NOT ``transform(a,
+    x -> x / n)``: a higher-order lambda re-evaluates captured subtrees
+    per element, so the transform form recomputes the O(d) norm d times
+    — O(d^2) per row. HOF *arguments* evaluate once."""
     n = l2_norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x / n))
+    return F.when(
+        n > 0, F.zip_with(a, F.array_repeat(n, F.size(a)), lambda x, nn: x / nn)
+    )
 
 
 def cosine_topk(

@@ -155,22 +155,39 @@ def fingerprint(
     array<long>) — a compact, position-robust signature for plagiarism/
     near-dup style matching.
 
-    Implemented with sequence/transform/slice over arrays — one narrow
-    projection, no shuffle, no UDF.
+    Implemented with sequence/transform/slice over arrays — narrow
+    projections, no shuffle, no UDF.
+
+    STAGED on purpose: higher-order lambdas re-evaluate every captured
+    non-lambda subtree PER ELEMENT (there is no common-subexpression
+    cache inside the interpreted lambda body), so nesting the k-gram
+    hash transform directly inside the window-min transform re-hashes
+    all n k-grams for each of the n windows — O(n^2) hashes per
+    document (measured: 19 s for 500 sf0.01 docs; 0.5 s staged). Each
+    stage binds the previous array to a column reference; the stages
+    don't collapse back into one projection because CollapseProject
+    refuses to duplicate non-cheap aliases referenced more than once
+    (both `size(x)` and the lambda reference each alias).
     """
     hash_fn = hash_fn or F.xxhash64
     words = _words(text_col)
-    n_kgrams = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    staged_w = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
+    n_kgrams = F.greatest(F.size(w) - (k - 1), F.lit(1))
     kgram_hashes = F.transform(
         F.sequence(F.lit(1), n_kgrams),
-        lambda i: hash_fn(F.concat_ws(" ", F.slice(words, i, k))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(w, i, k))),
     )
-    n_windows = F.greatest(F.size(kgram_hashes) - (window - 1), F.lit(1))
+    staged_kh = staged_w.select(F.col(id_col), kgram_hashes.alias("__kh"))
+    kh = F.col("__kh")
+    n_windows = F.greatest(F.size(kh) - (window - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+        lambda i: F.array_min(F.slice(kh, i, window)),
     )
-    return df.select(F.col(id_col), F.array_distinct(mins).alias("fingerprint"))
+    return staged_kh.select(
+        F.col(id_col), F.array_distinct(mins).alias("fingerprint")
+    )
 
 
 def corpus_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
@@ -219,12 +236,16 @@ def repetition_features(
             F.max("c").alias("top_word_count"),
         )
     )
-    n_bi = F.greatest(F.size(words) - 1, F.lit(0))
+    # staged split — slicing split(text) inside the transform lambda
+    # would re-split the document per bigram (O(n^2)); see fingerprint
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    wc = F.col("__w")
+    n_bi = F.greatest(F.size(wc) - 1, F.lit(0))
     bigrams = F.when(n_bi > 0, F.transform(
         F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        lambda i: F.concat_ws(" ", F.slice(wc, i, 2)),
     )).otherwise(F.array().cast("array<string>"))
-    b = df.select(F.col(id_col), F.explode(bigrams).alias("b"))
+    b = staged.select(F.col(id_col), F.explode(bigrams).alias("b"))
     bi_stats = (
         b.groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -375,17 +396,22 @@ def bigram_logprob(
     vocabulary-wide window anywhere.
     """
     words = _words(text_col)
+    # staged split — element_at(split(text), i) inside the transform
+    # lambda would re-split the document per pair (O(n^2)); see
+    # fingerprint
+    staged = df.select(F.col(id_col), words.alias("__w"))
+    wc = F.col("__w")
     pair_expr = F.when(
-        F.size(words) >= 2,
+        F.size(wc) >= 2,
         F.transform(
-            F.sequence(F.lit(2), F.size(words)),
+            F.sequence(F.lit(2), F.size(wc)),
             lambda i: F.struct(
-                F.element_at(words, i - 1).alias("w1"),
-                F.element_at(words, i).alias("w2"),
+                F.element_at(wc, i - 1).alias("w1"),
+                F.element_at(wc, i).alias("w2"),
             ),
         ),
     ).otherwise(F.array())
-    bx = df.select(F.col(id_col), F.explode(pair_expr).alias("p")).select(
+    bx = staged.select(F.col(id_col), F.explode(pair_expr).alias("p")).select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     wx = df.select(F.explode(words).alias("w"))
