@@ -271,3 +271,36 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     else:
         expected = {(r.k, r.ts, r.lid): None for r in lp.itertuples()}
     assert got == expected
+
+
+def test_duplicated_spans_catches_copied_paragraph_minhash_misses(spark):
+    """The operator's reason to exist: a paragraph copied into an
+    otherwise-unique page. Whole-doc MinHash Jaccard stays below any
+    sane near-dup threshold (the page is 90% unique), but the copied
+    8-gram spans are flagged by duplicated_spans on both carriers."""
+    para = " ".join(f"shared{i}" for i in range(20))  # 20-word passage
+    unique = [" ".join(f"u{d}w{i}" for i in range(180)) for d in range(3)]
+    rows = [
+        (0, unique[0] + " " + para),   # carrier A: 10% copied
+        (1, unique[1] + " " + para),   # carrier B: same passage
+        (2, unique[2]),                # clean doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_spans(
+            df, "text", "doc_id", n=8, flag_threshold=0.05
+        ).collect()
+    }
+    # the 20-word passage contributes 13 shared 8-gram spans per carrier
+    assert out[0]["n_dup_spans"] == out[1]["n_dup_spans"] == 13
+    assert out[0]["flagged"] and out[1]["flagged"]
+    assert out[2]["n_dup_spans"] == 0 and not out[2]["flagged"]
+
+    # whole-doc exact 3-gram Jaccard on the same pair stays low — the
+    # copied passage is invisible at document grain
+    pairs = D.ngram_jaccard_pairs(
+        df, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    ).collect()
+    assert pairs == [], "doc-grain Jaccard must not reach 0.5 here"

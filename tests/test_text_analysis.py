@@ -99,3 +99,20 @@ def test_corpus_stats_rollup(spark, sample_docs):
     out = {r["lang"]: r for r in TA.corpus_stats(sample_docs, "text", "lang").collect()}
     assert out["en"]["n_docs"] == 2
     assert out["zh"]["total_tokens"] == 10
+
+
+def test_fingerprint_staging_survives_optimizer(spark, sample_docs):
+    """Regression guard for the O(n^2) lambda fix: the staged k-gram
+    hash array must remain its own projection (alias visible in the
+    optimized plan). If CollapseProject ever starts inlining it, the
+    window-min lambda silently re-hashes all k-grams per window."""
+    import contextlib
+    import io
+
+    fp = TA.fingerprint(sample_docs, "text", "doc_id", k=5, window=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fp.explain("formatted")
+    p = buf.getvalue()
+    assert "__kh" in p, "staged k-gram hash projection was collapsed"
+    assert "__w" in p, "staged word-split projection was collapsed"
