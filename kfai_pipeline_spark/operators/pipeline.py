@@ -77,3 +77,47 @@ def split_dead_letter(
     two filters share the upstream plan; persist upstream if both sides
     are consumed."""
     return df.where(F.col(ok_col)), df.where(~F.col(ok_col) | F.col(ok_col).isNull())
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse an event
+    stream into attribute VERSIONS per key — one row per change of
+    ``attr_col``, with ``valid_from``/``valid_to`` interval columns,
+    a 1-based ``version`` number, and ``is_current`` on the open row.
+    The warehouse counterpart of the reference's overwrite-style record
+    merge (ref fetch_raw_data.py:64-67 keeps only the latest state;
+    SCD2 keeps the full lineage so point-in-time joins stay possible).
+
+    Change detection compares against the previous value with ``!=``,
+    so NULL attribute values never open a version (document your NULLs
+    upstream). ``tiebreak_col`` (e.g. an event id) makes ordering — and
+    therefore versioning — deterministic when timestamps collide.
+
+    Scale shape: ONE hash shuffle on the key. The change filter sits
+    between two windows over the same (key, order) spec, preserves the
+    first window's partitioning and ordering, and Catalyst plans both
+    windows plus the filter into a single exchange — no second sort,
+    no self-join (plan-asserted in tests/test_plan_audit.py).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+    )
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

@@ -1792,3 +1792,46 @@ def q93_multimodal_video(spark, sf_dir):
         .select("doc_id", "major_brand", "timescale", "duration_s", "n_tracks")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ q95: SCD2 history
+@register(
+    "q95_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+    doc=(
+        "Type-2 slowly-changing-dimension build (pipeline.scd2_history, "
+        "X32): event stream -> per-key attribute versions with "
+        "valid_from/valid_to intervals, version numbers, and is_current "
+        "flags. One hash shuffle on the key: the change filter sits "
+        "between two windows over the same spec, so Catalyst plans a "
+        "single exchange and sort — no self-join (plan-asserted)."
+    ),
+)
+def q95_scd2_history(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).orderBy("user_id", "version")

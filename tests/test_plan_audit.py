@@ -397,3 +397,18 @@ def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
 
     scans = _re.findall(r"^\(\d+\) Scan parquet", p, flags=_re.M)
     assert len(scans) <= 2, f"{len(scans)} scans — totals branch re-derived"
+
+
+def test_q95_scd2_single_exchange_no_self_join(spark):
+    """SCD2 history: change filter between two windows over one spec —
+    a single hash exchange on the key, one window sort shared by both
+    Window operators, never an interval self-join."""
+    p = plan(spark, "q95_scd2_history", mode="simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1, "one key shuffle only"
+    assert p.count("Window") == 2
+    # only the window sort orders by (ts, event_id); a second such sort
+    # would mean the lead/version window re-sorted after the filter
+    assert sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("+- Sort") and "ts#" in ln
+    ) == 1
