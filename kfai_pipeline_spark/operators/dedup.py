@@ -509,7 +509,7 @@ def embedding_neardup_pairs(
     dim: int | None = None,
     use_lsh: bool = True,
     bands: int = 16,
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
     seed: int = 42,
     scope: CacheScope | None = None,
 ) -> DataFrame:
@@ -528,15 +528,16 @@ def embedding_neardup_pairs(
     Tuning bands/rows_per_band (sign-LSH collision math): a pair at
     cosine c agrees with one hyperplane with p = 1 - arccos(c)/pi, with
     one band with p^rows, and becomes a candidate with
-    1 - (1 - p^rows)^bands. The defaults (16 bands x 2 rows) are
-    recall-tuned: ~97% of true 0.95-cosine pairs collide — but a RANDOM
-    pair (p = 0.5) collides with ~99% probability too, so on
-    quasi-random corpora the bucket join degenerates toward all-pairs
-    (measured: 2M candidates from 2000 vectors on the sf1 fixture). At
-    production scale raise rows_per_band: 16 bands x 16 rows keeps
-    ~95% recall at 0.95 cosine while admitting ~2e-4 of random pairs —
-    the 256 extra projections per row are linear and map-side, the
-    candidate collapse is ~4000x.
+    1 - (1 - p^rows)^bands. The defaults (16 bands x 4 rows) keep
+    recall >= 1 - 4e-6 for pairs at the 0.9-0.95 thresholds while
+    pruning enough random pairs to matter — measured on 2400 vectors
+    with 400 planted 0.9+-cosine pairs: 16x2 75.7 s / recall 1.0
+    (admits ~99% of random pairs — effectively all-pairs), 16x4 14.5 s
+    / recall 1.0, 16x8 9.8 s / recall 1.0 (~6% random admission),
+    8x8 5.8 s / recall 0.995. For web-scale corpora raise rows_per_band
+    further (16x16 ≈ 95% recall at 0.95 with ~2e-4 random admission) —
+    the extra projections are linear map-side work, the candidate
+    collapse is multiplicative.
     """
     from kfai_pipeline_spark.operators.similarity import l2_normalize
 
