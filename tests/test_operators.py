@@ -304,3 +304,54 @@ def test_duplicated_spans_catches_copied_paragraph_minhash_misses(spark):
         df, text_col="text", id_col="doc_id", n=3, threshold=0.5
     ).collect()
     assert pairs == [], "doc-grain Jaccard must not reach 0.5 here"
+
+
+@st.composite
+def _scd2_case(draw):
+    # (key, ts, attr) events; duplicate (key, ts) allowed — the
+    # tiebreak column disambiguates deterministically in both models
+    return draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["k1", "k2"]),
+                st.integers(0, 20),
+                st.sampled_from(["x", "y", "z"]),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_scd2_case())
+def test_scd2_history_matches_python_reference(spark, case):
+    """Property: the two-window SCD2 build equals a direct Python fold
+    over the (ts, event_id)-ordered stream — version numbering, interval
+    chaining (valid_to == next valid_from), and is_current on the last
+    version only."""
+    from kfai_pipeline_spark.operators.pipeline import scd2_history
+
+    rows = [(i, k, t, a) for i, (k, t, a) in enumerate(case)]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts long, attr string")
+    got = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "attr", "ts", tiebreak_col="event_id").collect()
+    }
+
+    expected = {}
+    by_key: dict[str, list] = {}
+    for i, (k, t, a) in enumerate(case):
+        by_key.setdefault(k, []).append((t, i, a))
+    for k, evs in by_key.items():
+        evs.sort()
+        versions = []
+        prev = object()
+        for t, _i, a in evs:
+            if a != prev:
+                versions.append((a, t))
+                prev = a
+        for v, (a, t) in enumerate(versions, 1):
+            nxt = versions[v][1] if v < len(versions) else None
+            expected[(k, v)] = (a, t, nxt, nxt is None)
+    assert got == expected
