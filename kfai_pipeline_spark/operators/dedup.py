@@ -54,17 +54,25 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text", by: str | None = None
 
 
 # ---------------------------------------------------------------- shingling / minhash
-def word_shingles(
+def _exploded_spans(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 3,
-    repartition_to: int | str | None = "auto",
+    n: int,
+    repartition_to: int | str | None,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """(id, shingle) — every word-n-gram span occurrence, by position
+    (with multiplicity). Shared kernel of :func:`word_shingles` (which
+    adds set semantics) and :func:`duplicated_spans` (which counts
+    occurrences); keeping it in one place keeps their tokenization
+    identical by construction.
 
-    Built from slice+transform over the word array — no UDF. Documents
-    shorter than ``n`` words contribute their full text as one shingle.
+    STAGED split: a higher-order lambda re-evaluates every captured
+    non-lambda subtree per element, so slicing split(text) inside the
+    transform would re-split the document once per shingle — O(n^2)
+    in words. Binding the array to a column first makes each slice a
+    cheap attribute read; the projections don't collapse because the
+    alias is non-cheap and referenced more than once.
 
     ``repartition_to``: the shingle transform is CPU-heavy-narrow
     (interpreted higher-order functions), so its parallelism is pinned
@@ -83,12 +91,6 @@ def word_shingles(
         repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
     if repartition_to:
         df = df.repartition(repartition_to)
-    # STAGED split: a higher-order lambda re-evaluates every captured
-    # non-lambda subtree per element, so slicing split(text) inside the
-    # transform would re-split the document once per shingle — O(n^2)
-    # in words. Binding the array to a column first makes each slice a
-    # cheap attribute read; the projections don't collapse because the
-    # alias is non-cheap and referenced more than once.
     staged = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
     w = F.col("__w")
     n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
@@ -96,9 +98,25 @@ def word_shingles(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return (
-        staged.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    return staged.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    repartition_to: int | str | None = "auto",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from slice+transform over the word array — no UDF. Documents
+    shorter than ``n`` words contribute their full text as one shingle.
+    See :func:`_exploded_spans` for the staging and ``repartition_to``
+    rationale.
+    """
+    return _exploded_spans(df, text_col, id_col, n, repartition_to).dropDuplicates(
+        [id_col, "shingle"]
     )
 
 
@@ -729,25 +747,16 @@ def duplicated_spans(
       Total cost is O(|span occurrences|) map-side + shuffles keyed on
       (doc, shingle), shingle, and doc — each with map-side partials.
 
-    Tokenization matches :func:`word_shingles` (split on ``\\s+``, docs
-    shorter than ``n`` words contribute their full text as one span).
+    Tokenization is :func:`word_shingles`' by construction (both wrap
+    :func:`_exploded_spans`): split on ``\\s+``, docs shorter than ``n``
+    words contribute their full text as one span. Empty/whitespace-only
+    documents are EXCLUDED from the result — their degenerate
+    empty-string span would otherwise mark every blank doc in a crawl
+    as a 100% duplicate of every other blank doc.
     """
-    if repartition_to == "auto":
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
-    if repartition_to:
-        df = df.repartition(repartition_to)
-    # staged split — see word_shingles: slicing split(text) inside the
-    # transform lambda would re-split the document per span (O(n^2))
-    staged = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
-    w = F.col("__w")
-    n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    nonblank = df.where(F.length(F.trim(F.col(text_col))) > 0)
     sc = (
-        staged.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        _exploded_spans(nonblank, text_col, id_col, n, repartition_to)
         .groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
     )

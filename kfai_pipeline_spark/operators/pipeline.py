@@ -94,10 +94,13 @@ def scd2_history(
     merge (ref fetch_raw_data.py:64-67 keeps only the latest state;
     SCD2 keeps the full lineage so point-in-time joins stay possible).
 
-    Change detection compares against the previous value with ``!=``,
-    so NULL attribute values never open a version (document your NULLs
-    upstream). ``tiebreak_col`` (e.g. an event id) makes ordering — and
-    therefore versioning — deterministic when timestamps collide.
+    Change detection is NULL-SAFE (``IS DISTINCT FROM`` semantics):
+    NULL is a real attribute state, so x -> NULL -> x yields three
+    versions, repeated NULLs collapse into one, and the first event of
+    a key always opens version 1 (partition start is detected by row
+    number, never by a NULL lag — a mid-stream NULL must not fake one).
+    ``tiebreak_col`` (e.g. an event id) makes ordering — and therefore
+    versioning — deterministic when timestamps collide.
 
     Scale shape: ONE hash shuffle on the key. The change filter sits
     between two windows over the same (key, order) spec, preserves the
@@ -111,7 +114,11 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(*order)
     changes = (
         df.withColumn("__prev", F.lag(attr_col).over(w))
-        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+        )
     )
     return changes.select(
         F.col(key_col),

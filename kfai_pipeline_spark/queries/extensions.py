@@ -1801,13 +1801,15 @@ def q93_multimodal_video(spark, sf_dir):
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
+                                     ORDER BY ts, event_id) AS prev,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM events
     ),
     changes AS (
         SELECT user_id, event_type, ts, event_id
         FROM ordered
-        WHERE prev IS NULL OR event_type <> prev
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id,
            event_type,

@@ -946,6 +946,7 @@ def q92_bigram_logprob(spark, sf_dir):
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        WHERE length(trim(text)) > 0
     ),
     sp AS (
         SELECT doc_id, array_to_string(w[i:i+7], ' ') AS shingle

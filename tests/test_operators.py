@@ -309,13 +309,16 @@ def test_duplicated_spans_catches_copied_paragraph_minhash_misses(spark):
 @st.composite
 def _scd2_case(draw):
     # (key, ts, attr) events; duplicate (key, ts) allowed — the
-    # tiebreak column disambiguates deterministically in both models
+    # tiebreak column disambiguates deterministically in both models.
+    # None is a legal attribute state (null-safe change detection):
+    # x -> None -> x must yield three versions, and a mid-stream None
+    # must never fake a partition start.
     return draw(
         st.lists(
             st.tuples(
                 st.sampled_from(["k1", "k2"]),
                 st.integers(0, 20),
-                st.sampled_from(["x", "y", "z"]),
+                st.sampled_from(["x", "y", "z", None]),
             ),
             min_size=1,
             max_size=15,
@@ -355,3 +358,20 @@ def test_scd2_history_matches_python_reference(spark, case):
             nxt = versions[v][1] if v < len(versions) else None
             expected[(k, v)] = (a, t, nxt, nxt is None)
     assert got == expected
+
+
+def test_shingle_staging_survives_optimizer(spark, dup_docs):
+    """The staged word-split alias must stay its own projection in every
+    _exploded_spans consumer — if CollapseProject ever inlines it, the
+    shingle lambda re-splits the document per span (O(n^2))."""
+    import contextlib
+    import io
+
+    for build in (
+        lambda: D.word_shingles(dup_docs, "text", "doc_id", 3),
+        lambda: D.duplicated_spans(dup_docs, "text", "doc_id", n=3),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            build().explain("formatted")
+        assert "__w" in buf.getvalue(), "staged split projection was collapsed"

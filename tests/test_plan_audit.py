@@ -402,8 +402,20 @@ def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
 def test_q95_scd2_single_exchange_no_self_join(spark):
     """SCD2 history: change filter between two windows over one spec —
     a single hash exchange on the key, one window sort shared by both
-    Window operators, never an interval self-join."""
-    p = plan(spark, "q95_scd2_history", mode="simple")
+    Window operators, never an interval self-join.
+
+    Build a FRESH plan (not the registry memo): once the oracle test has
+    executed q95, its .explain shows the AQE final plan with per-stage
+    materialization, not the static shape."""
+    import io as _io
+
+    from kfai_pipeline_spark.queries.extensions import q95_scd2_history
+
+    df = q95_scd2_history(spark, SF_ORACLE)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning(user_id") == 1, "one key shuffle only"
     assert p.count("Window") == 2

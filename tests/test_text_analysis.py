@@ -116,3 +116,19 @@ def test_fingerprint_staging_survives_optimizer(spark, sample_docs):
     p = buf.getvalue()
     assert "__kh" in p, "staged k-gram hash projection was collapsed"
     assert "__w" in p, "staged word-split projection was collapsed"
+
+
+def test_bigram_staging_survives_optimizer(spark, sample_docs):
+    """Same guard for the staged splits feeding the bigram transforms in
+    repetition_features and bigram_logprob."""
+    import contextlib
+    import io
+
+    for build in (
+        lambda: TA.repetition_features(sample_docs, "text", "doc_id"),
+        lambda: TA.bigram_logprob(sample_docs, "text", "doc_id"),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            build().explain("formatted")
+        assert "__w" in buf.getvalue(), "staged split projection was collapsed"
