@@ -152,8 +152,14 @@ def main() -> None:
 
     timings = time_suite()
     total = round(sum(timings.values()), 4)
-    duck = time_duckdb(sf_dir)
-    duck_total = round(sum(duck.values()), 4)
+    # the DuckDB arm must never discard an already-measured Spark suite
+    # (e.g. missing duckdb package, oracle dialect drift)
+    try:
+        duck = time_duckdb(sf_dir)
+        duck_total = round(sum(duck.values()), 4)
+    except Exception as exc:
+        print(f"duckdb arm failed: {exc}", file=sys.stderr)
+        duck, duck_total = {}, None
 
     result = {
         "metric": "bench_total_headline_sec",
@@ -181,24 +187,42 @@ def main() -> None:
             make_sf1.main()
         except Exception as exc:  # degrade to the sf0.1-only line
             print(f"sf1 fixture generation failed: {exc}", file=sys.stderr)
-    if os.path.isdir(sf1_dir):
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
-        register_views(spark, sf1_dir)
-        sf1_timings = time_suite()
-        sf1_total = round(sum(sf1_timings.values()), 4)
-        sf1_duck = time_duckdb(sf1_dir)
-        sf1_duck_total = round(sum(sf1_duck.values()), 4)
-        result["sf1"] = {
-            "queries": sf1_timings,
-            "total": sf1_total,
-            "duckdb": sf1_duck,
-            "duckdb_total": sf1_duck_total,
-            "growth_spark": round(sf1_total / total, 2) if total else None,
-            "growth_duckdb": (
-                round(sf1_duck_total / duck_total, 2) if duck_total else None
-            ),
-        }
+    # Enter the sf1 arm only when the fixture is COMPLETE — a crashed or
+    # interrupted make_sf1 leaves a partial dir that would otherwise fail
+    # every future run here (generation is only attempted when the dir is
+    # absent) and discard the sf0.1 results above. Any sf1-arm failure
+    # degrades to the sf0.1-only line for the same reason.
+    sf1_tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    sf1_complete = os.path.isdir(sf1_dir) and all(
+        os.path.exists(os.path.join(sf1_dir, f"{t}.parquet")) for t in sf1_tables
+    )
+    if os.path.isdir(sf1_dir) and not sf1_complete:
+        print(f"sf1 fixture at {sf1_dir} is incomplete; skipping sf1 arm "
+              "(delete it to regenerate)", file=sys.stderr)
+    if sf1_complete:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+            register_views(spark, sf1_dir)
+            sf1_timings = time_suite()
+            sf1_total = round(sum(sf1_timings.values()), 4)
+            sf1_duck = time_duckdb(sf1_dir)
+            sf1_duck_total = round(sum(sf1_duck.values()), 4)
+            result["sf1"] = {
+                "queries": sf1_timings,
+                "total": sf1_total,
+                "duckdb": sf1_duck,
+                "duckdb_total": sf1_duck_total,
+                "growth_spark": round(sf1_total / total, 2) if total else None,
+                "growth_duckdb": (
+                    round(sf1_duck_total / duck_total, 2) if duck_total else None
+                ),
+            }
+        except Exception as exc:
+            print(f"sf1 arm failed: {exc}", file=sys.stderr)
 
     print(json.dumps(result))
     spark.stop()

@@ -33,7 +33,13 @@ def benchmark_shingle_set(bench: DataFrame, text_col: str = "text", n: int = 3) 
     to broadcast by construction.
     """
     return (
-        word_shingles(bench.select(F.lit(0).alias("__one"), text_col), text_col, "__one", n=n)
+        word_shingles(
+            bench.select(F.lit(0).alias("__one"), text_col),
+            text_col,
+            "__one",
+            n=n,
+            repartition_to=None,  # tiny by construction — skip the widening probe
+        )
         .select("shingle")
         .distinct()
     )
@@ -46,15 +52,17 @@ def contamination(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
-    repartition_to: int | None = None,
+    repartition_to: int | str | None = "auto",
 ) -> DataFrame:
     """Per-document contamination ratio vs a benchmark set.
 
     Returns (id_col, n_shingles, n_overlap, ratio, contaminated) where
     ratio = |doc shingles ∩ benchmark shingles| / |doc shingles| and
     contaminated = ratio >= threshold. ``repartition_to``: see
-    :func:`~kfai_pipeline_spark.operators.dedup.word_shingles` — set to
-    the core count when the corpus scan has fewer splits than cores.
+    :func:`~kfai_pipeline_spark.operators.dedup.word_shingles` — the
+    default ``"auto"`` widens a narrow corpus scan to full parallelism
+    before the CPU-heavy shingling (the corpus side is exactly the
+    frame that fix targets).
     """
     doc_sh = word_shingles(
         corpus.select(id_col, text_col), text_col, id_col, n=n,

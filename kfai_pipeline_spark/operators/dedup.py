@@ -54,6 +54,28 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text", by: str | None = None
 
 
 # ---------------------------------------------------------------- shingling / minhash
+def _maybe_widen(df: DataFrame) -> DataFrame:
+    """Widen a NARROW SCAN to full parallelism before a CPU-heavy
+    narrow transform. Probes ``df.rdd.getNumPartitions()`` only when
+    the static plan is exchange-free: under AQE, ``.rdd`` forces
+    final-plan resolution, which MATERIALIZES every upstream shuffle
+    stage — on a frame with an upstream join/aggregate the probe itself
+    would execute that pipeline once and the real action again (a
+    silent 2x). A plan that already contains an Exchange is AQE-sized
+    anyway, so the widening is skipped there.
+    """
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    if "Exchange" in buf.getvalue():
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(cores) if df.rdd.getNumPartitions() < cores // 2 else df
+
+
 def _exploded_spans(
     df: DataFrame,
     text_col: str,
@@ -84,12 +106,12 @@ def _exploded_spans(
     50k docs took 38 s on 2 of 32 cores; widened it's one narrow
     shuffle then full-core transform). A 100 TB table is already wide,
     so auto is a no-op there; pass None to force passthrough or an int
-    to pin it.
+    to pin it. See :func:`_maybe_widen` for why frames with upstream
+    shuffles are never probed.
     """
     if repartition_to == "auto":
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        repartition_to = cores if df.rdd.getNumPartitions() < cores // 2 else None
-    if repartition_to:
+        df = _maybe_widen(df)
+    elif repartition_to:
         df = df.repartition(repartition_to)
     staged = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
     w = F.col("__w")
@@ -418,10 +440,9 @@ def simhash(
     hash_fn = hash_fn or F.xxhash64
     # same narrow-input widening as word_shingles: the per-word explode
     # + 64 bit-aggregates are CPU-heavy and otherwise pinned to the
-    # scan's split count
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores // 2:
-        df = df.repartition(cores)
+    # scan's split count (shuffle-bearing frames are never probed —
+    # see _maybe_widen)
+    df = _maybe_widen(df)
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
@@ -678,6 +699,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     use_lsh: bool = True,
+    scope: CacheScope | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
@@ -693,11 +715,17 @@ def semantic_dedup(
 
     Returns (id, group_id, is_keeper); downstream keeps
     ``is_keeper`` rows for the deduplicated corpus.
+
+    Like :func:`minhash_dedup`, the lazy result references a persisted
+    LSH bucket frame and component checkpoints. Pass ``scope`` (a
+    :class:`CacheScope`) or use :func:`semantic_dedup_scoped` when
+    looping over corpora, so the blocks release deterministically.
     """
     pairs = embedding_neardup_pairs(
-        df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, **lsh_kwargs
+        df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
+        **lsh_kwargs,
     )
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    comp = connected_components(pairs.select("id_a", "id_b"), scope=scope)
     gid = F.coalesce(F.col("component"), F.col(id_col))
     return (
         df.select(id_col)
@@ -708,6 +736,31 @@ def semantic_dedup(
             (F.col(id_col) == gid).alias("is_keeper"),
         )
     )
+
+
+@contextmanager
+def semantic_dedup_scoped(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    use_lsh: bool = True,
+    **lsh_kwargs,
+):
+    """Scoped twin of :func:`semantic_dedup` (same contract as
+    :func:`minhash_dedup_scoped`): yields the (id, group_id, is_keeper)
+    frame; on exit the LSH bucket persist and every component checkpoint
+    are blocking-unpersisted. Materialize INSIDE the ``with`` block —
+    checkpoints cut lineage, so the frame cannot recompute after
+    release."""
+    scope = CacheScope()
+    try:
+        yield semantic_dedup(
+            df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
+            **lsh_kwargs,
+        )
+    finally:
+        scope.release()
 
 
 # --------------------------------------------------- duplicated spans

@@ -541,6 +541,8 @@ def _parse_mp4_meta(data: bytes) -> dict:
             size, btype = struct.unpack(">I4s", buf[off : off + 8])
             hdr = 8
             if size == 1:  # 64-bit largesize
+                if off + 16 > end:
+                    raise ValueError("truncated BMFF largesize header")
                 (size,) = struct.unpack(">Q", buf[off + 8 : off + 16])
                 hdr = 16
             elif size == 0:  # box extends to end of enclosing scope
@@ -552,22 +554,34 @@ def _parse_mp4_meta(data: bytes) -> dict:
 
     out = {"major_brand": None, "timescale": None, "duration_s": None, "n_tracks": 0}
     seen_any = False
-    for btype, body, bend in boxes(data, 0, len(data)):
-        seen_any = True
-        if btype == b"ftyp":
-            out["major_brand"] = data[body : body + 4].decode("ascii", "replace")
-        elif btype == b"moov":
-            for ityp, ibody, _iend in boxes(data, body, bend):
-                if ityp == b"mvhd":
-                    version = data[ibody]
-                    if version == 1:
-                        ts, dur = struct.unpack(">IQ", data[ibody + 20 : ibody + 32])
-                    else:
-                        ts, dur = struct.unpack(">II", data[ibody + 12 : ibody + 20])
-                    out["timescale"] = ts
-                    out["duration_s"] = round(dur / ts, 4) if ts else 0.0
-                elif ityp == b"trak":
-                    out["n_tracks"] += 1
+    # corrupt crawl payloads must surface as the DOCUMENTED ValueError —
+    # a truncated mvhd would otherwise escape as struct.error/IndexError
+    # and blow through callers' dead-letter try/except ValueError
+    try:
+        for btype, body, bend in boxes(data, 0, len(data)):
+            seen_any = True
+            if btype == b"ftyp":
+                out["major_brand"] = data[body : body + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                for ityp, ibody, iend in boxes(data, body, bend):
+                    if ityp == b"mvhd":
+                        if ibody >= iend:
+                            raise ValueError("truncated mvhd box")
+                        version = data[ibody]
+                        if version == 1:
+                            ts, dur = struct.unpack(
+                                ">IQ", data[ibody + 20 : ibody + 32]
+                            )
+                        else:
+                            ts, dur = struct.unpack(
+                                ">II", data[ibody + 12 : ibody + 20]
+                            )
+                        out["timescale"] = ts
+                        out["duration_s"] = round(dur / ts, 4) if ts else 0.0
+                    elif ityp == b"trak":
+                        out["n_tracks"] += 1
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed BMFF payload: {exc}") from exc
     if not seen_any or out["major_brand"] is None:
         raise ValueError("not an ISO-BMFF payload (no ftyp box)")
     return out

@@ -36,9 +36,18 @@ def save_skip_set(df: DataFrame, path: str) -> int:
     # (os.replace is atomic on POSIX); salt the temp name with the pid
     # so concurrent writers don't clobber each other's temp.
     tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(ids, f, indent=4)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(ids, f, indent=4)
+        os.replace(tmp, path)
+    except BaseException:
+        # don't orphan the salted temp on a failed write (disk full,
+        # interrupt): repeated failing runs would accumulate one per pid
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return len(ids)
 
 

@@ -375,3 +375,22 @@ def test_shingle_staging_survives_optimizer(spark, dup_docs):
         with contextlib.redirect_stdout(buf):
             build().explain("formatted")
         assert "__w" in buf.getvalue(), "staged split projection was collapsed"
+
+
+def test_semantic_dedup_scoped_releases_all_blocks(spark):
+    """Same contract as minhash_dedup_scoped: nothing the SemDeDup
+    pipeline cached (LSH bucket persist, edge + label checkpoints) may
+    stay resident after the scope exits."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    jsc = spark.sparkContext._jsc
+
+    def resident_ids() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = resident_ids()
+    with D.semantic_dedup_scoped(emb, threshold=0.9) as groups:
+        n = groups.count()
+        assert n == emb.count()
+        assert resident_ids() - base, "pipeline should cache inside the scope"
+    leaked = resident_ids() - base
+    assert not leaked, f"scope exit must release every cached block: {leaked}"
