@@ -394,3 +394,52 @@ def test_semantic_dedup_scoped_releases_all_blocks(spark):
         assert resident_ids() - base, "pipeline should cache inside the scope"
     leaked = resident_ids() - base
     assert not leaked, f"scope exit must release every cached block: {leaked}"
+
+
+@st.composite
+def _span_corpus(draw):
+    # tiny alphabet forces cross-doc span collisions; blank docs and
+    # docs shorter than n exercise the degenerate paths
+    def doc():
+        return draw(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8).map(
+                " ".join
+            )
+        )
+
+    return [doc() for _ in range(draw(st.integers(2, 6)))]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_span_corpus())
+def test_duplicated_spans_matches_python_reference(spark, texts):
+    """Property: span counts, cross-doc duplicate sums, and flags equal
+    a direct Python computation — including the short-doc full-text
+    span and the exclusion of blank documents."""
+    n = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["flagged"])
+        for r in D.duplicated_spans(
+            df, "text", "doc_id", n=n, flag_threshold=0.05
+        ).collect()
+    }
+
+    def spans(t):
+        w = t.split(" ") if t else [""]
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    nonblank = {i: t for i, t in rows if t.strip()}
+    docs_per_span: dict[str, set] = {}
+    for i, t in nonblank.items():
+        for s in set(spans(t)):
+            docs_per_span.setdefault(s, set()).add(i)
+    expected = {}
+    for i, t in nonblank.items():
+        sp = spans(t)
+        dup = sum(1 for s in sp if len(docs_per_span[s]) >= 2)
+        expected[i] = (len(sp), dup, dup / len(sp) >= 0.05)
+    assert got == expected
