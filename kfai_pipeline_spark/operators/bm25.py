@@ -1,0 +1,95 @@
+"""BM25 lexical retrieval (X33): score documents against a small set
+of query terms with Okapi BM25 and return the global top-k.
+
+The reference's retrieval is hybrid pgvector-ANN + ILIKE topic matching
+(ref loaders/agents/query_agent.py:234-283); BM25 is the standard
+lexical arm a Spark-side retrieval/eval pipeline needs next to the
+cosine top-k of operators/similarity.py (Q27) — e.g. for building
+hybrid-retrieval eval sets or mining hard negatives over a full corpus.
+
+Scale shape (the part that matters at 100 TB):
+
+- the corpus is exploded once and filtered to the query terms
+  MAP-SIDE (a literal ``IN`` list — query term sets are tiny), so only
+  matching ``(doc, term)`` rows ever shuffle;
+- the per-term document frequencies are aggregated from the already
+  reduced tf frame (|hits| rows, not corpus rows) and broadcast back;
+- corpus-level stats (N, avgdl) ride a broadcast 1-row cross join
+  (same pattern as unigram_logprob / tfidf_top_terms);
+- the final top-k is ``orderBy().limit(k)`` — Spark plans
+  TakeOrderedAndProject, never a global sort.
+
+Scoring (Lucene-style BM25, all doubles):
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d)    = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+``dl`` is the whitespace token count (shared ``_words`` convention with
+operators/text_analysis.py so oracles line up engine-to-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.text_analysis import _words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` docs by BM25 score for ``terms``; returns
+    ``(id_col, bm25 ROUND 4, n_terms_hit)`` ordered by
+    ``(bm25 DESC, id_col)``. Docs matching no query term never appear
+    (score 0 rows are dropped before any shuffle)."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    staged = docs.select(F.col(id_col), _words(text_col).alias("__w")).select(
+        id_col, F.col("__w"), F.size("__w").alias("__dl")
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = staged.select(
+        id_col, "__dl", F.explode("__w").alias("__term")
+    ).where(F.col("__term").isin(list(terms)))
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__dfn"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__dfn") + 0.5) / (F.col("__dfn") + 0.5)
+    )
+    tf_norm = (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_norm).alias("__contrib"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__contrib"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

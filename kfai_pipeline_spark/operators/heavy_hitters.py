@@ -1,0 +1,93 @@
+"""Heavy hitters (X34): exact frequent-word extraction at unbounded
+vocabulary via Misra-Gries candidate generation + exact verification.
+
+A 100 TB corpus has an unbounded token vocabulary; a plain
+``groupBy(word).count`` shuffles the whole vocabulary even though only
+the few globally frequent words are wanted (stopword induction,
+boilerplate-token discovery, tokenizer sanity checks). The classic
+streaming answer is Misra-Gries: with ``k`` counters, every item whose
+true frequency exceeds n/(k+1) survives. MG summaries are MERGEABLE
+(Agarwal et al., "Mergeable Summaries", PODS 2012): combine counter
+maps, subtract the (k+1)-th largest count, drop non-positives — which
+makes the kernel batch-friendly (vectorized ``value_counts`` per Arrow
+batch, one merge per batch) instead of a per-row Python loop.
+
+Two-phase plan:
+
+1. **Candidates** (bounded memory, no shuffle): ``mapInPandas`` runs a
+   mergeable MG summary per partition and emits its ≤k surviving words.
+   Any word with global count·k > N must exceed n_p/k in some partition
+   (pigeonhole over the per-partition deficits), and MG(k) keeps every
+   word above n_p/(k+1) ≥ threshold, so the union of per-partition
+   candidates is a GUARANTEED superset of the true heavy hitters —
+   at most k·#partitions rows total.
+2. **Exact verify**: re-scan, broadcast-semi-join the candidate list
+   BEFORE aggregating (so only candidate words shuffle — ≤k·#partitions
+   distinct keys), count exactly, and keep ``cnt·k > N`` against the
+   broadcast 1-row corpus total.
+
+The final output is EXACT (the sketch only prunes the search space), so
+it hash-checks against a plain SQL ``HAVING cnt * k > total`` oracle —
+candidate-set variation across partitionings can never change the
+answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.text_analysis import _words
+
+
+def _mg_merge(counters: dict[str, int], batch: dict[str, int], k: int) -> dict[str, int]:
+    """Merge a batch's exact counts into an MG summary, shrinking back
+    to ≤k counters by subtracting the (k+1)-th largest count (the
+    mergeable-summaries reduction; error stays ≤ n/(k+1) overall)."""
+    for w, c in batch.items():
+        counters[w] = counters.get(w, 0) + int(c)
+    if len(counters) > k:
+        vals = sorted(counters.values(), reverse=True)
+        sub = vals[k]
+        counters = {w: c - sub for w, c in counters.items() if c > sub}
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Words with global frequency strictly above N/``k``, with exact
+    counts: ``(word, cnt, frac ROUND 4)`` ordered by
+    ``(cnt DESC, word)``."""
+    import pandas as pd
+
+    words = df.select(F.explode(_words(text_col)).alias("w")).where(F.col("w") != "")
+
+    def mg_candidates(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            counters = _mg_merge(counters, pdf["w"].value_counts().to_dict(), k)
+        yield pd.DataFrame({"w": pd.array(sorted(counters), dtype="string")})
+
+    candidates = words.mapInPandas(mg_candidates, "w string").dropDuplicates(["w"])
+    total = words.agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        words.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("__n"))
+        .select(
+            F.col("w").alias("word"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("__n"), 4).alias("frac"),
+        )
+        .orderBy(F.col("cnt").desc(), "word")
+    )

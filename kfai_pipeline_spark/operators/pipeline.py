@@ -79,6 +79,45 @@ def split_dead_letter(
     return df.where(F.col(ok_col)), df.where(~F.col(ok_col) | F.col(ok_col).isNull())
 
 
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str] | str,
+    delete_col: str | None = None,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Type-1 MERGE (upsert): apply a change batch onto a snapshot —
+    matched keys are overwritten by the change row, unmatched change
+    rows are inserted, and (when ``delete_col`` names a boolean column
+    on ``changes``) delete-flagged keys are removed. The latest-state
+    counterpart of :func:`scd2_history` (which keeps full lineage), and
+    the set-based form of the reference's overwrite-style record merge
+    (ref fetch_raw_data.py:64-67,88-93 keeps exactly the newest state
+    per video_id).
+
+    Spark form: ``base ANTI changes`` ∪ ``changes WHERE NOT deleted``
+    — no full-outer join, no window. When the change batch is small
+    relative to the snapshot (the overwhelmingly common CDC shape) the
+    anti join broadcasts and the snapshot NEVER shuffles; pass
+    ``broadcast_changes=False`` for rare snapshot-sized batches to let
+    AQE pick a shuffle join instead. ``changes`` must be 1 row per key
+    (a compacted CDC batch); callers with raw multi-event batches
+    compact first (e.g. latest-per-key via a window or
+    :func:`scd2_history`'s is_current slice).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key_side = changes.select(*keys).dropDuplicates(keys)
+    if broadcast_changes:
+        key_side = F.broadcast(key_side)
+    kept = base.join(key_side, keys, "left_anti")
+    live = changes
+    if delete_col is not None:
+        live = changes.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return kept.unionByName(live.select(*base.columns))
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,

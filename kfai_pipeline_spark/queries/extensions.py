@@ -1837,3 +1837,117 @@ def q95_scd2_history(spark, sf_dir):
     return scd2_history(
         ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
     ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------- Q97: SCD1 merge upsert
+@register(
+    "q97_merge_upsert",
+    # Change batch derived deterministically from the snapshot itself:
+    # every 13th key is an update (acctbal+100, renamed), every 39th is
+    # a delete, every 101st key spawns an insert under key+1000000.
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey,
+               'UPD::' || c_name AS c_name,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal,
+               c_mktsegment,
+               c_custkey % 39 = 0 AS deleted
+        FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW::' || c_name,
+               CAST(0.0 AS DOUBLE), c_mktsegment, FALSE
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT * FROM (
+        SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment
+        FROM customer b
+        WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.c_custkey = b.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM changes WHERE NOT deleted
+    )
+    ORDER BY c_custkey
+    """,
+    doc=(
+        "Type-1 MERGE / upsert (pipeline.merge_upsert): apply a "
+        "compacted CDC batch onto a snapshot — updates overwrite, "
+        "inserts append, delete-flagged keys drop. ANTI + UNION, no "
+        "full-outer join and no window; the change keys broadcast, so "
+        "the snapshot side NEVER shuffles (the latest-state twin of "
+        "q95's SCD2 lineage build; ref fetch_raw_data.py:64-67,88-93 "
+        "keeps the same newest-state-per-key semantics imperatively)."
+    ),
+)
+def q97_merge_upsert(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import merge_upsert
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = base.where(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPD::"), F.col("c_name")).alias("c_name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 39 == 0).alias("deleted"),
+    )
+    inserts = base.where(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW::"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(False).alias("deleted"),
+    )
+    merged = merge_upsert(
+        base, updates.unionByName(inserts), "c_custkey", delete_col="deleted"
+    )
+    return merged.orderBy("c_custkey")
+
+
+# ------------------------------------------------------ Q100: rolling z-score
+@register(
+    "q100_rolling_zscore",
+    # Same inclusive [ts-1h, ts] RANGE frame as q80; z is computed from
+    # the UNROUNDED window aggregates on both sides, then rounded at
+    # 4dp. Frames under 3 points (or zero variance) yield NULL score
+    # and a false flag.
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND(avg(value) OVER w, 4) AS roll_mean,
+           ROUND(stddev_samp(value) OVER w, 4) AS roll_std,
+           ROUND(CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+                      THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                 END, 4) AS zscore,
+           COALESCE(
+               CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+                    THEN abs((value - avg(value) OVER w)
+                             / stddev_samp(value) OVER w) > 2.0
+               END, FALSE) AS is_anomaly
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc=(
+        "Trailing-window anomaly detection (rolling.rolling_zscore): "
+        "z-score of each event against its key's own last hour; the "
+        "batch twin of streaming metric anomaly alerting. All three "
+        "window aggregates and the z arithmetic ride ONE Window "
+        "operator over the same epoch-micros RANGE spec — one key "
+        "shuffle, no self-join (plan-asserted)."
+    ),
+)
+def q100_rolling_zscore(spark, sf_dir):
+    from kfai_pipeline_spark.operators.rolling import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_zscore(
+        ev, "user_id", "ts", "value", duration_seconds=3600,
+        min_points=3, z_threshold=2.0,
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        "roll_mean", "roll_std", "zscore", "is_anomaly",
+    ).orderBy("event_id")

@@ -984,3 +984,156 @@ def q94_dup_spans(spark, sf_dir):
     return duplicated_spans(docs, "text", "doc_id", n=8, flag_threshold=0.05).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------------------ q96: BM25 retrieval
+@register(
+    "q96_bm25",
+    # Lucene-style BM25 (k1=1.2, b=0.75): idf = ln(1 + (N-df+.5)/(df+.5)),
+    # tf-norm = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)). 1-b=0.25 and b=0.75
+    # are exact binary fractions, so the arithmetic is engine-portable;
+    # the per-doc sum is <=3 doubles, rounded at 4dp.
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    staged AS (SELECT doc_id, len(w) AS dl, w FROM sized),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM staged),
+    wx AS (SELECT doc_id, dl, unnest(w) AS term FROM staged),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM wx WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1)
+    SELECT t.doc_id,
+           ROUND(SUM(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
+                     * t.tf * 2.2
+                     / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 10
+    """,
+    doc=(
+        "BM25 lexical retrieval (operators/bm25.py, X33): top-10 docs "
+        "for a 3-term query. Corpus explodes once and is filtered to "
+        "the query terms MAP-SIDE before any shuffle; document "
+        "frequencies aggregate from the reduced tf frame and broadcast "
+        "back; corpus stats ride a 1-row broadcast; the top-k is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+)
+def q96_bm25(spark, sf_dir):
+    from kfai_pipeline_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["spark", "window", "hash"], k=10)
+
+
+# ------------------------------------------------------- q98: heavy hitters
+@register(
+    "q98_heavy_hitters",
+    # The sketch only PRUNES (Misra-Gries candidates are a guaranteed
+    # superset of words with cnt*k > N); the output is exact integer
+    # counts under a strict integer threshold, so it hash-checks against
+    # the brute-force HAVING despite the approximate candidate phase.
+    oracle="""
+    WITH wx AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS cnt FROM wx WHERE w <> '' GROUP BY w),
+    tot AS (SELECT sum(cnt) AS n FROM wf)
+    SELECT w AS word, cnt, ROUND(cnt * 1.0 / n, 4) AS frac
+    FROM wf CROSS JOIN tot
+    WHERE cnt * 30 > n
+    ORDER BY cnt DESC, word
+    """,
+    doc=(
+        "Heavy hitters (operators/heavy_hitters.py, X34): words with "
+        "frequency > N/30, exact counts. Candidates come from a "
+        "mergeable Misra-Gries mapInPandas pass (bounded memory, no "
+        "shuffle); the exact recount semi-joins the broadcast candidate "
+        "list BEFORE aggregating, so only candidate words ever shuffle "
+        "— the full vocabulary never does."
+    ),
+)
+def q98_heavy_hitters(spark, sf_dir):
+    from kfai_pipeline_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return heavy_hitters(docs, "text", "doc_id", k=30)
+
+
+# ------------------------------------------------- q99: source-level curation
+@register(
+    "q99_source_curation",
+    # Gates compare the ROUNDED avg (both engines round to 4dp first);
+    # thresholds sit in gaps of the observed distribution so a last-bit
+    # avg divergence cannot flip a verdict.
+    oracle="""
+    WITH per_doc AS (
+        SELECT source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+        FROM documents
+    ),
+    stats AS (
+        SELECT source,
+               count(*) AS n_docs,
+               ROUND(avg(tok), 4) AS avg_tokens,
+               ROUND(count(DISTINCT text) * 1.0 / count(*), 4) AS distinct_text_ratio
+        FROM per_doc GROUP BY source
+    ),
+    verdict AS (
+        SELECT *,
+               n_docs >= 5 AND avg_tokens >= 51.0 AND avg_tokens <= 61.0
+               AND source NOT IN ('src3', 'src17') AS kept
+        FROM stats
+    )
+    SELECT source, n_docs, avg_tokens, distinct_text_ratio, kept,
+           CASE WHEN kept THEN n_docs ELSE 0 END AS n_kept_docs
+    FROM verdict
+    ORDER BY source
+    """,
+    doc=(
+        "Source/domain-level curation (operators/source_filter.py, X35): "
+        "per-source doc counts, mean token length, and duplication "
+        "ratio gate whole sources (C4/RefinedWeb domain filtering; the "
+        "reference's channel allowlist at ref database.py:69-71 is the "
+        "same gate hand-rolled). One doc->source aggregate, then the "
+        "small verdict table broadcasts back and the corpus is filtered "
+        "map-side — it never shuffles."
+    ),
+)
+def q99_source_curation(spark, sf_dir):
+    from kfai_pipeline_spark.operators.source_filter import (
+        filter_by_source,
+        source_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stats = source_stats(
+        docs,
+        min_docs=5,
+        min_avg_tokens=51.0,
+        max_avg_tokens=61.0,
+        blocklist=["src3", "src17"],
+    )
+    kept_counts = (
+        filter_by_source(docs, stats)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n_kept"))
+    )
+    return (
+        stats.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "avg_tokens",
+            "distinct_text_ratio",
+            "kept",
+            F.coalesce(F.col("__n_kept"), F.lit(0)).alias("n_kept_docs"),
+        )
+        .orderBy("source")
+    )

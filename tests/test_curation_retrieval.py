@@ -1,0 +1,241 @@
+"""Unit tests for the round-3 retrieval/curation operators: BM25
+(operators/bm25.py), heavy hitters (operators/heavy_hitters.py),
+Type-1 merge upsert (pipeline.merge_upsert), source-level curation
+(operators/source_filter.py), and rolling z-score anomaly detection
+(rolling.rolling_zscore). The oracle suite checks sf0.01 parity; these
+cover the semantic edges the fixtures don't reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.bm25 import bm25_topk
+from kfai_pipeline_spark.operators.heavy_hitters import _mg_merge, heavy_hitters
+from kfai_pipeline_spark.operators.pipeline import merge_upsert
+from kfai_pipeline_spark.operators.rolling import rolling_zscore
+from kfai_pipeline_spark.operators.source_filter import filter_by_source, source_stats
+
+# ------------------------------------------------------------------ BM25
+
+
+def test_bm25_requires_terms(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_bm25_hand_computed(spark):
+    # 3 docs, query {x}: doc 1 has x once (dl 2), doc 2 twice (dl 3),
+    # doc 3 never. N=3, df=2, avgdl=8/3.
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x z"), (3, "y z w")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bm25_topk(docs, ["x"], k=10).collect()}
+    assert set(rows) == {1, 2}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 8 / 3
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert rows[1].bm25 == pytest.approx(round(idf * tfn(1, 2), 4), abs=1e-4)
+    assert rows[2].bm25 == pytest.approx(round(idf * tfn(2, 3), 4), abs=1e-4)
+    assert rows[1].n_terms_hit == 1 and rows[2].n_terms_hit == 1
+    # the doc with more hits in a not-much-longer doc must score higher
+    assert rows[2].bm25 > rows[1].bm25
+
+
+def test_bm25_k_caps_and_orders(spark):
+    docs = spark.createDataFrame(
+        [(i, "q " * (i + 1)) for i in range(6)], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, ["q"], k=3).collect()
+    assert len(out) == 3
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------- heavy hitters
+
+
+def test_mg_merge_keeps_bound_and_guarantee():
+    import random
+
+    rng = random.Random(7)
+    k = 8
+    stream = [f"w{rng.randrange(30)}" for _ in range(5000)] + ["hot"] * 1200
+    rng.shuffle(stream)
+    exact: dict[str, int] = {}
+    for w in stream:
+        exact[w] = exact.get(w, 0) + 1
+    counters: dict[str, int] = {}
+    for i in range(0, len(stream), 97):  # uneven batches
+        batch: dict[str, int] = {}
+        for w in stream[i : i + 97]:
+            batch[w] = batch.get(w, 0) + 1
+        counters = _mg_merge(counters, batch, k)
+    assert len(counters) <= k
+    n = len(stream)
+    for w, c in exact.items():
+        if c > n / (k + 1):  # MG guarantee: must survive with bounded error
+            assert w in counters
+            assert counters[w] >= c - n // (k + 1)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_heavy_hitters_exact_regardless_of_partitioning(spark, parts):
+    import random
+
+    rng = random.Random(3)
+    words = ["hot"] * 400 + ["warm"] * 150 + [f"cold{i}" for i in range(450)]
+    rng.shuffle(words)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 20 : (i + 1) * 20])) for i in range(50)],
+        "doc_id long, text string",
+    ).repartition(parts)
+    out = {(r.word, r.cnt) for r in heavy_hitters(docs, k=5).collect()}
+    n = len(words)
+    brute = {
+        (w, c)
+        for w, c in {w: words.count(w) for w in set(words)}.items()
+        if c * 5 > n
+    }
+    assert out == brute == {("hot", 400)} or out == brute
+
+
+# ----------------------------------------------------------- merge upsert
+
+_BASE_ROWS = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+_SCHEMA = "k long, name string, val double"
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    base = spark.createDataFrame(_BASE_ROWS, _SCHEMA)
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, False),  # update
+            (3, "c", 30.0, True),    # delete
+            (9, "new", 90.0, False), # insert
+        ],
+        _SCHEMA + ", deleted boolean",
+    )
+    out = {r.k: r for r in merge_upsert(base, changes, "k", delete_col="deleted").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1].name == "a"            # untouched
+    assert out[2].name == "b2" and out[2].val == 21.0
+    assert out[9].name == "new"
+
+
+def test_merge_upsert_null_delete_flag_means_keep(spark):
+    base = spark.createDataFrame(_BASE_ROWS, _SCHEMA)
+    changes = spark.createDataFrame([(2, "b2", 21.0, None)], _SCHEMA + ", deleted boolean")
+    out = {r.k for r in merge_upsert(base, changes, "k", delete_col="deleted").collect()}
+    assert out == {1, 2, 3}
+
+
+def test_merge_upsert_without_delete_col_and_shuffle_path(spark):
+    base = spark.createDataFrame(_BASE_ROWS, _SCHEMA)
+    changes = spark.createDataFrame([(1, "a2", 11.0), (4, "d", 40.0)], _SCHEMA)
+    out = {r.k: r.name for r in merge_upsert(
+        base, changes, "k", broadcast_changes=False
+    ).collect()}
+    assert out == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_composite_key(spark):
+    base = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "k long, sub string, val double"
+    )
+    changes = spark.createDataFrame([(1, "y", 9.0)], "k long, sub string, val double")
+    out = {(r.k, r.sub): r.val for r in merge_upsert(base, changes, ["k", "sub"]).collect()}
+    assert out == {(1, "x"): 1.0, (1, "y"): 9.0}
+
+
+# --------------------------------------------------------- source curation
+
+
+def test_source_stats_gates_and_blocklist(spark):
+    rows = []
+    for i in range(6):
+        rows.append((i, "good", "one two three four five six"))        # avg 6
+    for i in range(6):
+        rows.append((10 + i, "short", "a b"))                           # avg 2 < min
+    rows.append((20, "tiny", "one two three four five six"))            # 1 doc < min_docs
+    for i in range(6):
+        rows.append((30 + i, "blocked", "one two three four five six"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    stats = {r.source: r for r in source_stats(
+        docs, min_docs=2, min_avg_tokens=3.0, max_avg_tokens=100.0,
+        blocklist=["blocked"],
+    ).collect()}
+    assert stats["good"].kept is True
+    assert stats["short"].kept is False       # token band
+    assert stats["tiny"].kept is False        # min_docs
+    assert stats["blocked"].kept is False     # blocklist
+    assert stats["good"].n_docs == 6
+    assert stats["good"].distinct_text_ratio == pytest.approx(round(1 / 6, 4))
+    kept_docs = filter_by_source(
+        docs, source_stats(
+            docs, min_docs=2, min_avg_tokens=3.0, max_avg_tokens=100.0,
+            blocklist=["blocked"],
+        )
+    )
+    assert {r.source for r in kept_docs.collect()} == {"good"}
+    assert kept_docs.count() == 6
+
+
+# --------------------------------------------------------- rolling z-score
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_rolling_zscore_hand_computed(spark):
+    ev = _events(spark, [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 1.0),
+        (3, 1, "2024-01-01 00:20:00", 10.0),
+    ])
+    out = {r.event_id: r for r in rolling_zscore(
+        ev, "user_id", "ts", "value", 3600, min_points=3, z_threshold=1.0
+    ).collect()}
+    assert out[1].zscore is None and out[1].is_anomaly is False  # frame of 1
+    assert out[2].zscore is None and out[2].is_anomaly is False  # frame of 2
+    mean, std = 4.0, math.sqrt(27.0)
+    assert out[3].roll_mean == pytest.approx(4.0)
+    assert out[3].roll_std == pytest.approx(round(std, 4))
+    assert out[3].zscore == pytest.approx(round((10.0 - mean) / std, 4))
+    assert out[3].is_anomaly is True  # |1.1547| > 1.0
+
+
+def test_rolling_zscore_zero_variance_and_frame_eviction(spark):
+    ev = _events(spark, [
+        (1, 1, "2024-01-01 00:00:00", 5.0),
+        (2, 1, "2024-01-01 00:01:00", 5.0),
+        (3, 1, "2024-01-01 00:02:00", 5.0),   # 3 points, zero variance
+        (4, 1, "2024-01-01 02:00:00", 99.0),  # old rows evicted: frame of 1
+    ])
+    out = {r.event_id: r for r in rolling_zscore(
+        ev, "user_id", "ts", "value", 3600
+    ).collect()}
+    assert out[3].zscore is None and out[3].is_anomaly is False  # std == 0
+    assert out[4].roll_mean == pytest.approx(99.0)               # frame holds only itself
+    assert out[4].zscore is None
+
+
+def test_rolling_zscore_keys_are_independent(spark):
+    ev = _events(spark, [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 2, "2024-01-01 00:00:01", 100.0),
+        (3, 1, "2024-01-01 00:00:02", 1.0),
+        (4, 2, "2024-01-01 00:00:03", 100.0),
+    ])
+    out = {r.event_id: r for r in rolling_zscore(ev, "user_id", "ts", "value", 3600).collect()}
+    assert out[3].roll_mean == pytest.approx(1.0)
+    assert out[4].roll_mean == pytest.approx(100.0)

@@ -281,6 +281,8 @@ _NESTED_LOOP_OK = {
     "q75_unigram_logprob",  # broadcast 1-row corpus-total cross join
     "q81_tfidf_terms",      # broadcast 1-row doc-total cross join
     "q92_bigram_logprob",   # broadcast 1-row corpus-total cross join
+    "q96_bm25",             # broadcast 1-row corpus-stats cross join
+    "q98_heavy_hitters",    # broadcast 1-row corpus-total cross join
 }
 
 
@@ -424,3 +426,81 @@ def test_q95_scd2_single_exchange_no_self_join(spark):
     assert sum(
         1 for ln in p.splitlines() if ln.strip().startswith("+- Sort") and "ts#" in ln
     ) == 1
+
+
+def test_q96_bm25_term_filter_precedes_shuffle_and_topk_pushes_down(spark):
+    """BM25: the query-term IN filter must apply map-side (below the
+    first exchange) so only matching (doc, term) rows shuffle, and the
+    final top-k must be TakeOrderedAndProject, not a global sort."""
+    import re
+
+    p = plan(spark, "q96_bm25")
+    assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
+    assert "CartesianProduct" not in p
+    # Each branch's IN-list filter must consume the explode DIRECTLY
+    # (formatted-plan ids increase leaf -> root within a branch, so the
+    # filter's child Generate has id f-1) — i.e. the filter is narrow
+    # map-side work below that branch's first exchange, never applied
+    # after a shuffle of the full exploded corpus.
+    # detail blocks run from "(n) Filter" to the next "(m) Op" header
+    blocks = re.split(r"^\((\d+)\) ", p, flags=re.M)
+    filt_ids = [
+        int(blocks[i])
+        for i in range(1, len(blocks) - 1, 2)
+        if blocks[i + 1].startswith("Filter") and "__term" in blocks[i + 1]
+    ]
+    assert filt_ids, "expected a term filter in the plan"
+    for f in filt_ids:
+        assert f"Generate ({f - 1})" in p, (
+            f"term filter ({f}) must sit directly on the explode — "
+            "something (an exchange?) crept between them"
+        )
+
+
+def test_q98_heavy_hitters_candidates_broadcast_before_recount(spark):
+    """The exact recount must semi-join the BROADCAST candidate list
+    before aggregating — the full vocabulary never shuffles."""
+    p = plan(spark, "q98_heavy_hitters")
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q99_source_filter_is_broadcast_semi_join(spark):
+    """Corpus filtering by source verdict must be a broadcast semi join
+    (map-side) — the corpus never shuffles to be filtered."""
+    p = plan(spark, "q99_source_curation")
+    assert "LeftSemi" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q97_merge_upsert_snapshot_never_shuffles(spark):
+    """The MERGE's anti join must broadcast the change keys: no
+    hash-partition exchange of the snapshot side below the anti join
+    (the final display orderBy is the only range exchange allowed)."""
+    import re
+
+    p = plan(spark, "q97_merge_upsert")
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    assert not re.search(r"Exchange hashpartitioning\(c_custkey", p), (
+        "snapshot must not hash-shuffle for the merge"
+    )
+
+
+def test_q100_zscore_is_single_window_no_self_join(spark):
+    """All three rolling aggregates (count/avg/stddev) and the z
+    arithmetic must share ONE Window operator over one key exchange —
+    never a range self-join."""
+    from kfai_pipeline_spark.queries.extensions import q100_rolling_zscore
+
+    df = q100_rolling_zscore(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" in p
+    assert "Join" not in p, "rolling z-score must not expand into a self-join"
+    assert p.count("hashpartitioning(user_id") == 1, "one key shuffle only"
+    assert p.count("Window (") == 1, "count+avg+stddev must share one Window op"
