@@ -79,6 +79,43 @@ def split_dead_letter(
     return df.where(F.col(ok_col)), df.where(~F.col(ok_col) | F.col(ok_col).isNull())
 
 
+def merge_agg_snapshots(
+    snapshot: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str] | str,
+    merge: dict[str, str],
+) -> DataFrame:
+    """Incremental aggregate maintenance (I7): combine a materialized
+    per-key aggregate SNAPSHOT with a freshly aggregated DELTA without
+    rescanning history — the incremental-view-maintenance answer to
+    "daily rollup over an append-only 100 TB log". Only MERGEABLE
+    measures are supported (``merge`` maps measure column ->
+    ``"sum" | "min" | "max"``; counts merge by sum); averages are
+    derived downstream as merged-sum / merged-count.
+
+    Scale shape: both inputs are already key-grain (|keys| rows, not
+    raw-event rows), so the union + re-aggregate shuffles aggregate
+    rows only. The snapshot never re-reads raw history — that is the
+    whole point; a full recompute touches every byte ever ingested,
+    this touches yesterday's rollup plus today's partition. The same
+    mechanism underlies the reference's processed-output diffing
+    (ref fetch_raw_data.py:57-67 re-derives state from what was already
+    materialized instead of refetching everything).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = {m for m in merge.values() if m not in fns}
+    if bad:
+        raise ValueError(f"non-mergeable merge fns: {sorted(bad)}")
+    cols = keys + list(merge)
+    return (
+        snapshot.select(*cols)
+        .unionByName(delta_agg.select(*cols))
+        .groupBy(*keys)
+        .agg(*[fns[m](c).alias(c) for c, m in merge.items()])
+    )
+
+
 def merge_upsert(
     base: DataFrame,
     changes: DataFrame,

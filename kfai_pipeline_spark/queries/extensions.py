@@ -1951,3 +1951,58 @@ def q100_rolling_zscore(spark, sf_dir):
         "event_id", "user_id", "value",
         "roll_mean", "roll_std", "zscore", "is_anomaly",
     ).orderBy("event_id")
+
+
+# ------------------------------------------------ Q102: incremental aggregation
+@register(
+    "q102_incremental_agg",
+    # The oracle is the FULL recompute over all events; the Spark arm
+    # merges a pre-cutoff aggregate snapshot with the post-cutoff
+    # delta's aggregate — hash equality proves incremental maintenance
+    # reproduces the from-scratch rollup.
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc=(
+        "Incremental aggregate maintenance (pipeline."
+        "merge_agg_snapshots, I7): yesterday's materialized rollup + "
+        "today's delta aggregate == full recompute, without rescanning "
+        "history. Both inputs are key-grain, so the merge shuffles "
+        "aggregate rows only — at 100 TB the delta partition is the "
+        "only raw data read."
+    ),
+)
+def q102_incremental_agg(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import merge_agg_snapshots
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+
+    def rollup(d):
+        return d.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    merged = merge_agg_snapshots(
+        rollup(ev.where(F.col("ts") < cutoff)),
+        rollup(ev.where(F.col("ts") >= cutoff)),
+        ["user_id", "event_type"],
+        {"cnt": "sum", "sum_value": "sum", "max_ts": "max"},
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_ts",
+    ).orderBy("user_id", "event_type")

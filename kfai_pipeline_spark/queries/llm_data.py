@@ -1137,3 +1137,83 @@ def q99_source_curation(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------- q101: hybrid RRF fusion
+@register(
+    "q101_hybrid_rrf",
+    # Fusion uses integer RANKS (1-based row_number over rounded scores
+    # with id tie-breaks — a total order, so both engines agree), and
+    # rrf = sum of two exactly-representable reciprocals, rounded 6dp.
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id <> 0
+    ),
+    staged AS (SELECT doc_id, len(w) AS dl, w FROM sized),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM staged),
+    wx AS (SELECT doc_id, dl, unnest(w) AS term FROM staged),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM wx WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+    bm AS (
+        SELECT t.doc_id,
+               ROUND(SUM(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
+                         * t.tf * 2.2
+                         / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY t.doc_id
+        ORDER BY bm25 DESC, t.doc_id
+        LIMIT 50
+    ),
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    vs AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, doc_id
+        LIMIT 50
+    ),
+    vec AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM vs)
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + v.r), 0), 6) AS rrf,
+           CAST(l.r IS NOT NULL AS INT) + CAST(v.r IS NOT NULL AS INT) AS n_lists_hit
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+    doc=(
+        "Hybrid retrieval with Reciprocal Rank Fusion (operators/"
+        "fusion.py, X36): BM25 top-50 (lexical arm) + cosine top-50 "
+        "(vector arm, vec_id=0 as the query) fused by rrf = "
+        "sum 1/(60+rank), top-10. The reference's retrieval is exactly "
+        "this hybrid (pgvector ANN + ILIKE topics, ref query_agent.py:"
+        "258-300); fusion runs on already-reduced top-n lists — "
+        "O(k·lists) rows regardless of corpus size."
+    ),
+)
+def q101_hybrid_rrf(spark, sf_dir):
+    from kfai_pipeline_spark.operators.bm25 import bm25_topk
+    from kfai_pipeline_spark.operators.fusion import rrf_fuse, with_rank
+    from kfai_pipeline_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") != 0
+    )
+    lex = with_rank(
+        bm25_topk(docs, ["spark", "window", "hash"], k=50),
+        [F.col("bm25").desc(), F.col("doc_id")],
+    ).select("doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vec = with_rank(
+        cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=50, round_to=4),
+        [F.col("score").desc(), F.col("vec_id")],
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], "doc_id", k=10)

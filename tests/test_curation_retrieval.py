@@ -239,3 +239,85 @@ def test_rolling_zscore_keys_are_independent(spark):
     out = {r.event_id: r for r in rolling_zscore(ev, "user_id", "ts", "value", 3600).collect()}
     assert out[3].roll_mean == pytest.approx(1.0)
     assert out[4].roll_mean == pytest.approx(100.0)
+
+
+# ------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from kfai_pipeline_spark.operators.fusion import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([lex, vec], "doc_id", k=10).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[1].rrf == pytest.approx(round(1 / 61 + 1 / 62, 6))
+    assert out[2].rrf == pytest.approx(round(1 / 62, 6))       # missing in vec
+    assert out[9].rrf == pytest.approx(round(1 / 63, 6))       # missing in lex
+    assert out[1].n_lists_hit == 2 and out[2].n_lists_hit == 1
+    # both-lists doc 3 (ranks 3,1) must beat single-list docs
+    ordered = [r.doc_id for r in rrf_fuse([lex, vec], "doc_id", k=2).collect()]
+    assert ordered[0] in (1, 3) and len(ordered) == 2
+
+
+def test_rrf_fuse_requires_lists(spark):
+    from kfai_pipeline_spark.operators.fusion import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+
+
+def test_with_rank_is_positional(spark):
+    from kfai_pipeline_spark.operators.fusion import with_rank
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9)], "doc_id long, score double"
+    )
+    out = {r.doc_id: r.rank for r in with_rank(
+        df, [F.col("score").desc(), F.col("doc_id")]
+    ).collect()}
+    assert out == {2: 1, 3: 2, 1: 3}
+
+
+# ----------------------------------------------------- incremental aggregates
+
+
+def test_merge_agg_snapshots_equals_full_recompute(spark):
+    from kfai_pipeline_spark.operators.pipeline import merge_agg_snapshots
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(5), rng.random() * 100, rng.randrange(1000)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double, seq long")
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+
+    merged = merge_agg_snapshots(
+        rollup(df.where(F.col("seq") < 500)),
+        rollup(df.where(F.col("seq") >= 500)),
+        "k",
+        {"cnt": "sum", "sum_v": "sum", "min_seq": "min", "max_seq": "max"},
+    )
+    got = {r.k: r for r in merged.collect()}
+    want = {r.k: r for r in rollup(df).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].cnt == want[k].cnt
+        assert got[k].sum_v == pytest.approx(want[k].sum_v, rel=1e-9)
+        assert got[k].min_seq == want[k].min_seq
+        assert got[k].max_seq == want[k].max_seq
+
+
+def test_merge_agg_snapshots_rejects_non_mergeable(spark):
+    from kfai_pipeline_spark.operators.pipeline import merge_agg_snapshots
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, avg_v double")
+    with pytest.raises(ValueError):
+        merge_agg_snapshots(df, df, "k", {"avg_v": "avg"})

@@ -283,6 +283,7 @@ _NESTED_LOOP_OK = {
     "q92_bigram_logprob",   # broadcast 1-row corpus-total cross join
     "q96_bm25",             # broadcast 1-row corpus-stats cross join
     "q98_heavy_hitters",    # broadcast 1-row corpus-total cross join
+    "q101_hybrid_rrf",      # bm25 1-row stats + broadcast cosine probe arms
 }
 
 
@@ -504,3 +505,37 @@ def test_q100_zscore_is_single_window_no_self_join(spark):
     assert "Join" not in p, "rolling z-score must not expand into a self-join"
     assert p.count("hashpartitioning(user_id") == 1, "one key shuffle only"
     assert p.count("Window (") == 1, "count+avg+stddev must share one Window op"
+
+
+def test_q101_fusion_operates_on_reduced_lists(spark):
+    """RRF must fuse already-top-k frames: the full-outer fusion join
+    sits ABOVE both arms' window top-k filters (ids root-ward), so it
+    only ever sees k-row inputs — and the corpus arms keep their own
+    scale shapes (term filter on the explode, broadcast NLJ probe)."""
+    import re
+
+    p = plan(spark, "q101_hybrid_rrf")
+    # tree lines carry the join type with the id at the END:
+    # "+- SortMergeJoin FullOuter (56)"
+    join_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) FullOuter \((\d+)\)", p
+        )
+    ]
+    assert join_ids, "expected a full-outer fusion join"
+    win_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Window", p)]
+    assert win_ids, "expected ranking windows"
+    assert min(join_ids) > max(win_ids), (
+        "fusion join must consume the ranked (already reduced) frames"
+    )
+
+
+def test_q102_incremental_merge_has_no_join_and_partial_aggs(spark):
+    """The snapshot+delta merge must be union-of-aggregates with
+    map-side partials — never a join, never a raw-grain re-shuffle of
+    both sides together."""
+    p = plan(spark, "q102_incremental_agg", mode="simple")
+    assert "Join" not in p
+    assert "Union" in p
+    assert "partial_count" in p or "partial_sum" in p
