@@ -143,6 +143,76 @@ SECTIONS = [
         "equi-keyed shuffle with map-side combine — the same data motion "
         "a suffix-array build would need, minus the global sort.",
     ),
+    (
+        "q96_bm25",
+        "BM25 lexical retrieval (X33)",
+        "The query-term IN filter sits DIRECTLY on the explode in every "
+        "branch (machine-asserted: each term Filter's child is the "
+        "Generate), so only matching (doc, term) rows ever shuffle; "
+        "document frequencies aggregate from the reduced tf frame and "
+        "come back via BroadcastHashJoin; corpus stats ride a 1-row "
+        "BroadcastNestedLoopJoin; the final top-k is "
+        "TakeOrderedAndProject. At 100 TB the corpus contributes only "
+        "its query-term hits to any exchange.",
+    ),
+    (
+        "q98_heavy_hitters",
+        "Heavy hitters via Misra-Gries pruning (X34)",
+        "Candidate generation is a mapInPandas pass with k counters per "
+        "partition (bounded memory, no shuffle; the MG merge guarantee "
+        "makes the union a superset of all true heavy hitters). The "
+        "exact recount LeftSemi-joins the BROADCAST candidate list "
+        "before its aggregation — so the full vocabulary never "
+        "shuffles, only ≤ k·#partitions candidate words do. Output is "
+        "exact integer counts under a strict threshold: partitioning "
+        "can change the candidate set but never the answer.",
+    ),
+    (
+        "q99_source_curation",
+        "Source/domain-level curation (X35)",
+        "One doc→source aggregate reduces the corpus to source grain; "
+        "the verdict table broadcasts back and the corpus is filtered "
+        "by a BroadcastExchange + LeftSemi join — map-side, the corpus "
+        "never shuffles. Same aggregate-small/broadcast-back shape as "
+        "mixture sampling and boilerplate removal.",
+    ),
+    (
+        "q97_merge_upsert",
+        "Type-1 MERGE upsert (I6)",
+        "The change keys broadcast into a LeftAnti against the "
+        "snapshot — machine-asserted: NO hashpartitioning exchange of "
+        "the snapshot side. At 100 TB the snapshot streams through a "
+        "map-side anti join; only the (small) compacted CDC batch is "
+        "ever collected for broadcast.",
+    ),
+    (
+        "q100_rolling_zscore",
+        "Trailing-window z-score anomaly detection (X23b)",
+        "count/avg/stddev and the z arithmetic all ride ONE Window "
+        "operator over the same epoch-micros RANGE spec (machine-"
+        "asserted: single `Window (`, single hashpartitioning on the "
+        "key, no Join) — the self-join formulation would duplicate "
+        "every row once per frame hit and shuffle twice.",
+    ),
+    (
+        "q101_hybrid_rrf",
+        "Hybrid retrieval fusion — RRF (X36)",
+        "The FullOuter fusion join consumes the two arms ABOVE their "
+        "top-k reductions (machine-asserted: fusion join id root-ward "
+        "of every ranking Window), so fusion cost is O(k·lists) "
+        "regardless of corpus size; each arm keeps its own audited "
+        "scale shape (q96's map-side term filter, q27's broadcast "
+        "cosine probe).",
+    ),
+    (
+        "q102_incremental_agg",
+        "Incremental aggregate maintenance (I7)",
+        "Union-of-aggregates with map-side partials and NO join "
+        "(machine-asserted): the snapshot side is key-grain, so the "
+        "merge shuffles aggregate rows only. At 100 TB yesterday's "
+        "rollup (tiny) plus today's delta partition are the only "
+        "inputs — history is never rescanned.",
+    ),
 ]
 
 
