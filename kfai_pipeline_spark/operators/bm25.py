@@ -9,15 +9,18 @@ hybrid-retrieval eval sets or mining hard negatives over a full corpus.
 
 Scale shape (the part that matters at 100 TB):
 
-- the corpus is exploded once and filtered to the query terms
+- the corpus is exploded ONCE and filtered to the query terms
   MAP-SIDE (a literal ``IN`` list — query term sets are tiny), so only
   matching ``(doc, term)`` rows ever shuffle;
-- the per-term document frequencies are aggregated from the already
-  reduced tf frame (|hits| rows, not corpus rows) and broadcast back;
+- per-term document frequencies come from a window over the already
+  reduced tf frame (|hit docs|·|terms| rows, not corpus rows) — never
+  a second derivation of the corpus explode;
 - corpus-level stats (N, avgdl) ride a broadcast 1-row cross join
   (same pattern as unigram_logprob / tfidf_top_terms);
 - the final top-k is ``orderBy().limit(k)`` — Spark plans
-  TakeOrderedAndProject, never a global sort.
+  TakeOrderedAndProject, never a global sort;
+- a narrow few-file scan is widened to full parallelism before the
+  CPU-heavy split/explode (same rationale as dedup._maybe_widen).
 
 Scoring (Lucene-style BM25, all doubles):
 
@@ -50,11 +53,15 @@ def bm25_topk(
     ``(id_col, bm25 ROUND 4, n_terms_hit)`` ordered by
     ``(bm25 DESC, id_col)``. Docs matching no query term never appear
     (score 0 rows are dropped before any shuffle)."""
+    from pyspark.sql.window import Window
+
+    from kfai_pipeline_spark.operators.dedup import _maybe_widen
+
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    staged = docs.select(F.col(id_col), _words(text_col).alias("__w")).select(
-        id_col, F.col("__w"), F.size("__w").alias("__dl")
-    )
+    staged = _maybe_widen(docs).select(
+        F.col(id_col), _words(text_col).alias("__w")
+    ).select(id_col, F.col("__w"), F.size("__w").alias("__dl"))
     stats = staged.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.avg("__dl").alias("__avgdl"),
@@ -65,7 +72,11 @@ def bm25_topk(
     tf = hits.groupBy(id_col, "__term").agg(
         F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
     )
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__dfn"))
+    # df_t as a window over the REDUCED tf frame — re-deriving it from
+    # the corpus would plan a second explode of every document
+    tf = tf.withColumn(
+        "__dfn", F.count(F.lit(1)).over(Window.partitionBy("__term"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n_docs") - F.col("__dfn") + 0.5) / (F.col("__dfn") + 0.5)
@@ -79,10 +90,8 @@ def bm25_topk(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
         )
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "__term")
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), (idf * tf_norm).alias("__contrib"))
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), (idf * tf_norm).alias("__contrib")
     )
     return (
         scored.groupBy(id_col)

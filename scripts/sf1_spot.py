@@ -71,6 +71,44 @@ def main() -> None:
         "duplicated_spans 8-gram",
         lambda: D.duplicated_spans(docs, "text", "doc_id").count(),
     )
+    from kfai_pipeline_spark.operators.bm25 import bm25_topk
+    from kfai_pipeline_spark.operators.fusion import rrf_fuse, with_rank
+    from kfai_pipeline_spark.operators.heavy_hitters import heavy_hitters
+    from kfai_pipeline_spark.operators.source_filter import (
+        filter_by_source,
+        source_stats,
+    )
+
+    t(
+        "bm25 top-10 (3 terms)",
+        lambda: bm25_topk(docs, ["spark", "window", "hash"], k=10).count(),
+    )
+    t(
+        "heavy_hitters k=30",
+        lambda: heavy_hitters(docs, "text", "doc_id", k=30).count(),
+    )
+    t(
+        "source curation filter",
+        lambda: filter_by_source(docs, source_stats(docs)).count(),
+    )
+
+    def _rrf():
+        lex = with_rank(
+            bm25_topk(docs, ["spark", "window", "hash"], k=50),
+            [F.col("bm25").desc(), F.col("doc_id")],
+        ).select("doc_id", "rank")
+        from kfai_pipeline_spark.operators.similarity import cosine_topk
+
+        qv = emb.where(F.col("vec_id") == 0).select(
+            F.lit(0).alias("query_id"), "embedding"
+        )
+        vec = with_rank(
+            cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=50),
+            [F.col("score").desc(), F.col("vec_id")],
+        ).select(F.col("vec_id").alias("doc_id"), "rank")
+        return rrf_fuse([lex, vec], "doc_id", k=10).count()
+
+    t("hybrid rrf fusion", _rrf)
 
 
 if __name__ == "__main__":
