@@ -321,3 +321,151 @@ def test_merge_agg_snapshots_rejects_non_mergeable(spark):
     df = spark.createDataFrame([(1, 1.0)], "k long, avg_v double")
     with pytest.raises(ValueError):
         merge_agg_snapshots(df, df, "k", {"avg_v": "avg"})
+
+
+# ------------------------------------------------------------ property tests
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@st.composite
+def _bm25_case(draw):
+    corpus = draw(
+        st.lists(
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    terms = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3, unique=True))
+    return corpus, terms
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_bm25_case())
+def test_bm25_matches_python_reference(spark, case):
+    """Property: the distributed plan equals a direct python Okapi BM25
+    for arbitrary tiny corpora (tf>1, df=N, single-term docs, ties)."""
+    corpus, terms = case
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_topk(docs, terms, k=100).collect()}
+    n = len(corpus)
+    avgdl = sum(len(ws) for ws in corpus) / n
+    expect = {}
+    for i, ws in enumerate(corpus):
+        score = 0.0
+        for t in set(terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            dfn = sum(1 for other in corpus if t in other)
+            idf = math.log(1 + (n - dfn + 0.5) / (dfn + 0.5))
+            score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        if score:
+            expect[i] = round(score, 4)
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i] == pytest.approx(expect[i], abs=2e-4)
+
+
+@st.composite
+def _merge_case(draw):
+    base = draw(
+        st.dictionaries(st.integers(0, 15), st.integers(0, 99), min_size=0, max_size=10)
+    )
+    changes = draw(
+        st.dictionaries(
+            st.integers(0, 15),
+            st.tuples(st.integers(100, 199), st.sampled_from([True, False, None])),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    return base, changes
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_merge_case())
+def test_merge_upsert_matches_dict_fold(spark, case):
+    """Property: merge_upsert == the reference's imperative dict
+    overwrite (ref fetch_raw_data.py:64-67) plus delete handling, for
+    arbitrary overlapping key sets and None delete flags."""
+    base, changes = case
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long"
+    )
+    ch_df = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in changes.items()],
+        "k long, v long, deleted boolean",
+    )
+    got = {r.k: r.v for r in merge_upsert(base_df, ch_df, "k", delete_col="deleted").collect()}
+    expect = dict(base)
+    for k, (v, d) in changes.items():
+        if d:  # True -> delete; False/None -> upsert
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    assert got == expect
+
+
+@st.composite
+def _zscore_case(draw):
+    return draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),            # key
+                st.integers(0, 7200),         # ts offset seconds
+                st.integers(-50, 50),         # value (int -> exact doubles)
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_zscore_case())
+def test_rolling_zscore_matches_python_reference(spark, case):
+    """Property: the single-Window plan equals a brute-force trailing
+    scan (inclusive [t-1h, t], sample stddev, min_points/zero-variance
+    gating) for arbitrary tie/eviction layouts."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, k, (base + datetime.timedelta(seconds=off)).isoformat(sep=" "), float(v))
+        for i, (k, off, v) in enumerate(case)
+    ]
+    ev = _events(spark, rows)
+    got = {r.event_id: r for r in rolling_zscore(
+        ev, "user_id", "ts", "value", 3600, min_points=3, z_threshold=2.0
+    ).collect()}
+    for i, (k, off, v) in enumerate(case):
+        frame = [
+            float(v2) for (k2, off2, v2) in case
+            if k2 == k and off - 3600 <= off2 <= off
+        ]
+        n = len(frame)
+        mean = sum(frame) / n
+        r = got[i]
+        assert r.roll_mean == pytest.approx(round(mean, 4), abs=1e-4)
+        if n >= 2:
+            var = sum((x - mean) ** 2 for x in frame) / (n - 1)
+            std = math.sqrt(var)
+            assert (r.roll_std or 0.0) == pytest.approx(round(std, 4), abs=1e-4)
+        if n >= 3:
+            var = sum((x - mean) ** 2 for x in frame) / (n - 1)
+            std = math.sqrt(var)
+            if std > 0:
+                z = (v - mean) / std
+                assert r.zscore == pytest.approx(round(z, 4), abs=1e-4)
+                assert r.is_anomaly == (abs(z) > 2.0)
+            else:
+                assert r.zscore is None and r.is_anomaly is False
+        else:
+            assert r.zscore is None and r.is_anomaly is False
