@@ -146,14 +146,13 @@ SECTIONS = [
     (
         "q96_bm25",
         "BM25 lexical retrieval (X33)",
-        "The query-term IN filter sits DIRECTLY on the explode in every "
-        "branch (machine-asserted: each term Filter's child is the "
-        "Generate), so only matching (doc, term) rows ever shuffle; "
-        "document frequencies aggregate from the reduced tf frame and "
-        "come back via BroadcastHashJoin; corpus stats ride a 1-row "
-        "BroadcastNestedLoopJoin; the final top-k is "
-        "TakeOrderedAndProject. At 100 TB the corpus contributes only "
-        "its query-term hits to any exchange.",
+        "ONE corpus explode: the query-term IN filter sits DIRECTLY on "
+        "the Generate (machine-asserted), so only matching (doc, term) "
+        "rows ever shuffle; document frequency is a window over the "
+        "REDUCED tf frame (never a second corpus derivation); corpus "
+        "stats ride a 1-row BroadcastNestedLoopJoin; the final top-k "
+        "is TakeOrderedAndProject. At 100 TB the corpus contributes "
+        "only its query-term hits to any exchange.",
     ),
     (
         "q98_heavy_hitters",
