@@ -68,6 +68,9 @@ def heavy_hitters(
 
     from kfai_pipeline_spark.operators.dedup import _maybe_widen
 
+    if k < 1:
+        raise ValueError(f"heavy_hitters needs k >= 1, got {k}")
+
     wide = _maybe_widen(df)
     words = wide.select(F.explode(_words(text_col)).alias("w")).where(
         F.col("w") != ""

@@ -271,3 +271,95 @@ def test_foreach_batch_sink_idempotent_replay(spark, events_dir, tmp_path_factor
     q2 = write_stream_foreach_batch(_stream_events(spark, events_dir), upsert, ckpt)
     q2.awaitTermination()
     assert store == first
+
+
+def test_incremental_rollup_parity_and_replay(spark, events_dir, tmp_path_factory):
+    """I7 streaming twin: folding every micro-batch into the versioned
+    rollup equals the batch recompute (q102's shape), and a replay of
+    the same checkpoint changes nothing (version-monotonic no-op)."""
+    from kfai_pipeline_spark.streaming.rollup import (
+        maintain_rollup,
+        read_rollup_snapshot,
+    )
+
+    keys = ["user_id", "event_type"]
+    merge = {"cnt": "sum", "sum_value": "sum", "max_ts": "max"}
+
+    def rollup(d):
+        return d.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    snap = str(tmp_path_factory.mktemp("rollup_snap"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rollup"))
+    q = maintain_rollup(
+        _stream_events(spark, events_dir), rollup, keys, merge, snap, ckpt
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
+        for r in read_rollup_snapshot(spark, snap, keys, merge).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
+        for r in rollup(spark.read.parquet(events_dir)).collect()
+    }
+    assert got == want and got
+
+    # replay the SAME checkpoint: no new versions, snapshot unchanged
+    import os
+
+    versions_before = sorted(d for d in os.listdir(snap) if d.startswith("v_"))
+    q2 = maintain_rollup(
+        _stream_events(spark, events_dir), rollup, keys, merge, snap, ckpt
+    )
+    q2.awaitTermination()
+    assert sorted(d for d in os.listdir(snap) if d.startswith("v_")) == versions_before
+    got2 = {
+        (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
+        for r in read_rollup_snapshot(spark, snap, keys, merge).collect()
+    }
+    assert got2 == want
+
+
+def test_incremental_rollup_double_apply_guard(spark, events_dir, tmp_path_factory):
+    """A crash AFTER the snapshot write but BEFORE the checkpoint
+    commit replays the batch: the version guard must make the second
+    apply a no-op instead of double-counting."""
+    from kfai_pipeline_spark.streaming.rollup import (
+        _read_latest_version,
+        maintain_rollup,
+        read_rollup_snapshot,
+    )
+
+    keys = ["user_id"]
+    merge = {"cnt": "sum"}
+
+    def rollup(d):
+        return d.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    snap = str(tmp_path_factory.mktemp("rollup_snap2"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rollup2"))
+    q = maintain_rollup(
+        _stream_events(spark, events_dir), rollup, keys, merge, snap, ckpt
+    )
+    q.awaitTermination()
+    want = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    latest = _read_latest_version(snap)
+    batch = spark.read.parquet(events_dir)
+
+    # replayed epoch: same (content, batch_id) reapplied -> guarded no-op
+    from kfai_pipeline_spark.streaming.rollup import apply_batch
+
+    assert apply_batch(batch, latest, rollup, keys, merge, snap) is False
+    assert _read_latest_version(snap) == latest
+    after = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    assert after == want
+
+    # a genuinely NEW batch id applies and doubles the counts
+    assert apply_batch(batch, latest + 1, rollup, keys, merge, snap) is True
+    doubled = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    assert doubled == {k: 2 * v for k, v in want.items()}
