@@ -787,10 +787,20 @@ def q44_grouping_sets(spark, sf_dir):
 
 @register(
     "q45_stats",
+    # Percentiles interpolate in an exact integer CENTS domain: at
+    # g=0.5 the interpolated midpoint of an even-count group lands
+    # EXACTLY on a .005 dollar boundary whenever a+b is odd, and the
+    # two engines' internal interpolation formulas produce doubles on
+    # either side of it (found by the sf0.001 sweep: one median cell
+    # flipped 52724.24 vs .25). With int64-valued inputs the midpoint
+    # (a+b)/2 is exact, /100 is the identical IEEE op on the identical
+    # double, so the value entering ROUND is bit-equal across engines.
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2)  AS median_price,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+                 / 100, 2)  AS median_price,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.95)
+                 / 100, 2) AS p95_price,
            ROUND(stddev_samp(l_extendedprice), 2)          AS sd_price,
            ROUND(var_samp(l_quantity), 2)                  AS var_qty,
            ROUND(MIN(l_extendedprice), 2)                  AS min_price,
@@ -801,18 +811,20 @@ def q44_grouping_sets(spark, sf_dir):
     """,
     doc=(
         "Statistical aggregates (A7 completeness): exact interpolated "
-        "percentiles (Spark percentile == DuckDB quantile_cont), sample "
-        "stddev/variance, min/max. approx_percentile/approx_count_distinct "
+        "percentiles (Spark percentile == DuckDB quantile_cont, both over "
+        "an exact cents domain), sample stddev/variance, min/max. "
+        "approx_percentile/approx_count_distinct "
         "are the sketch path at scale (not hash-stable -> not oracle-checked)."
     ),
 )
 def q45_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+            F.round(F.percentile(cents, F.lit(0.5)) / 100, 2).alias("median_price"),
+            F.round(F.percentile(cents, F.lit(0.95)) / 100, 2).alias("p95_price"),
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
             F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),

@@ -435,7 +435,15 @@ def test_q96_bm25_term_filter_precedes_shuffle_and_topk_pushes_down(spark):
     final top-k must be TakeOrderedAndProject, not a global sort."""
     import re
 
-    p = plan(spark, "q96_bm25")
+    # fresh plan (not the registry memo) — see test_q101 note on AQE
+    # final-plan renumbering after the oracle test executes the query
+    from kfai_pipeline_spark.queries.llm_data import q96_bm25
+
+    df = q96_bm25(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
     assert "CartesianProduct" not in p
     # Each branch's IN-list filter must consume the explode DIRECTLY
@@ -511,10 +519,19 @@ def test_q101_fusion_operates_on_reduced_lists(spark):
     """RRF must fuse already-top-k frames: the full-outer fusion join
     sits ABOVE both arms' window top-k filters (ids root-ward), so it
     only ever sees k-row inputs — and the corpus arms keep their own
-    scale shapes (term filter on the explode, broadcast NLJ probe)."""
+    scale shapes (term filter on the explode, broadcast NLJ probe).
+    Build a FRESH plan (not the registry memo): once the oracle test
+    has executed q101, .explain renders the AQE final plan whose
+    stage materialization renumbers the operator ids."""
     import re
 
-    p = plan(spark, "q101_hybrid_rrf")
+    from kfai_pipeline_spark.queries.llm_data import q101_hybrid_rrf
+
+    df = q101_hybrid_rrf(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     # tree lines carry the join type with the id at the END:
     # "+- SortMergeJoin FullOuter (56)"
     join_ids = [
