@@ -469,3 +469,42 @@ def test_rolling_zscore_matches_python_reference(spark, case):
                 assert r.zscore is None and r.is_anomaly is False
         else:
             assert r.zscore is None and r.is_anomaly is False
+
+
+@st.composite
+def _hh_case(draw):
+    # skewed vocabulary: few hot words + a long tail
+    corpus = draw(
+        st.lists(
+            st.lists(
+                st.sampled_from(["hot", "warm", "w1", "w2", "w3", "w4", "w5", "w6"]),
+                min_size=0,
+                max_size=15,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    k = draw(st.integers(1, 8))
+    parts = draw(st.integers(1, 5))
+    return corpus, k, parts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_hh_case())
+def test_heavy_hitters_matches_counter(spark, case):
+    """Property: output == brute-force Counter filter (cnt*k > N) for
+    arbitrary corpora, k, and partitionings — the MG candidate phase
+    may vary with partitioning but can never change the answer."""
+    from collections import Counter
+
+    corpus, k, parts = case
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    ).repartition(parts)
+    got = {(r.word, r.cnt) for r in heavy_hitters(docs, k=k).collect()}
+    counts = Counter(w for ws in corpus for w in ws)
+    n = sum(counts.values())
+    want = {(w, c) for w, c in counts.items() if c * k > n}
+    assert got == want
