@@ -216,6 +216,57 @@ def retrieve_multi_topic(
     return _dedup_cap_resort(unioned, k)
 
 
+def retrieve_hybrid_rrf(
+    docs: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    parsed: ParsedQuery,
+    k: int = CONTEXT_COUNT,
+    arm_k: int | None = None,
+    vec_col: str = "embedding",
+    c: int = 60,
+) -> DataFrame:
+    """Rank-fused hybrid retrieval (X36): the reference gates lexically
+    with ILIKE predicates and scores only by vector distance
+    (ref query_agent.py:258-283); this arm SCORES both signals — BM25
+    over the chunk text and cosine over the embedding — and fuses the
+    two top-``arm_k`` lists with Reciprocal Rank Fusion before the
+    usual dedup/cap/re-sort. Use when the lexical signal should rank
+    (not just filter): rare exact terms, code tokens, names.
+
+    Scale shape: the metadata predicate prunes BOTH arms before any
+    scoring (pushed to the scan); each arm reduces to ``arm_k`` rows
+    with its own audited plan (bm25: map-side term filter; cosine:
+    narrow projection + TakeOrderedAndProject); fusion and the
+    attribute join-back touch O(arm_k) rows.
+    """
+    from kfai_pipeline_spark.operators.bm25 import bm25_topk
+    from kfai_pipeline_spark.operators.fusion import rrf_fuse, with_rank
+
+    arm_k = arm_k or max(2 * k, 50)
+    filtered = docs.where(metadata_predicate(parsed)).withColumn(
+        "__rid", F.concat_ws("|", "video_id", F.col("start_time").cast("string"))
+    )
+    lex = with_rank(
+        bm25_topk(filtered, terms, text_col="text", id_col="__rid", k=arm_k),
+        [F.col("bm25").desc(), F.col("__rid")],
+    ).select("__rid", "rank")
+    qv = F.lit(query_vec).cast("array<double>")
+    vec_scored = (
+        filtered.select("__rid", cosine(_as_double(vec_col), qv).alias("score"))
+        .orderBy(F.desc("score"), "__rid")
+        .limit(arm_k)
+    )
+    vec = with_rank(
+        vec_scored, [F.col("score").desc(), F.col("__rid")]
+    ).select("__rid", "rank")
+    fused = rrf_fuse([lex, vec], "__rid", k=k, c=c)
+    joined = filtered.join(
+        fused.select("__rid", F.col("rrf").alias("score")), "__rid"
+    ).drop("__rid")
+    return _dedup_cap_resort(joined, k)
+
+
 def cite(
     docs: DataFrame,
     citations: list[Citation],

@@ -210,3 +210,30 @@ def test_answer_query_end_to_end(chunk_docs):
     src = sources.collect()
     assert len(src) == 1
     assert src[0]["urls"][0].startswith("https://www.youtube.com/watch?v=")
+
+
+def test_retrieve_hybrid_rrf(chunk_docs):
+    from kfai_pipeline_spark.plans.rag import retrieve_hybrid_rrf
+
+    qv = hash_embed(["spark data"])[0]
+    # a term guaranteed present in the fixture chunk text
+    term = (
+        chunk_docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("w").count().orderBy(F.desc("count")).first()["w"]
+    )
+    out = retrieve_hybrid_rrf(chunk_docs, [term], qv, ParsedQuery(), k=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    # dedup + chronological re-sort contract shared with retrieve()
+    keys = [(r["video_id"], r["start_time"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    pubs = [r["published_at"] for r in rows]
+    assert pubs == sorted(pubs)
+    # metadata predicate prunes both arms
+    one_show = retrieve_hybrid_rrf(
+        chunk_docs, [term], qv, ParsedQuery(shows=["Alpha Show"]), k=10
+    )
+    assert one_show.where("show_name <> 'Alpha Show'").count() == 0
+    # fused score is the RRF value: bounded by 2/(60+1)
+    assert all(0 < r["score"] <= 2 / 61 + 1e-9 for r in rows)
