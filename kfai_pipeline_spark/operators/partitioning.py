@@ -76,13 +76,18 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_key: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
-    Both sides of a repeated join bucketed on the same key with the same
-    bucket count join with zero Exchange."""
+    """Persist as a bucketed (and optionally sorted) table — managed,
+    or external when ``path`` is given (keeps the data out of the
+    session warehouse dir; the bucketing metadata lives in the catalog
+    either way). Both sides of a repeated join bucketed on the same key
+    with the same bucket count join with zero Exchange."""
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -2006,3 +2006,63 @@ def q102_incremental_agg(spark, sf_dir):
         F.round("sum_value", 2).alias("sum_value"),
         "max_ts",
     ).orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------- Q103: bucketed co-located join
+@register(
+    "q103_bucketed_join",
+    # The oracle is the plain join over the raw views; the Spark arm
+    # routes BOTH sides through bucketed external tables first
+    # (write_bucketed). Hash equality proves the bucketed path is
+    # semantics-preserving; the shuffle-free join property itself is
+    # plan-asserted in test_partitioning / test_plan_audit.
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc=(
+        "Bucketed co-located join (operators/partitioning.py, §4 "
+        "'hard parts'): both sides persisted with bucketBy(8, custkey) "
+        "+ sortBy, then joined via the catalog — the bucketed scans "
+        "emit the join's required hash partitioning, so repeated "
+        "large-large joins on the key plan with ZERO exchange (the "
+        "100 TB fact-fact amortization; plan-asserted with controlled "
+        "sizes in test_partitioning)."
+    ),
+)
+def q103_bucketed_join(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from kfai_pipeline_spark.operators.partitioning import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"kfai_q103_{tag}")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ct, ot = f"kfai_q103_cust_{tag}", f"kfai_q103_ord_{tag}"
+    write_bucketed(
+        cust, ct, "c_custkey", n_buckets=8, sort_key="c_custkey",
+        path=os.path.join(base, "cust"),
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), ot, "c_custkey",
+        n_buckets=8, sort_key="c_custkey", path=os.path.join(base, "ord"),
+    )
+    joined = bucketed_join_ready(spark, ct, ot, "c_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
