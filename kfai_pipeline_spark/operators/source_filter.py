@@ -57,8 +57,13 @@ def source_stats(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("__tok"), 4).alias("avg_tokens"),
+            # distinct over the md5 DIGEST, not the text — the shuffle
+            # carries 32-byte hashes instead of full documents (the q26
+            # exact-dedup convention; collision odds are ignorable)
             F.round(
-                F.count_distinct("__text") / F.count(F.lit(1)), 4
+                F.count_distinct(F.md5(F.col("__text").cast("binary")))
+                / F.count(F.lit(1)),
+                4,
             ).alias("distinct_text_ratio"),
         )
     )

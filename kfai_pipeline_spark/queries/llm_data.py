@@ -1082,7 +1082,7 @@ def q98_heavy_hitters(spark, sf_dir):
         SELECT source,
                count(*) AS n_docs,
                ROUND(avg(tok), 4) AS avg_tokens,
-               ROUND(count(DISTINCT text) * 1.0 / count(*), 4) AS distinct_text_ratio
+               ROUND(count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS distinct_text_ratio
         FROM per_doc GROUP BY source
     ),
     verdict AS (

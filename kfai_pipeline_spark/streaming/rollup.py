@@ -44,9 +44,7 @@ def _write_latest_version(snapshot_dir: str, version: int) -> None:
     os.replace(tmp, path)  # atomic pointer swap (POSIX)
 
 
-def read_rollup_snapshot(
-    spark: SparkSession, snapshot_dir: str, keys: list[str], merge: dict[str, str]
-) -> DataFrame:
+def read_rollup_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Latest committed snapshot (empty key-grain frame when none)."""
     v = _read_latest_version(snapshot_dir)
     if v < 0:

@@ -301,7 +301,7 @@ def test_incremental_rollup_parity_and_replay(spark, events_dir, tmp_path_factor
 
     got = {
         (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
-        for r in read_rollup_snapshot(spark, snap, keys, merge).collect()
+        for r in read_rollup_snapshot(spark, snap).collect()
     }
     want = {
         (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
@@ -320,7 +320,7 @@ def test_incremental_rollup_parity_and_replay(spark, events_dir, tmp_path_factor
     assert sorted(d for d in os.listdir(snap) if d.startswith("v_")) == versions_before
     got2 = {
         (r.user_id, r.event_type): (r.cnt, round(r.sum_value, 2), r.max_ts)
-        for r in read_rollup_snapshot(spark, snap, keys, merge).collect()
+        for r in read_rollup_snapshot(spark, snap).collect()
     }
     assert got2 == want
 
@@ -347,7 +347,7 @@ def test_incremental_rollup_double_apply_guard(spark, events_dir, tmp_path_facto
         _stream_events(spark, events_dir), rollup, keys, merge, snap, ckpt
     )
     q.awaitTermination()
-    want = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    want = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
     latest = _read_latest_version(snap)
     batch = spark.read.parquet(events_dir)
 
@@ -356,10 +356,10 @@ def test_incremental_rollup_double_apply_guard(spark, events_dir, tmp_path_facto
 
     assert apply_batch(batch, latest, rollup, keys, merge, snap) is False
     assert _read_latest_version(snap) == latest
-    after = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    after = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
     assert after == want
 
     # a genuinely NEW batch id applies and doubles the counts
     assert apply_batch(batch, latest + 1, rollup, keys, merge, snap) is True
-    doubled = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap, keys, merge).collect()}
+    doubled = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
     assert doubled == {k: 2 * v for k, v in want.items()}
