@@ -91,12 +91,24 @@ def bm25_topk(
         )
     )
     scored = tf.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), (idf * tf_norm).alias("__contrib")
+        F.col(id_col), F.col("__term"), (idf * tf_norm).alias("__contrib")
+    )
+    # Deterministic per-doc summation: fold the contributions in TERM
+    # order (sorted struct array + left fold from 0.0) instead of
+    # F.sum, whose partial-agg merge order depends on scheduling. FP
+    # addition is not associative, so an unordered sum can flip the
+    # 4th decimal at a rounding boundary — run-to-run AND cross-engine
+    # (the oracle folds the identical sequence via list_reduce); same
+    # determinism class as the q45 cents-domain percentile fix.
+    ordered_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("__term", "__contrib"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["__contrib"],
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.round(F.sum("__contrib"), 4).alias("bm25"),
+            F.round(ordered_sum, 4).alias("bm25"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
         .orderBy(F.col("bm25").desc(), F.col(id_col))

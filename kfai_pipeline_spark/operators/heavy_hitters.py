@@ -83,7 +83,12 @@ def heavy_hitters(
         # Java's ASCII \s class so candidate tokenization can never
         # diverge from the JVM-side exact recount below (a divergence
         # could silently drop a true heavy hitter from the superset).
+        # The kernel also emits its partition's token total as a
+        # NULL-word sentinel row — it already touches every token, so
+        # the corpus total rides along instead of costing a separate
+        # full scan+tokenize pass.
         counters: dict[str, int] = {}
+        n_tokens = 0
         for pdf in batches:
             toks = (
                 pdf[text_col]
@@ -92,19 +97,23 @@ def heavy_hitters(
                 .explode()
             )
             toks = toks[toks.notna() & (toks != "")]
-            counters = _mg_merge(counters, toks.value_counts().to_dict(), k)
-        yield pd.DataFrame({"w": pd.array(sorted(counters), dtype="string")})
+            vc = toks.value_counts()
+            n_tokens += int(vc.sum())
+            counters = _mg_merge(counters, vc.to_dict(), k)
+        yield pd.DataFrame(
+            {
+                "w": pd.array(sorted(counters) + [None], dtype="string"),
+                "n": pd.array([0] * len(counters) + [n_tokens], dtype="int64"),
+            }
+        )
 
-    candidates = wide.select(F.col(text_col)).mapInPandas(
-        mg_candidates, "w string"
-    ).dropDuplicates(["w"])
-    # total word count as a NARROW array-size aggregate — no second
-    # explode of the corpus (only the recount below streams word rows)
-    total = wide.agg(
-        F.sum(
-            F.size(F.filter(_words(text_col), lambda w: w != ""))
-        ).alias("__n")
-    )
+    # Materialize the tiny kernel output once (<= (k+1)·#partitions
+    # rows) so candidates and the total don't each re-run the pass.
+    mg = wide.select(F.col(text_col)).mapInPandas(
+        mg_candidates, "w string, n bigint"
+    ).localCheckpoint()
+    candidates = mg.where(F.col("w").isNotNull()).select("w").dropDuplicates(["w"])
+    total = mg.agg(F.sum("n").alias("__n"))
     exact = (
         words.join(F.broadcast(candidates), "w", "left_semi")
         .groupBy("w")

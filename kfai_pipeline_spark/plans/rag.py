@@ -244,9 +244,16 @@ def retrieve_hybrid_rrf(
     from kfai_pipeline_spark.operators.fusion import rrf_fuse, with_rank
 
     arm_k = arm_k or max(2 * k, 50)
-    filtered = docs.where(metadata_predicate(parsed)).withColumn(
-        "__rid", F.concat_ws("|", "video_id", F.col("start_time").cast("string"))
+    # null-SAFE composite key: concat_ws silently skips NULLs, which
+    # would collapse all NULL-start_time chunks of a video into one
+    # pseudo-document (wrong tf/dl, fused score fanned back out) — the
+    # sentinel keeps NULL distinct from any real rendering
+    rid = F.concat_ws(
+        "|",
+        "video_id",
+        F.coalesce(F.col("start_time").cast("string"), F.lit("\x00<null>")),
     )
+    filtered = docs.where(metadata_predicate(parsed)).withColumn("__rid", rid)
     lex = with_rank(
         bm25_topk(filtered, terms, text_col="text", id_col="__rid", k=arm_k),
         [F.col("bm25").desc(), F.col("__rid")],

@@ -1006,9 +1006,13 @@ def q94_dup_spans(spark, sf_dir):
     ),
     dfreq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1)
     SELECT t.doc_id,
-           ROUND(SUM(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
-                     * t.tf * 2.2
-                     / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS bm25,
+           ROUND(list_reduce(
+               list_prepend(0.0, list(
+                   ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+                   ORDER BY t.term)),
+               (acc, x) -> acc + x), 4) AS bm25,
            COUNT(*) AS n_terms_hit
     FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
     GROUP BY t.doc_id
@@ -1160,9 +1164,13 @@ def q99_source_curation(spark, sf_dir):
     dfreq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
     bm AS (
         SELECT t.doc_id,
-               ROUND(SUM(ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
-                         * t.tf * 2.2
-                         / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 4) AS bm25
+               ROUND(list_reduce(
+                   list_prepend(0.0, list(
+                       ln(1 + (s.n_docs - d.dfn + 0.5) / (d.dfn + 0.5))
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+                       ORDER BY t.term)),
+                   (acc, x) -> acc + x), 4) AS bm25
         FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
         GROUP BY t.doc_id
         ORDER BY bm25 DESC, t.doc_id

@@ -5,12 +5,21 @@ The pattern: each micro-batch is aggregated to key grain, merged onto
 the previous snapshot VERSION, and written as a NEW immutable version
 directory named by the batch id. Replay safety comes from version
 monotonicity, not transactions: a replayed batch sees that its version
-already exists (``latest >= batch_id``) and skips — the same
+already exists (``latest >= version``) and skips — the same
 (content, batch_id)-pure contract as ``sinks.write_stream_foreach_batch``.
 This is how you keep a 100 TB-scale "counts per key, ever" table fresh
 without ever rescanning history: per trigger, the work is
 O(batch + |snapshot keys|), and the snapshot itself is key-grain
 parquet any batch job can read.
+
+All snapshot metadata I/O (the ``_LATEST`` pointer) goes through
+Spark's Hadoop FileSystem API, so ``snapshot_dir`` may live on any
+filesystem the cluster can reach (``hdfs://``, ``s3a://``, local) and
+a driver failover on another node still sees the committed state —
+driver-local ``open()`` would silently reset history to -1 there.
+The pointer swap is write-temp + delete + rename; on HDFS the window
+between delete and rename is the only non-atomic step and a reader
+finding no pointer simply re-resolves on its next trigger.
 
 Mirrors the reference's resume story (ref build_vector_store.py:38-48
 re-derives "what's done" from the materialized store, then adds only
@@ -28,30 +37,56 @@ from kfai_pipeline_spark.operators.pipeline import merge_agg_snapshots
 _LATEST = "_LATEST"
 
 
-def _read_latest_version(snapshot_dir: str) -> int:
-    path = os.path.join(snapshot_dir, _LATEST)
-    if not os.path.exists(path):
+def _hadoop_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _read_latest_version(spark: SparkSession, snapshot_dir: str) -> int:
+    fs, p, _ = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
+    if not fs.exists(p):
         return -1
-    with open(path, encoding="utf-8") as f:
-        return int(f.read().strip())
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1 and len(out) < 64:  # pointer is a small integer
+            out.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return int(bytes(out).decode("utf-8").strip())
 
 
-def _write_latest_version(snapshot_dir: str, version: int) -> None:
-    path = os.path.join(snapshot_dir, _LATEST)
-    tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(version))
-    os.replace(tmp, path)  # atomic pointer swap (POSIX)
+def _write_latest_version(spark: SparkSession, snapshot_dir: str, version: int) -> None:
+    fs, p, jvm = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{snapshot_dir}/{_LATEST}.{os.getpid()}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(version).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
-def read_rollup_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Latest committed snapshot (empty key-grain frame when none)."""
-    v = _read_latest_version(snapshot_dir)
+def read_rollup_snapshot(
+    spark: SparkSession, snapshot_dir: str, schema=None
+) -> DataFrame:
+    """Latest committed snapshot. Before the first commit, returns an
+    empty frame with ``schema`` (a StructType or DDL string, so
+    key/measure columns still resolve for joins/merges) — or a
+    zero-column frame when no schema is given."""
+    v = _read_latest_version(spark, snapshot_dir)
     if v < 0:
         from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType([]))
-    return spark.read.parquet(os.path.join(snapshot_dir, f"v_{v}"))
+        return spark.createDataFrame([], schema if schema is not None else StructType([]))
+    return spark.read.parquet(f"{snapshot_dir}/v_{v}")
 
 
 def maintain_rollup(
@@ -61,6 +96,7 @@ def maintain_rollup(
     merge: dict[str, str],
     snapshot_dir: str,
     checkpoint_dir: str,
+    start_version: int = 0,
 ):
     """Start an AvailableNow foreachBatch query that folds each
     micro-batch into a versioned key-grain rollup under
@@ -69,23 +105,28 @@ def maintain_rollup(
     ``merge`` maps each measure to its mergeable combine fn
     (``sum``/``min``/``max``). Returns the started query.
 
-    Exactly-once: version = batch_id; a replayed batch finds
-    ``latest >= batch_id`` and no-ops, so a crash between the parquet
-    write and the checkpoint commit cannot double-count.
+    Exactly-once: version = ``start_version + batch_id``; a replayed
+    batch finds ``latest >= version`` and no-ops, so a crash between
+    the parquet write and the checkpoint commit cannot double-count.
+    The snapshot and checkpoint share a LIFECYCLE: batch ids restart at
+    0 under a fresh checkpoint, so resuming an EXISTING snapshot with a
+    new checkpoint must pass ``start_version = latest + 1`` (from
+    ``_read_latest_version``) — otherwise every replayed-looking batch
+    would be silently skipped.
     """
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
-    os.makedirs(snapshot_dir, exist_ok=True)
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(batch_df, batch_id, agg_fn, keys, merge, snapshot_dir)
+        apply_batch(
+            batch_df, start_version + batch_id, agg_fn, keys, merge, snapshot_dir
+        )
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)
 
 
 def apply_batch(
     batch_df: DataFrame,
-    batch_id: int,
+    version: int,
     agg_fn,
     keys: list[str],
     merge: dict[str, str],
@@ -93,20 +134,18 @@ def apply_batch(
 ) -> bool:
     """One fold step (exposed so the replay guard is directly
     testable): merge ``agg_fn(batch_df)`` onto the latest snapshot and
-    commit version ``batch_id``. Returns False (no-op) when
-    ``batch_id`` is already committed — the replayed-epoch case."""
-    latest = _read_latest_version(snapshot_dir)
-    if latest >= batch_id:
-        return False  # replayed epoch — version already committed
+    commit ``version``. Returns False (no-op) when ``version`` is
+    already committed — the replayed-epoch case."""
     spark = batch_df.sparkSession
+    latest = _read_latest_version(spark, snapshot_dir)
+    if latest >= version:
+        return False  # replayed epoch — version already committed
     delta = agg_fn(batch_df)
     if latest < 0:
         merged = delta
     else:
-        prev = spark.read.parquet(os.path.join(snapshot_dir, f"v_{latest}"))
+        prev = spark.read.parquet(f"{snapshot_dir}/v_{latest}")
         merged = merge_agg_snapshots(prev, delta, keys, merge)
-    merged.write.mode("overwrite").parquet(
-        os.path.join(snapshot_dir, f"v_{batch_id}")
-    )
-    _write_latest_version(snapshot_dir, batch_id)
+    merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v_{version}")
+    _write_latest_version(spark, snapshot_dir, version)
     return True

@@ -103,7 +103,8 @@ def test_heavy_hitters_exact_regardless_of_partitioning(spark, parts):
         for w, c in {w: words.count(w) for w in set(words)}.items()
         if c * 5 > n
     }
-    assert out == brute == {("hot", 400)} or out == brute
+    assert out == brute
+    assert brute == {("hot", 400)}, "fixture drifted: expected exactly one HH"
 
 
 # ----------------------------------------------------------- merge upsert

@@ -348,14 +348,14 @@ def test_incremental_rollup_double_apply_guard(spark, events_dir, tmp_path_facto
     )
     q.awaitTermination()
     want = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
-    latest = _read_latest_version(snap)
+    latest = _read_latest_version(spark, snap)
     batch = spark.read.parquet(events_dir)
 
     # replayed epoch: same (content, batch_id) reapplied -> guarded no-op
     from kfai_pipeline_spark.streaming.rollup import apply_batch
 
     assert apply_batch(batch, latest, rollup, keys, merge, snap) is False
-    assert _read_latest_version(snap) == latest
+    assert _read_latest_version(spark, snap) == latest
     after = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
     assert after == want
 
@@ -363,3 +363,16 @@ def test_incremental_rollup_double_apply_guard(spark, events_dir, tmp_path_facto
     assert apply_batch(batch, latest + 1, rollup, keys, merge, snap) is True
     doubled = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
     assert doubled == {k: 2 * v for k, v in want.items()}
+
+
+def test_rollup_empty_snapshot_is_typed(spark, tmp_path_factory):
+    """Before the first commit, the reader must return a frame whose
+    key/measure columns still resolve when a schema is supplied."""
+    from kfai_pipeline_spark.streaming.rollup import read_rollup_snapshot
+
+    empty_dir = str(tmp_path_factory.mktemp("rollup_empty"))
+    typed = read_rollup_snapshot(spark, empty_dir, "user_id long, cnt long")
+    assert typed.count() == 0
+    assert typed.select("user_id", "cnt").columns == ["user_id", "cnt"]
+    bare = read_rollup_snapshot(spark, empty_dir)
+    assert bare.count() == 0 and bare.columns == []
