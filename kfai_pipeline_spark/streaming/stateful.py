@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -154,6 +156,141 @@ def sessionize_terminator_stream(
             fn,
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_buf", ArrayType(DoubleType())),
+        StructField("val_buf", ArrayType(DoubleType())),
+    ]
+)
+
+
+def rolling_zscore_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    duration_seconds: float = 3600.0,
+    min_points: int = 3,
+    z_threshold: float = 2.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.rolling.rolling_zscore`
+    (X23b): per-key trailing-window anomaly scores with custom state.
+
+    State per live key = the (ts, value) pairs inside the newest
+    event's trailing window — bounded by ``duration_seconds`` worth of
+    events, evicted as the frame slides, with an event-time timeout
+    (watermark past last_ts + duration) clearing idle keys entirely.
+    Equal-timestamp events are scored against the FULL tie group
+    (matching the batch RANGE frame's peer semantics); an event older
+    than its key's newest processed timestamp cannot retro-insert into
+    already-emitted frames and is dropped (the watermark bounds how
+    late that can happen).
+
+    Emits one row per event: (key, id, ts_s, value, roll_mean,
+    roll_std, zscore, is_anomaly) — rounded like the batch arm, parity
+    asserted in test_streaming.
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField(key_col, df.schema[key_col].dataType),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("ts_s", DoubleType()),
+            StructField(value_col, DoubleType()),
+            StructField("roll_mean", DoubleType()),
+            StructField("roll_std", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField(
+                "is_anomaly",
+                BooleanType(),
+            ),
+        ]
+    )
+    cols = [key_col, id_col, "ts_s", value_col, "roll_mean", "roll_std", "zscore", "is_anomaly"]
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        k = key[0]
+        ts_buf, val_buf = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        out: list[tuple] = []
+        secs = [
+            t.timestamp() if hasattr(t, "timestamp") else float(t)
+            for t in rows[ts_col]
+        ]
+        i = 0
+        idx = list(zip(secs, rows[id_col], rows[value_col]))
+        while i < len(idx):
+            s = idx[i][0]
+            if ts_buf and s < ts_buf[-1]:
+                i += 1  # too late to retro-insert; watermark bounds this
+                continue
+            # absorb the whole equal-ts tie group before scoring any of
+            # it — the batch RANGE frame includes all peers
+            group = []
+            while i < len(idx) and idx[i][0] == s:
+                group.append(idx[i])
+                ts_buf.append(s)
+                val_buf.append(float(idx[i][2]))
+                i += 1
+            lo = s - duration_seconds
+            while ts_buf and ts_buf[0] < lo:
+                ts_buf.pop(0)
+                val_buf.pop(0)
+            n = len(val_buf)
+            mean = sum(val_buf) / n
+            var = (
+                sum((x - mean) ** 2 for x in val_buf) / (n - 1) if n >= 2 else None
+            )
+            std = var**0.5 if var is not None else None
+            for _, id_, v in group:
+                z = (
+                    (float(v) - mean) / std
+                    if n >= min_points and std is not None and std > 0
+                    else None
+                )
+                out.append(
+                    (
+                        k,
+                        id_,
+                        s,
+                        float(v),
+                        round(mean, 4),
+                        round(std, 4) if std is not None else None,
+                        round(z, 4) if z is not None else None,
+                        bool(z is not None and abs(z) > z_threshold),
+                    )
+                )
+        state.update((ts_buf, val_buf))
+        state.setTimeoutTimestamp(int((ts_buf[-1] + duration_seconds) * 1000) + 1)
+        yield pd.DataFrame(out, columns=cols)
+
+    from kfai_pipeline_spark.streaming.event_time import as_event_time
+
+    return (
+        as_event_time(df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_ZSCORE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -376,3 +376,45 @@ def test_rollup_empty_snapshot_is_typed(spark, tmp_path_factory):
     assert typed.select("user_id", "cnt").columns == ["user_id", "cnt"]
     bare = read_rollup_snapshot(spark, empty_dir)
     assert bare.count() == 0 and bare.columns == []
+
+
+def test_rolling_zscore_stream_parity(spark, events_dir, tmp_path_factory):
+    """X23b streaming twin: the stateful trailing-window scorer must
+    emit the same (mean, std, z, flag) per event as the batch RANGE
+    frame — including equal-timestamp tie groups, frame eviction, and
+    the sub-min_points NULL gating."""
+    from kfai_pipeline_spark.operators.rolling import rolling_zscore
+    from kfai_pipeline_spark.streaming.stateful import rolling_zscore_stream
+
+    batch_src = spark.read.parquet(events_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    got_batch = {
+        r.event_id: r
+        for r in rolling_zscore(
+            batch_src, "user_id", "ts", "value", 3600, min_points=3, z_threshold=2.0
+        ).collect()
+    }
+
+    stream = rolling_zscore_stream(
+        _stream_events(spark, events_dir).select("event_id", "user_id", "ts", "value"),
+        duration_seconds=3600, min_points=3, z_threshold=2.0,
+    )
+    out = _drain(spark, stream, tmp_path_factory, "zscore_stream")
+    got_stream = {r.event_id: r for r in out.collect()}
+
+    assert set(got_stream) == set(got_batch)
+    import pytest as _pytest
+
+    for eid, b in got_batch.items():
+        s = got_stream[eid]
+        assert s.roll_mean == _pytest.approx(round(b.roll_mean, 4), abs=2e-4), eid
+        if b.roll_std is None:
+            assert s.roll_std is None, eid
+        else:
+            assert s.roll_std == _pytest.approx(round(b.roll_std, 4), abs=2e-4), eid
+        if b.zscore is None:
+            assert s.zscore is None, eid
+        else:
+            assert s.zscore == _pytest.approx(round(b.zscore, 4), abs=2e-4), eid
+        assert s.is_anomaly == b.is_anomaly, eid
