@@ -334,11 +334,25 @@ def answer_query(
     embedder: Callable[[list[str]], list[list[float]]],
     synthesizer: Callable[[str, list[dict]], tuple[str, list[Citation]]],
     k: int = CONTEXT_COUNT,
+    retrieval: str = "multi_topic",
 ) -> tuple[str, DataFrame]:
     """The full §3.1 lifecycle with injected LLM boundaries. Returns
-    (answer_text, sources DataFrame)."""
+    (answer_text, sources DataFrame).
+
+    ``retrieval``: ``"multi_topic"`` is the reference-faithful fan-out
+    (ILIKE-gated vector search per topic); ``"rrf"`` swaps in the
+    rank-fused hybrid arm (X36) — BM25 over the parsed topics as query
+    terms fused with the question-embedding cosine ranks — for
+    questions where the lexical signal should rank, not just filter.
+    """
     parsed = parser(question)
-    context = retrieve_multi_topic(docs, question, parsed, embedder, k=k)
+    if retrieval == "rrf":
+        terms = [w for t in parsed.topics for w in t.split()] or question.split()
+        context = retrieve_hybrid_rrf(
+            docs, terms, embedder([question])[0], parsed, k=k
+        )
+    else:
+        context = retrieve_multi_topic(docs, question, parsed, embedder, k=k)
     context_rows = [r.asDict() for r in context.collect()]  # ≤ k rows, driver-safe
     answer_text, citations = synthesizer(question, context_rows)
     sources = cite(context, citations)

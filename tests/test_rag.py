@@ -237,3 +237,32 @@ def test_retrieve_hybrid_rrf(chunk_docs):
     assert one_show.where("show_name <> 'Alpha Show'").count() == 0
     # fused score is the RRF value: bounded by 2/(60+1)
     assert all(0 < r["score"] <= 2 / 61 + 1e-9 for r in rows)
+
+
+def test_answer_query_rrf_strategy(chunk_docs):
+    """retrieval='rrf' drives the full lifecycle through the rank-fused
+    hybrid arm: topics become BM25 query terms, context stays <= k,
+    citations join back as usual."""
+    term = (
+        chunk_docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.length("w") > 3)
+        .groupBy("w").count().orderBy(F.desc("count")).first()["w"]
+    )
+
+    def parser(q: str) -> ParsedQuery:
+        return ParsedQuery(topics=[term])
+
+    seen = {}
+
+    def synthesizer(q, context_rows):
+        assert 0 < len(context_rows) <= 10
+        seen["n"] = len(context_rows)
+        first = context_rows[0]
+        return "rrf answer", [Citation(first["video_id"], first["start_time"])]
+
+    answer, sources = answer_query(
+        chunk_docs, f"what about {term}?", parser, hash_embed, synthesizer,
+        k=10, retrieval="rrf",
+    )
+    assert answer == "rrf answer"
+    assert sources.count() == 1 and seen["n"] > 0
