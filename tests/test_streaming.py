@@ -418,3 +418,48 @@ def test_rolling_zscore_stream_parity(spark, events_dir, tmp_path_factory):
         else:
             assert s.zscore == _pytest.approx(round(b.zscore, 4), abs=2e-4), eid
         assert s.is_anomaly == b.is_anomaly, eid
+
+
+def test_incremental_rollup_multi_batch(spark, events_dir, tmp_path_factory):
+    """The in-stream merge path (snapshot v_N + delta -> v_N+1) must
+    run across REAL micro-batches: maxFilesPerTrigger=1 over the 4-file
+    fixture produces one version per batch, and the final snapshot
+    still equals the batch recompute."""
+    import os
+
+    from kfai_pipeline_spark.streaming.rollup import (
+        maintain_rollup,
+        read_rollup_snapshot,
+    )
+
+    keys = ["user_id"]
+    merge = {"cnt": "sum", "sum_value": "sum"}
+
+    def rollup(d):
+        return d.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    schema = spark.read.parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    snap = str(tmp_path_factory.mktemp("rollup_snap3"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rollup3"))
+    q = maintain_rollup(src, rollup, keys, merge, snap, ckpt)
+    q.awaitTermination()
+
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v_"))
+    assert len(versions) >= 2, f"expected multiple micro-batches, got {versions}"
+    got = {
+        r.user_id: (r.cnt, round(r.sum_value, 2))
+        for r in read_rollup_snapshot(spark, snap).collect()
+    }
+    want = {
+        r.user_id: (r.cnt, round(r.sum_value, 2))
+        for r in rollup(spark.read.parquet(events_dir)).collect()
+    }
+    assert got == want
