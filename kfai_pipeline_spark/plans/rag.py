@@ -254,8 +254,16 @@ def retrieve_hybrid_rrf(
         F.coalesce(F.col("start_time").cast("string"), F.lit("\x00<null>")),
     )
     filtered = docs.where(metadata_predicate(parsed)).withColumn("__rid", rid)
+    # lexical arm scores over case-folded, punctuation-separated text so
+    # normalized query terms (answer_query lowercases and strips edge
+    # punctuation) match 'Zelda,' in the raw chunk — the same leniency
+    # the reference's ILIKE topic matching has
+    lexable = filtered.withColumn(
+        "__text_lc",
+        F.regexp_replace(F.lower(F.col("text")), r"[\.,;:!\?'\"\(\)]", " "),
+    )
     lex = with_rank(
-        bm25_topk(filtered, terms, text_col="text", id_col="__rid", k=arm_k),
+        bm25_topk(lexable, terms, text_col="__text_lc", id_col="__rid", k=arm_k),
         [F.col("bm25").desc(), F.col("__rid")],
     ).select("__rid", "rank")
     qv = F.lit(query_vec).cast("array<double>")
@@ -345,9 +353,16 @@ def answer_query(
     terms fused with the question-embedding cosine ranks — for
     questions where the lexical signal should rank, not just filter.
     """
+    if retrieval not in ("multi_topic", "rrf"):
+        raise ValueError(f"unknown retrieval strategy: {retrieval!r}")
     parsed = parser(question)
     if retrieval == "rrf":
-        terms = [w for t in parsed.topics for w in t.split()] or question.split()
+        # BM25 matches whitespace tokens EXACTLY while the topic path
+        # matches case-insensitive ILIKE substrings — normalize the
+        # terms (lowercase, strip edge punctuation) and score over
+        # lowercased text so 'zelda' still hits 'Zelda,'
+        raw = [w for t in parsed.topics for w in t.split()] or question.split()
+        terms = sorted({w.lower().strip(".,;:!?'\"()") for w in raw} - {""})
         context = retrieve_hybrid_rrf(
             docs, terms, embedder([question])[0], parsed, k=k
         )

@@ -186,18 +186,30 @@ def rolling_zscore_stream(
 
     State per live key = the (ts, value) pairs inside the newest
     event's trailing window — bounded by ``duration_seconds`` worth of
-    events, evicted as the frame slides, with an event-time timeout
-    (watermark past last_ts + duration) clearing idle keys entirely.
-    Equal-timestamp events are scored against the FULL tie group
-    (matching the batch RANGE frame's peer semantics); an event older
-    than its key's newest processed timestamp cannot retro-insert into
-    already-emitted frames and is dropped (the watermark bounds how
-    late that can happen).
+    events, evicted as the frame slides (deque, O(1) per eviction),
+    with an event-time timeout (watermark past last_ts + duration)
+    clearing idle keys entirely. Frame arithmetic matches the batch
+    arm exactly: INTEGER epoch-micros bounds (inclusive both ends —
+    float seconds could evict a boundary-exact peer the batch RANGE
+    frame keeps), row-count gating on ALL rows, statistics over the
+    non-NULL values only (NULL values ride the frame without
+    poisoning mean/std, like ``avg``/``stddev_samp``).
+
+    Tie semantics: equal-timestamp events WITHIN a micro-batch score
+    against their full tie group (the batch RANGE frame's peer rule).
+    An equal-or-older timestamp arriving in a LATER micro-batch scores
+    against the accumulated frame without retracting already-emitted
+    peers — append-mode streams cannot retract, so exact batch parity
+    holds when each key's ties share a batch (the AvailableNow parity
+    test's shape); the watermark bounds how late that can happen.
 
     Emits one row per event: (key, id, ts_s, value, roll_mean,
     roll_std, zscore, is_anomaly) — rounded like the batch arm, parity
     asserted in test_streaming.
     """
+    import math
+    from collections import deque
+
     import pandas as pd
 
     out_schema = StructType(
@@ -209,13 +221,11 @@ def rolling_zscore_stream(
             StructField("roll_mean", DoubleType()),
             StructField("roll_std", DoubleType()),
             StructField("zscore", DoubleType()),
-            StructField(
-                "is_anomaly",
-                BooleanType(),
-            ),
+            StructField("is_anomaly", BooleanType()),
         ]
     )
     cols = [key_col, id_col, "ts_s", value_col, "roll_mean", "roll_std", "zscore", "is_anomaly"]
+    frame_us = int(round(duration_seconds * 1_000_000))
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -225,60 +235,71 @@ def rolling_zscore_stream(
             yield pd.DataFrame([], columns=cols)
             return
         k = key[0]
-        ts_buf, val_buf = (
-            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
-        )
+        if state.exists:
+            ts_buf = deque(int(t) for t in state.get[0])
+            val_buf = deque(state.get[1])  # NaN marks a NULL value
+        else:
+            ts_buf, val_buf = deque(), deque()
         rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
         out: list[tuple] = []
-        secs = [
-            t.timestamp() if hasattr(t, "timestamp") else float(t)
+        # exact integer micros from the ns-resolution pandas timestamps
+        micros = [
+            int(t.value) // 1000 if hasattr(t, "value") else int(round(float(t) * 1e6))
             for t in rows[ts_col]
         ]
+        idx = list(zip(micros, rows[id_col], rows[value_col]))
         i = 0
-        idx = list(zip(secs, rows[id_col], rows[value_col]))
         while i < len(idx):
-            s = idx[i][0]
-            if ts_buf and s < ts_buf[-1]:
+            us = idx[i][0]
+            if ts_buf and us < ts_buf[-1]:
                 i += 1  # too late to retro-insert; watermark bounds this
                 continue
             # absorb the whole equal-ts tie group before scoring any of
             # it — the batch RANGE frame includes all peers
             group = []
-            while i < len(idx) and idx[i][0] == s:
-                group.append(idx[i])
-                ts_buf.append(s)
-                val_buf.append(float(idx[i][2]))
+            while i < len(idx) and idx[i][0] == us:
+                v = idx[i][2]
+                vf = float("nan") if v is None or (isinstance(v, float) and v != v) else float(v)
+                group.append((idx[i][1], vf))
+                ts_buf.append(us)
+                val_buf.append(vf)
                 i += 1
-            lo = s - duration_seconds
+            lo = us - frame_us
             while ts_buf and ts_buf[0] < lo:
-                ts_buf.pop(0)
-                val_buf.pop(0)
-            n = len(val_buf)
-            mean = sum(val_buf) / n
+                ts_buf.popleft()
+                val_buf.popleft()
+            n_rows = len(ts_buf)  # batch gates on count(*), NULLs included
+            vals = [x for x in val_buf if x == x]
+            mean = sum(vals) / len(vals) if vals else None
             var = (
-                sum((x - mean) ** 2 for x in val_buf) / (n - 1) if n >= 2 else None
+                sum((x - mean) ** 2 for x in vals) / (len(vals) - 1)
+                if len(vals) >= 2
+                else None
             )
-            std = var**0.5 if var is not None else None
-            for _, id_, v in group:
+            std = math.sqrt(var) if var is not None else None
+            for id_, vf in group:
                 z = (
-                    (float(v) - mean) / std
-                    if n >= min_points and std is not None and std > 0
+                    (vf - mean) / std
+                    if n_rows >= min_points
+                    and std is not None
+                    and std > 0
+                    and vf == vf
                     else None
                 )
                 out.append(
                     (
                         k,
                         id_,
-                        s,
-                        float(v),
-                        round(mean, 4),
+                        us / 1e6,
+                        None if vf != vf else vf,
+                        round(mean, 4) if mean is not None else None,
                         round(std, 4) if std is not None else None,
                         round(z, 4) if z is not None else None,
                         bool(z is not None and abs(z) > z_threshold),
                     )
                 )
-        state.update((ts_buf, val_buf))
-        state.setTimeoutTimestamp(int((ts_buf[-1] + duration_seconds) * 1000) + 1)
+        state.update((list(map(float, ts_buf)), list(val_buf)))
+        state.setTimeoutTimestamp(int(ts_buf[-1] // 1000 + duration_seconds * 1000) + 1)
         yield pd.DataFrame(out, columns=cols)
 
     from kfai_pipeline_spark.streaming.event_time import as_event_time

@@ -18,24 +18,21 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     import duckdb
-    from pyspark.sql import SparkSession
+
+    from _driver_session import plain_driver_session
+
+    spark = plain_driver_session()
 
     import __spark_entry__ as entrymod
     from kfai_pipeline_spark.catalog import TABLES
     from oracle_utils import canonical_rows
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
     for t in TABLES:
