@@ -7,7 +7,8 @@ against ``oracle_sql()`` in DuckDB under the driver canonicalization
 (tests/oracle_utils.py). Prints one status line per query and a
 summary; exits non-zero on any mismatch/error so it can gate a round.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
+(query names restrict the sweep — the fast per-change spot check)
 """
 from __future__ import annotations
 
@@ -33,12 +34,18 @@ def main() -> None:
     from oracle_utils import canonical_rows
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
     n_pass = n_rows_only = 0
     failures: list[str] = []
     for name in queries:
