@@ -107,11 +107,20 @@ def heavy_hitters(
             }
         )
 
-    # Materialize the tiny kernel output once (<= (k+1)·#partitions
-    # rows) so candidates and the total don't each re-run the pass.
-    mg = wide.select(F.col(text_col)).mapInPandas(
-        mg_candidates, "w string, n bigint"
-    ).localCheckpoint()
+    # Cache the tiny kernel output (<= (k+1)·#partitions rows) so the
+    # candidate and total branches share ONE MG pass. persist(), not
+    # localCheckpoint(): it keeps the operator lazy (no job runs until
+    # the caller acts on the result) and stays recomputable from
+    # lineage after executor loss, where a local checkpoint would kill
+    # a long-running job. The cached frame is bounded and survives for
+    # the session unless the caller unpersists.
+    from pyspark import StorageLevel
+
+    mg = (
+        wide.select(F.col(text_col))
+        .mapInPandas(mg_candidates, "w string, n bigint")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     candidates = mg.where(F.col("w").isNotNull()).select("w").dropDuplicates(["w"])
     total = mg.agg(F.sum("n").alias("__n"))
     exact = (

@@ -363,9 +363,15 @@ def answer_query(
         # lowercased text so 'zelda' still hits 'Zelda,'
         raw = [w for t in parsed.topics for w in t.split()] or question.split()
         terms = sorted({w.lower().strip(".,;:!?'\"()") for w in raw} - {""})
-        context = retrieve_hybrid_rrf(
-            docs, terms, embedder([question])[0], parsed, k=k
-        )
+        if terms:
+            context = retrieve_hybrid_rrf(
+                docs, terms, embedder([question])[0], parsed, k=k
+            )
+        else:
+            # Every token normalized away (punctuation-only question/topics):
+            # there is no lexical arm to fuse, so fall back to the vector
+            # path instead of letting bm25_topk raise mid-lifecycle.
+            context = retrieve_multi_topic(docs, question, parsed, embedder, k=k)
     else:
         context = retrieve_multi_topic(docs, question, parsed, embedder, k=k)
     context_rows = [r.asDict() for r in context.collect()]  # ≤ k rows, driver-safe

@@ -18,8 +18,12 @@ filesystem the cluster can reach (``hdfs://``, ``s3a://``, local) and
 a driver failover on another node still sees the committed state —
 driver-local ``open()`` would silently reset history to -1 there.
 The pointer swap is write-temp + delete + rename; on HDFS the window
-between delete and rename is the only non-atomic step and a reader
-finding no pointer simply re-resolves on its next trigger.
+between delete and rename is non-atomic, so the pointer is a CACHE,
+not the source of truth: a reader finding no pointer recovers the
+latest committed version by listing ``v_N`` directories that carry a
+``_SUCCESS`` marker (the marker separates committed versions from a
+version whose parquet write crashed midway). ``rename``'s boolean is
+checked and raised on, so a failed swap can never pass silently.
 
 Mirrors the reference's resume story (ref build_vector_store.py:38-48
 re-derives "what's done" from the materialized store, then adds only
@@ -43,10 +47,36 @@ def _hadoop_path(spark: SparkSession, path_str: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+def _list_committed_versions(spark: SparkSession, snapshot_dir: str) -> list[int]:
+    """Versions whose parquet write COMPLETED (``v_N/_SUCCESS`` exists).
+    A version directory without the marker is a crashed-midway write and
+    must not be treated as committed."""
+    fs, root, jvm = _hadoop_path(spark, snapshot_dir)
+    if not fs.exists(root):
+        return []
+    versions: list[int] = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("v_")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}/_SUCCESS")):
+            versions.append(v)
+    return sorted(versions)
+
+
 def _read_latest_version(spark: SparkSession, snapshot_dir: str) -> int:
     fs, p, _ = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
     if not fs.exists(p):
-        return -1
+        # Pointer lost (crash between delete and rename) or never written.
+        # The pointer is only a cache — recover from the committed-version
+        # listing so a lost pointer degrades to re-resolution, never to
+        # silently restarting history at -1.
+        committed = _list_committed_versions(spark, snapshot_dir)
+        return committed[-1] if committed else -1
     stream = fs.open(p)
     try:
         out = bytearray()
@@ -71,7 +101,26 @@ def _write_latest_version(spark: SparkSession, snapshot_dir: str, version: int) 
         out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    fs.rename(tmp, p)
+    if not fs.rename(tmp, p):
+        raise IOError(
+            f"rollup pointer swap failed: rename {tmp} -> {p} returned false; "
+            f"latest committed version remains recoverable from v_* listing"
+        )
+
+
+def _prune_old_versions(
+    spark: SparkSession, snapshot_dir: str, latest: int, retain: int
+) -> None:
+    """Garbage-collect snapshot versions older than the retention window
+    (``retain`` committed versions ending at ``latest`` stay). Without
+    this, a long-running maintenance loop grows by one full snapshot copy
+    per trigger — unbounded at 100 TB scale."""
+    if retain <= 0:
+        return
+    fs, _, jvm = _hadoop_path(spark, snapshot_dir)
+    for v in _list_committed_versions(spark, snapshot_dir):
+        if v <= latest - retain:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v_{v}"), True)
 
 
 def read_rollup_snapshot(
@@ -97,6 +146,7 @@ def maintain_rollup(
     snapshot_dir: str,
     checkpoint_dir: str,
     start_version: int = 0,
+    retain_versions: int = 3,
 ):
     """Start an AvailableNow foreachBatch query that folds each
     micro-batch into a versioned key-grain rollup under
@@ -113,12 +163,23 @@ def maintain_rollup(
     new checkpoint must pass ``start_version = latest + 1`` (from
     ``_read_latest_version``) — otherwise every replayed-looking batch
     would be silently skipped.
+
+    ``retain_versions`` bounds storage: after each commit, committed
+    versions older than the newest ``retain_versions`` are deleted
+    (enough slack for in-flight readers of the previous snapshot).
+    Pass ``0`` to keep everything.
     """
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(
-            batch_df, start_version + batch_id, agg_fn, keys, merge, snapshot_dir
+            batch_df,
+            start_version + batch_id,
+            agg_fn,
+            keys,
+            merge,
+            snapshot_dir,
+            retain_versions=retain_versions,
         )
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)
@@ -131,6 +192,7 @@ def apply_batch(
     keys: list[str],
     merge: dict[str, str],
     snapshot_dir: str,
+    retain_versions: int = 3,
 ) -> bool:
     """One fold step (exposed so the replay guard is directly
     testable): merge ``agg_fn(batch_df)`` onto the latest snapshot and
@@ -148,4 +210,5 @@ def apply_batch(
         merged = merge_agg_snapshots(prev, delta, keys, merge)
     merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v_{version}")
     _write_latest_version(spark, snapshot_dir, version)
+    _prune_old_versions(spark, snapshot_dir, version, retain_versions)
     return True

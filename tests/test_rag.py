@@ -266,3 +266,25 @@ def test_answer_query_rrf_strategy(chunk_docs):
     )
     assert answer == "rrf answer"
     assert sources.count() == 1 and seen["n"] > 0
+
+
+def test_answer_query_rrf_all_punctuation_falls_back(chunk_docs):
+    """A question/topics whose every token normalizes away (punctuation
+    only) has no lexical arm to fuse — the rrf strategy must fall back
+    to the vector path instead of letting bm25_topk raise mid-lifecycle.
+    The punctuation topics then ILIKE-match nothing, so the lifecycle
+    completes with an EMPTY context (the no-docs case the interactive
+    session already warns about), not an exception."""
+
+    def parser(q: str) -> ParsedQuery:
+        return ParsedQuery(topics=["?!", "..."])
+
+    def synthesizer(q, context_rows):
+        assert len(context_rows) <= 10
+        return "fallback answer", []
+
+    answer, sources = answer_query(
+        chunk_docs, "???", parser, hash_embed, synthesizer, k=10, retrieval="rrf"
+    )
+    assert answer == "fallback answer"
+    assert sources.count() == 0

@@ -463,3 +463,84 @@ def test_incremental_rollup_multi_batch(spark, events_dir, tmp_path_factory):
         for r in rollup(spark.read.parquet(events_dir)).collect()
     }
     assert got == want
+
+
+def test_rollup_pointer_loss_recovers_from_listing(spark, events_dir, tmp_path_factory):
+    """The _LATEST pointer is a cache, not the source of truth: if it
+    vanishes (the non-atomic delete->rename window), the reader must
+    recover the latest COMMITTED version from the v_N/_SUCCESS listing
+    — not restart history at -1 (which would make the next apply_batch
+    silently drop all prior rollup state)."""
+    import os
+    import shutil
+
+    from kfai_pipeline_spark.streaming.rollup import (
+        _read_latest_version,
+        apply_batch,
+        read_rollup_snapshot,
+    )
+
+    keys = ["user_id"]
+    merge = {"cnt": "sum"}
+
+    def rollup(d):
+        return d.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    snap = str(tmp_path_factory.mktemp("rollup_ptr"))
+    batch = spark.read.parquet(events_dir)
+    assert apply_batch(batch, 0, rollup, keys, merge, snap) is True
+    assert apply_batch(batch, 1, rollup, keys, merge, snap) is True
+    want = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
+
+    # simulate the crash window: pointer deleted, rename never happened
+    os.remove(os.path.join(snap, "_LATEST"))
+    assert _read_latest_version(spark, snap) == 1
+    after = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
+    assert after == want
+    # replay guard still holds without the pointer
+    assert apply_batch(batch, 1, rollup, keys, merge, snap) is False
+
+    # an UNCOMMITTED version dir (no _SUCCESS — crashed mid parquet
+    # write) must NOT be treated as committed during recovery
+    crashed = os.path.join(snap, "v_7")
+    shutil.copytree(os.path.join(snap, "v_1"), crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    # pointer is still missing (the guarded no-op above never rewrites it)
+    assert not os.path.exists(os.path.join(snap, "_LATEST"))
+    assert _read_latest_version(spark, snap) == 1
+
+
+def test_rollup_version_gc_bounds_storage(spark, events_dir, tmp_path_factory):
+    """Each commit prunes committed versions older than the retention
+    window, so a long-running maintenance loop cannot grow by one full
+    snapshot copy per trigger; the surviving history still reads
+    correctly and retain=0 disables pruning."""
+    import os
+
+    from kfai_pipeline_spark.streaming.rollup import (
+        apply_batch,
+        read_rollup_snapshot,
+    )
+
+    keys = ["user_id"]
+    merge = {"cnt": "sum"}
+
+    def rollup(d):
+        return d.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    batch = spark.read.parquet(events_dir)
+
+    snap = str(tmp_path_factory.mktemp("rollup_gc"))
+    for v in range(6):
+        assert apply_batch(batch, v, rollup, keys, merge, snap, retain_versions=2)
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v_"))
+    assert versions == ["v_4", "v_5"]
+    got = {r.user_id: r.cnt for r in read_rollup_snapshot(spark, snap).collect()}
+    want = {r.user_id: 6 * r.cnt for r in rollup(batch).collect()}
+    assert got == want
+
+    keep_all = str(tmp_path_factory.mktemp("rollup_keepall"))
+    for v in range(4):
+        assert apply_batch(batch, v, rollup, keys, merge, keep_all, retain_versions=0)
+    versions = sorted(d for d in os.listdir(keep_all) if d.startswith("v_"))
+    assert versions == ["v_0", "v_1", "v_2", "v_3"]
