@@ -18,6 +18,13 @@ The reference's only dedup is key-based seen-set/file-exists skips
 (ref query_agent.py:287-298, processing.py:34-35) — ``dropDuplicates``
 covers those (T4); the near-dup family is the LLM-training-data
 extension surface.
+
+API note: :func:`minhash_dedup_scoped` (and ``semantic_dedup``'s scoped
+twin) is the DEFAULT entry point for pipelines — it releases every
+cached/checkpointed block deterministically on exit. The unscoped
+:func:`minhash_dedup` exists for plan-composition callers who manage
+cache lifetime themselves; its result keeps shingle/component blocks
+resident until session teardown or ``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations

@@ -20,6 +20,18 @@ from kfai_pipeline_spark.operators.asof import asof_join
 from kfai_pipeline_spark.operators.sessionize import session_stats
 from kfai_pipeline_spark.queries.base import register
 
+# Per-process scratch salt: queries that materialize side state (q88's
+# skip file, q103's bucketed tables) must not share paths across
+# concurrent harness runs on the same sf_dir.
+_SCRATCH_SALT = __import__("uuid").uuid4().hex[:8]
+
+
+def _scratch_tag(spark, sf_dir: str) -> str:
+    """Unique-per-run scratch discriminator: process salt + sf_dir hash."""
+    import hashlib
+
+    return f"{_SCRATCH_SALT}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
 
 # ---------------------------------------------------------------- Q25: sessionization
 @register(
@@ -1578,7 +1590,6 @@ def q87_composite_resume(spark, sf_dir):
     ),
 )
 def q88_skiplist_roundtrip(spark, sf_dir):
-    import hashlib
     import os
     import tempfile
 
@@ -1591,8 +1602,11 @@ def q88_skiplist_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.col("doc_id").cast("string").alias("video_id"), "lang"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"kfai_q88_{tag}", "skip.json")
+    # per-run unique dir (not sf_dir-derived): two concurrent harness
+    # runs on the same sf_dir must never share scratch state
+    path = os.path.join(
+        tempfile.gettempdir(), f"kfai_q88_{_scratch_tag(spark, sf_dir)}", "skip.json"
+    )
     save_skip_set(docs.where(F.col("doc_id") % 17 == 0).select("video_id"), path)
     skip = load_skip_set(spark, path)
     return (
@@ -2035,7 +2049,6 @@ def q102_incremental_agg(spark, sf_dir):
     ),
 )
 def q103_bucketed_join(spark, sf_dir):
-    import hashlib
     import os
     import tempfile
 
@@ -2044,7 +2057,9 @@ def q103_bucketed_join(spark, sf_dir):
         write_bucketed,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-run unique scratch dir + table names: concurrent harness runs
+    # on the same sf_dir must not collide on the external table paths
+    tag = _scratch_tag(spark, sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"kfai_q103_{tag}")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
