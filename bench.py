@@ -126,6 +126,36 @@ def main() -> None:
             out[bench_name] = round(sorted(runs)[len(runs) // 2], 4)
         return out
 
+    def fixture_complete(dir_: str) -> bool:
+        tables = [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+        return os.path.isdir(dir_) and all(
+            os.path.exists(os.path.join(dir_, f"{t}.parquet")) for t in tables
+        )
+
+    def growth_arm(dir_: str, conf: dict[str, str], n_runs: int = 5) -> dict:
+        """Run the full suite + DuckDB twin at another SF and report
+        growth ratios vs the headline run."""
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        register_views(spark, dir_)
+        arm_timings = time_suite(n_runs)
+        arm_total = round(sum(arm_timings.values()), 4)
+        arm_duck = time_duckdb(dir_)
+        arm_duck_total = round(sum(arm_duck.values()), 4)
+        return {
+            "queries": arm_timings,
+            "total": arm_total,
+            "duckdb": arm_duck,
+            "duckdb_total": arm_duck_total,
+            "growth_spark": round(arm_total / total, 2) if total else None,
+            "growth_duckdb": (
+                round(arm_duck_total / duck_total, 2) if duck_total else None
+            ),
+        }
+
     def time_duckdb(dir_: str, n_runs: int = 3) -> dict[str, float]:
         """Median oracle-SQL wall per bench query on the same files."""
         import duckdb
@@ -136,7 +166,10 @@ def main() -> None:
         oracles = oracle_queries()
         con = duckdb.connect()
         for t_ in TABLES:
-            con.execute(f"CREATE VIEW {t_} AS SELECT * FROM '{dir_}/{t_}.parquet'")
+            p = f"{dir_}/{t_}.parquet"
+            if os.path.isdir(p):  # multi-file table (sf10 fixture)
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t_} AS SELECT * FROM '{p}'")
         out: dict[str, float] = {}
         for bench_name, qname in BENCH_QUERIES.items():
             sql = oracles[qname]
@@ -187,42 +220,50 @@ def main() -> None:
             make_sf1.main()
         except Exception as exc:  # degrade to the sf0.1-only line
             print(f"sf1 fixture generation failed: {exc}", file=sys.stderr)
-    # Enter the sf1 arm only when the fixture is COMPLETE — a crashed or
-    # interrupted make_sf1 leaves a partial dir that would otherwise fail
-    # every future run here (generation is only attempted when the dir is
-    # absent) and discard the sf0.1 results above. Any sf1-arm failure
-    # degrades to the sf0.1-only line for the same reason.
-    sf1_tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    sf1_complete = os.path.isdir(sf1_dir) and all(
-        os.path.exists(os.path.join(sf1_dir, f"{t}.parquet")) for t in sf1_tables
-    )
-    if os.path.isdir(sf1_dir) and not sf1_complete:
+    # Enter a growth arm only when its fixture is COMPLETE — a crashed
+    # or interrupted generator leaves a partial dir that would otherwise
+    # fail every future run here (generation is only attempted when the
+    # dir is absent) and discard the sf0.1 results above. Any arm
+    # failure degrades to the results gathered so far.
+    if os.path.isdir(sf1_dir) and not fixture_complete(sf1_dir):
         print(f"sf1 fixture at {sf1_dir} is incomplete; skipping sf1 arm "
               "(delete it to regenerate)", file=sys.stderr)
-    if sf1_complete:
+    if fixture_complete(sf1_dir):
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
-            register_views(spark, sf1_dir)
-            sf1_timings = time_suite()
-            sf1_total = round(sum(sf1_timings.values()), 4)
-            sf1_duck = time_duckdb(sf1_dir)
-            sf1_duck_total = round(sum(sf1_duck.values()), 4)
-            result["sf1"] = {
-                "queries": sf1_timings,
-                "total": sf1_total,
-                "duckdb": sf1_duck,
-                "duckdb_total": sf1_duck_total,
-                "growth_spark": round(sf1_total / total, 2) if total else None,
-                "growth_duckdb": (
-                    round(sf1_duck_total / duck_total, 2) if duck_total else None
-                ),
-            }
+            result["sf1"] = growth_arm(sf1_dir, {
+                "spark.sql.shuffle.partitions": "8",
+                "spark.sql.files.maxPartitionBytes": "4194304",
+            })
         except Exception as exc:
             print(f"sf1 arm failed: {exc}", file=sys.stderr)
+
+    # 100x arm (multi-file parquet, the shuffle regime): ~60M-row
+    # lineitem / 10M events. Scans are naturally many-split (64 MB
+    # files), so partitions and shuffles behave like a real cluster
+    # read instead of 2 row-group-bound tasks.
+    sf10_default = os.path.join(repo_dir, "bench_sf10")
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", sf10_default)
+    if sf10_dir == sf10_default and not os.path.isdir(sf10_dir):
+        try:  # ~45 s one-time generation (scripts/make_sf10.py)
+            import make_sf10
+
+            make_sf10.main()
+        except Exception as exc:
+            print(f"sf10 fixture generation failed: {exc}", file=sys.stderr)
+    if os.path.isdir(sf10_dir) and not fixture_complete(sf10_dir):
+        print(f"sf10 fixture at {sf10_dir} is incomplete; skipping sf10 arm "
+              "(delete it to regenerate)", file=sys.stderr)
+    if fixture_complete(sf10_dir):
+        try:
+            result["sf10"] = growth_arm(sf10_dir, {
+                "spark.sql.shuffle.partitions": "32",
+                # multi-file fixture: the default split size already
+                # yields ~1 task per 64 MB file; halve it so the 32
+                # cores stay busy on the 600 MB lineitem scan.
+                "spark.sql.files.maxPartitionBytes": "33554432",
+            }, n_runs=3)
+        except Exception as exc:
+            print(f"sf10 arm failed: {exc}", file=sys.stderr)
 
     print(json.dumps(result))
     spark.stop()

@@ -99,3 +99,71 @@ def test_bucketed_join_has_no_exchange(spark, skewed, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """The SURVEY §7 skew risk ("a 10-hour video must not become one
+    straggler") has a runtime answer before any manual salting: AQE's
+    skew-join split. With thresholds scaled to the fixture, a join
+    whose hash partitioning puts ~90% of rows on one key must finalize
+    as SortMergeJoin(skew=true) with the hot partition split across
+    multiple AQEShuffleRead slices — and the result must be identical
+    to the same join with skew handling off. salted_join remains the
+    fallback for engines/joins AQE can't rewrite (see
+    test_salted_join_matches_plain_join)."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # scale the skew-detection thresholds DOWN to the fixture (the
+        # cluster defaults are 256M/5x): detection math is identical,
+        # only the byte sizes shrink. Broadcast is disabled so the join
+        # actually shuffles (the skewed regime: both sides large).
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("lval")
+        )
+        cold = spark.range(30_000).select(
+            (F.col("id") % 200 + 1).alias("k"), F.col("id").alias("lval")
+        )
+        left = hot.unionByName(cold)
+        right = spark.range(201).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rval")
+        )
+
+        out = left.join(right, "k")
+        n = len(out.collect())  # finalize THIS df's adaptive plan
+        assert n == 330_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE skew split did not engage:\n{plan[:2000]}"
+        assert "skewed" in plan  # AQEShuffleRead slices the hot partition
+
+        # skew handling off: same rows, no split marker (the straggler plan)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        base = left.join(right, "k")
+        assert len(base.collect()) == n
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in base_plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
