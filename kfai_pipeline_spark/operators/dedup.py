@@ -190,8 +190,11 @@ def minhash_candidates(
     buckets = signatures.select(F.col(id_col), F.explode(band_sigs).alias("__band"))
     a = buckets.select(F.col(id_col).alias("id_a"), "__band")
     b = buckets.select(F.col(id_col).alias("id_b"), "__band")
+    # Self-join of a corpus-derived frame: both sides are corpus-size,
+    # so pin a shuffle join (post-aggregate size estimates are not
+    # trustworthy enough to let Catalyst broadcast one side).
     return (
-        a.join(b, "__band")
+        a.join(b.hint("merge"), "__band")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -206,18 +209,31 @@ def jaccard_verify(
     |A ∩ B| comes from a shingle equi-join restricted to candidate pairs;
     |A ∪ B| = |A| + |B| - |A ∩ B| from per-doc shingle counts.
     """
+    # Every frame here scales WITH THE CORPUS (shingles explode it;
+    # sizes is one row per doc). Catalyst's post-aggregate size
+    # estimates are fabricated, and at sf10 it chose to BROADCAST the
+    # full shingle frame — a driver OOM at scale (found by the 100x
+    # spot run, not by correctness tests). hint("merge") pins every
+    # corpus-side join to a shuffle join, which is the only shape that
+    # survives arbitrary corpus growth.
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        candidates.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}), "id_b")
+        inter.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}).hint("merge"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
@@ -306,12 +322,12 @@ def connected_components(
     prev_ckpt: DataFrame | None = None
     for _ in range(max_iterations):
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(labels.hint("merge"), sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce("__nmin", F.col("component"))).alias(
@@ -322,7 +338,7 @@ def connected_components(
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(labels.alias("o").hint("merge"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
@@ -353,10 +369,34 @@ def _minhash_components(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
+    # Collapse EXACT duplicates before any pair generation. Real corpora
+    # carry enormous byte-identical clusters (boilerplate pages occur
+    # millions of times); inside an LSH bucket such a cluster is a
+    # clique, so candidate pairs grow QUADRATICALLY in copy count —
+    # the 100x spot fixture (100 copies per doc) produced ~25M
+    # candidates and OOMed the verify join. One md5 groupBy reduces
+    # every cluster to its min-id representative; near-dup runs on
+    # representatives only. Semantics are EXACTLY preserved: copies
+    # share a representative (Jaccard 1.0 >= any threshold), rep-level
+    # edges exist iff the corresponding doc-level edges do (identical
+    # texts), and min-label components over min-id reps produce the
+    # same labels as min-label components over all ids.
+    fp = F.md5(F.col(text_col))
+    doc_fp = df.select(F.col(id_col).alias("id"), fp.alias("__fp"))
+    reps = (
+        df.select(fp.alias("__fp"), F.col(id_col), F.col(text_col))
+        .groupBy("__fp")
+        # all rows in a group share text (md5-equal), so first() is
+        # deterministic in value; min(id) pins the label choice
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if scope is not None:
+        scope.add(reps)
     # shingles feed BOTH the signature build and the exact-Jaccard verify
     # — persist once (memory, spill to disk) instead of recomputing the
     # explode+dedup lineage twice
-    shingles = word_shingles(df, text_col, id_col, shingle_n).persist(
+    shingles = word_shingles(reps, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if scope is not None:
@@ -365,12 +405,14 @@ def _minhash_components(
     cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
     dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
     comps = connected_components(dup_edges.select("id_a", "id_b"), scope=scope)
-    all_ids = df.select(F.col(id_col).alias("id"))
+    rep_map = reps.select("__fp", F.col(id_col).alias("__rep"))
+    rep_comps = comps.select(F.col("id").alias("__rep"), "component")
     return (
-        all_ids.join(comps, "id", "left")
+        doc_fp.join(rep_map.hint("merge"), "__fp")
+        .join(rep_comps.hint("merge"), "__rep", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id")).alias("component"),
+            F.coalesce("component", F.col("__rep")).alias("component"),
         )
     )
 
@@ -503,7 +545,7 @@ def simhash_candidates(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "__blk"
     )
     return (
-        a.join(b, "__blk")
+        a.join(b.hint("merge"), "__blk")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
@@ -528,15 +570,21 @@ def ngram_jaccard_pairs(
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = (
-        sa.join(sb, "shingle")
+        sa.join(sb.hint("merge"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     return (
-        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}), "id_b")
+        pairs.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__sza"}).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__szb"}).hint("merge"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
@@ -615,7 +663,7 @@ def embedding_neardup_pairs(
         a = bucketed.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__sig")
         b = bucketed.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__sig")
         pairs = (
-            a.join(b, "__sig")
+            a.join(b.hint("merge"), "__sig")
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -827,7 +875,7 @@ def duplicated_spans(
     # (three scans statically; exchange reuse only partially saves it).
     dup_c = F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(F.lit(0))
     per_doc = (
-        sc.join(nd, "shingle")
+        sc.join(nd.hint("merge"), "shingle")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_spans"),

@@ -106,6 +106,42 @@ def pgvector_resume_keys(
     return read_query(spark, url, q, properties)
 
 
+def resume_keys_from_json(
+    spark: SparkSession,
+    url: str,
+    collection: str,
+    embedding_table: str = "langchain_pg_embedding",
+    collection_table: str = "langchain_pg_collection",
+    metadata_col: str = "cmetadata",
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S11, backend-portable arm: resume keys from a VARCHAR/TEXT JSON
+    metadata column. Where :func:`pgvector_resume_keys` pushes the
+    ``->>`` JSONB extraction into Postgres, this twin pushes only the
+    collection-name join database-side and extracts the JSON fields in
+    Spark with ``get_json_object`` — the path for any JDBC backend
+    without JSONB operators (and the one integration-tested LIVE
+    against embedded Derby in tests/test_jdbc_integration.py:
+    scan -> JSON-extract -> composite-key anti join).
+
+    Identifiers are quoted (case-preserving) because Spark's JDBC
+    writer creates quoted lowercase names — Derby requires the quotes
+    back; Postgres accepts them identically."""
+    from pyspark.sql import functions as F
+
+    q = f"""
+        SELECT e."{metadata_col}" AS meta
+        FROM "{embedding_table}" e
+        JOIN "{collection_table}" c ON e."collection_id" = c."uuid"
+        WHERE c."name" = '{collection}'
+    """
+    raw = read_query(spark, url, q, properties)
+    return raw.select(
+        F.get_json_object("meta", "$.video_id").alias("video_id"),
+        F.get_json_object("meta", "$.start_time").cast("double").alias("start_time"),
+    )
+
+
 def snapshot_tables(
     spark: SparkSession,
     url: str,

@@ -124,3 +124,51 @@ def test_snapshot_tables_mirrors_reference_export(spark, tmp_path):
     snap = spark.read.parquet(str(tmp_path / "snap" / "videos_video.parquet"))
     assert snap.columns == ["id", "video_id", "show_id", "producer_id"]
     assert snap.where("id % 4 = 3").count() == 0, "predicate rows must be absent"
+
+
+def test_json_metadata_resume_scan_end_to_end(spark):
+    """S11's one previously construction-only path, live: the embedding
+    store's JSON metadata column round-trips through a REAL database
+    (VARCHAR JSON in Derby), the resume keys come back via
+    scan -> get_json_object, and the composite-key anti join yields
+    exactly the not-yet-embedded work items (q87's resume shape)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    url = _url("jsonresume")
+    # store: collection u1 holds 3 embedded chunks; u2 holds a decoy
+    emb_rows = [
+        ("u1", json.dumps({"video_id": "vidA", "start_time": 0.0})),
+        ("u1", json.dumps({"video_id": "vidA", "start_time": 30.5})),
+        ("u1", json.dumps({"video_id": "vidB", "start_time": 0.0})),
+        ("u2", json.dumps({"video_id": "vidZ", "start_time": 99.0})),
+    ]
+    J.write_table(
+        spark.createDataFrame(emb_rows, "collection_id string, cmetadata string"),
+        url, "langchain_pg_embedding", mode="overwrite", properties=PROPS,
+    )
+    J.write_table(
+        spark.createDataFrame(
+            [("u1", "kfai"), ("u2", "other")], "uuid string, name string"
+        ),
+        url, "langchain_pg_collection", mode="overwrite", properties=PROPS,
+    )
+
+    done = J.resume_keys_from_json(spark, url, "kfai", properties=PROPS)
+    got = sorted(map(tuple, done.collect()))
+    assert got == [("vidA", 0.0), ("vidA", 30.5), ("vidB", 0.0)]
+    assert dict(done.dtypes) == {"video_id": "string", "start_time": "double"}
+
+    # composite-key resume: all work minus the store contents
+    work = spark.createDataFrame(
+        [("vidA", 0.0), ("vidA", 30.5), ("vidA", 61.0),
+         ("vidB", 0.0), ("vidC", 0.0), ("vidZ", 99.0)],
+        "video_id string, start_time double",
+    )
+    from kfai_pipeline_spark.operators.pipeline import new_work
+
+    todo = new_work(work, done, keys=["video_id", "start_time"])
+    assert sorted(map(tuple, todo.collect())) == [
+        ("vidA", 61.0), ("vidC", 0.0), ("vidZ", 99.0)
+    ]
