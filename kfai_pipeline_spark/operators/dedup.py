@@ -356,6 +356,60 @@ def connected_components(
     return labels
 
 
+def _exact_collapse(
+    df: DataFrame, text_col: str, id_col: str, scope: CacheScope | None
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse EXACT duplicates before any pair generation. Real
+    corpora carry enormous byte-identical clusters (boilerplate pages
+    occur millions of times); inside an LSH/band bucket such a cluster
+    is a clique, so candidate pairs grow QUADRATICALLY in copy count —
+    the 100x spot fixture (100 copies per doc) produced ~25M minhash
+    candidates and OOMed the verify join, and simhash's block join
+    OOMed the JVM outright. One md5 groupBy reduces every cluster to
+    its min-id representative; near-dup runs on representatives only.
+    Semantics are EXACTLY preserved: copies share a representative
+    (identical text ⇒ Jaccard 1.0 / hamming 0), rep-level edges exist
+    iff the corresponding doc-level edges do (identical texts), and
+    min-label components over min-id reps produce the same labels as
+    min-label components over all ids.
+
+    Returns ``(doc_fp, reps)``: (id, __fp) for every doc, and the
+    persisted representative frame (__fp, id, text)."""
+    from pyspark import StorageLevel
+
+    fp = F.md5(F.col(text_col))
+    doc_fp = df.select(F.col(id_col).alias("id"), fp.alias("__fp"))
+    reps = (
+        df.select(fp.alias("__fp"), F.col(id_col), F.col(text_col))
+        .groupBy("__fp")
+        # all rows in a group share text (md5-equal), so first() is
+        # deterministic in value; min(id) pins the label choice
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if scope is not None:
+        scope.add(reps)
+    return doc_fp, reps
+
+
+def _components_to_all_docs(
+    doc_fp: DataFrame, reps: DataFrame, comps: DataFrame, id_col: str
+) -> DataFrame:
+    """Fan rep-level components back out to every document through the
+    fingerprint: (id, component), singletons labeled by their rep id
+    (== the min id of their exact-duplicate cluster)."""
+    rep_map = reps.select("__fp", F.col(id_col).alias("__rep"))
+    rep_comps = comps.select(F.col("id").alias("__rep"), "component")
+    return (
+        doc_fp.join(rep_map.hint("merge"), "__fp")
+        .join(rep_comps.hint("merge"), "__rep", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("__rep")).alias("component"),
+        )
+    )
+
+
 def _minhash_components(
     df: DataFrame,
     text_col: str,
@@ -369,30 +423,7 @@ def _minhash_components(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
-    # Collapse EXACT duplicates before any pair generation. Real corpora
-    # carry enormous byte-identical clusters (boilerplate pages occur
-    # millions of times); inside an LSH bucket such a cluster is a
-    # clique, so candidate pairs grow QUADRATICALLY in copy count —
-    # the 100x spot fixture (100 copies per doc) produced ~25M
-    # candidates and OOMed the verify join. One md5 groupBy reduces
-    # every cluster to its min-id representative; near-dup runs on
-    # representatives only. Semantics are EXACTLY preserved: copies
-    # share a representative (Jaccard 1.0 >= any threshold), rep-level
-    # edges exist iff the corresponding doc-level edges do (identical
-    # texts), and min-label components over min-id reps produce the
-    # same labels as min-label components over all ids.
-    fp = F.md5(F.col(text_col))
-    doc_fp = df.select(F.col(id_col).alias("id"), fp.alias("__fp"))
-    reps = (
-        df.select(fp.alias("__fp"), F.col(id_col), F.col(text_col))
-        .groupBy("__fp")
-        # all rows in a group share text (md5-equal), so first() is
-        # deterministic in value; min(id) pins the label choice
-        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if scope is not None:
-        scope.add(reps)
+    doc_fp, reps = _exact_collapse(df, text_col, id_col, scope)
     # shingles feed BOTH the signature build and the exact-Jaccard verify
     # — persist once (memory, spill to disk) instead of recomputing the
     # explode+dedup lineage twice
@@ -405,16 +436,7 @@ def _minhash_components(
     cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
     dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
     comps = connected_components(dup_edges.select("id_a", "id_b"), scope=scope)
-    rep_map = reps.select("__fp", F.col(id_col).alias("__rep"))
-    rep_comps = comps.select(F.col("id").alias("__rep"), "component")
-    return (
-        doc_fp.join(rep_map.hint("merge"), "__fp")
-        .join(rep_comps.hint("merge"), "__rep", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("__rep")).alias("component"),
-        )
-    )
+    return _components_to_all_docs(doc_fp, reps, comps, id_col)
 
 
 def minhash_dedup(
@@ -552,6 +574,57 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn=None,
+    n_bits: int = 64,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """SimHash near-dup components: (id, component) for every document,
+    near-duplicates (hamming <= ``max_hamming``) sharing a component and
+    singletons keeping their own id — the simhash twin of
+    :func:`minhash_dedup`.
+
+    This, not raw :func:`simhash_candidates`, is the pipeline entry
+    point: candidate emission is inherently quadratic inside
+    exact-duplicate cliques (the 100x spot fixture OOMed the JVM on the
+    block join), so exact duplicates collapse to min-id representatives
+    first (see :func:`_exact_collapse` for the label-equivalence
+    argument — identical texts have hamming 0, so copies always land in
+    their representative's component). Pass ``scope`` (or use
+    :func:`simhash_dedup_scoped`) to release the cached blocks
+    deterministically."""
+    doc_fp, reps = _exact_collapse(df, text_col, id_col, scope)
+    sigs = simhash(reps, text_col, id_col, hash_fn=hash_fn, n_bits=n_bits)
+    edges = simhash_candidates(sigs, id_col, max_hamming).select("id_a", "id_b")
+    comps = connected_components(edges, scope=scope)
+    return _components_to_all_docs(doc_fp, reps, comps, id_col)
+
+
+@contextmanager
+def simhash_dedup_scoped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn=None,
+    n_bits: int = 64,
+):
+    """Scoped twin of :func:`simhash_dedup` (same contract as
+    :func:`minhash_dedup_scoped`): materialize inside the ``with``;
+    every cached/checkpointed block releases on exit."""
+    scope = CacheScope()
+    try:
+        yield simhash_dedup(
+            df, text_col, id_col, max_hamming, hash_fn, n_bits, scope=scope
+        )
+    finally:
+        scope.release()
 
 
 # ---------------------------------------------------------------- n-gram jaccard (exact)

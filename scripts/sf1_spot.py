@@ -47,11 +47,13 @@ def main() -> None:
         "semantic_dedup sign-LSH",
         lambda: D.semantic_dedup(emb).count(),
     )
+    # components API, not raw candidate emission: candidates are
+    # inherently quadratic inside exact-dup cliques (the 100x fixture
+    # has 100 copies/doc) — simhash_dedup collapses those first, which
+    # is the shape any real pipeline runs
     t(
-        "simhash_candidates h<=3",
-        lambda: D.simhash_candidates(
-            D.simhash(docs, "text", "doc_id"), "doc_id"
-        ).count(),
+        "simhash_dedup h<=3",
+        lambda: D.simhash_dedup(docs, "text", "doc_id").count(),
     )
     t(
         "fingerprint winnow xxhash",

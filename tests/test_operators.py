@@ -443,3 +443,49 @@ def test_duplicated_spans_matches_python_reference(spark, texts):
         dup = sum(1 for s in sp if len(docs_per_span[s]) >= 2)
         expected[i] = (len(sp), dup, dup / len(sp) >= 0.05)
     assert got == expected
+
+
+def test_simhash_dedup_components_and_scoped(spark, dup_docs):
+    """simhash_dedup mirrors minhash_dedup's contract: every doc
+    labeled, exact copies share their min-id component, and the scoped
+    twin releases all blocks."""
+    comps = D.simhash_dedup(dup_docs, "text", "doc_id")
+    by_id = {r["doc_id"]: r["component"] for r in comps.collect()}
+    assert len(by_id) == dup_docs.count()
+    assert by_id[100] == by_id[101] == 100  # exact copies, min-label
+    # every component label is the min doc_id of its member set
+    members: dict[int, list[int]] = {}
+    for i, c in by_id.items():
+        members.setdefault(c, []).append(i)
+    assert all(c == min(ids) for c, ids in members.items())
+
+    jsc = spark.sparkContext._jsc
+
+    def resident_ids() -> set[int]:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = resident_ids()
+    with D.simhash_dedup_scoped(dup_docs, "text", "doc_id") as scoped:
+        got = {r["doc_id"]: r["component"] for r in scoped.collect()}
+        assert got == by_id
+    assert not (resident_ids() - base), "scope exit must release all blocks"
+
+
+def test_dedup_exact_collapse_label_equivalence(spark):
+    """The exact-duplicate collapse must be invisible in the output:
+    on a corpus that is nothing but copy clusters (the shape that OOMed
+    the 100x spot run before the collapse), every cluster shares its
+    min-id label, for both near-dup families."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet ultraviolet",
+    ]
+    rows = [(ti * 100 + c, t) for ti, t in enumerate(texts) for c in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (D.minhash_dedup, D.simhash_dedup):
+        by_id = {r["doc_id"]: r["component"] for r in fn(df, "text", "doc_id").collect()}
+        assert len(by_id) == len(rows)
+        for ti in range(len(texts)):
+            labels = {by_id[ti * 100 + c] for c in range(12)}
+            assert labels == {ti * 100}, f"{fn.__name__}: cluster {ti} -> {labels}"
