@@ -53,6 +53,9 @@ _DEFER_TO_NEXT_ROUND = frozenset({
     "q57_duration_format_roundtrip",
     "q69_radius_search",
     "q78_mixture_epochs",
+    # landed mid-round-4 after the window was planned; verified in the
+    # judge-sim sweep this round, official row next rotation
+    "q104_simhash_dedup",
 })
 
 

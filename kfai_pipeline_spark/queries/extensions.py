@@ -2081,3 +2081,63 @@ def q103_bucketed_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------- Q104: simhash dedup e2e
+@register(
+    "q104_simhash_dedup",
+    # The full SimHash near-dup pipeline to COMPONENTS (round-4's
+    # simhash_dedup, X2), on the portable 60-bit md5 hash so DuckDB can
+    # replay it end-to-end. The oracle is deliberately the NAIVE
+    # formulation — signatures over every document, ALL pairs within
+    # hamming <= 3 (by pigeonhole the banded candidates are exactly this
+    # set), recursive-CTE components — so the hash check also proves the
+    # Spark arm's exact-duplicate collapse is invisible in the output.
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+    ), wh AS (
+      SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
+      FROM w, LATERAL (SELECT unnest(words) AS w) u
+    ), bits AS (
+      SELECT doc_id,
+        {_Q50_BIT_SUMS}
+      FROM wh GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_Q50_SIG} AS simhash FROM bits
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+    ), comp AS (
+      SELECT id, MIN(comp) AS component FROM cc GROUP BY id
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "SimHash near-dup to components (operators/dedup.py "
+        "simhash_dedup): md5-exact-collapse -> 60-bit signatures -> "
+        "banded candidates -> hamming<=3 verify -> min-label components, "
+        "fanned back to every doc. Hash-checked against DuckDB's naive "
+        "all-pairs + recursive-CTE twin, which also proves the collapse "
+        "is output-invisible."
+    ),
+)
+def q104_simhash_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    comp = D.simhash_dedup(
+        docs, "text", "doc_id", max_hamming=3, hash_fn=TA.md5_long,
+        n_bits=_SIMHASH_BITS,
+    )
+    return comp.orderBy("doc_id")
