@@ -245,6 +245,7 @@ def main() -> None:
     sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", sf10_default)
     if sf10_dir == sf10_default and not os.path.isdir(sf10_dir):
         try:  # ~45 s one-time generation (scripts/make_sf10.py)
+            sys.path.insert(0, os.path.join(repo_dir, "scripts"))
             import make_sf10
 
             make_sf10.main()

@@ -377,7 +377,17 @@ def _exact_collapse(
     persisted representative frame (__fp, id, text)."""
     from pyspark import StorageLevel
 
-    fp = F.md5(F.col(text_col))
+    # NULL text must NOT fingerprint to NULL: md5(NULL) is NULL, which
+    # would (a) group every null-text doc into one bogus "duplicate"
+    # cluster and (b) fall out of the __fp equi-join entirely (NULL
+    # never equals NULL), silently DROPPING those docs from the output.
+    # A per-doc sentinel keeps each null-text doc its own singleton —
+    # exactly how the uncollapsed pipeline treated them (no shingles,
+    # no signature, no candidates).
+    fp = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
     doc_fp = df.select(F.col(id_col).alias("id"), fp.alias("__fp"))
     reps = (
         df.select(fp.alias("__fp"), F.col(id_col), F.col(text_col))

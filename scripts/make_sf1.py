@@ -78,9 +78,11 @@ def make(
         out = f"{dst}/{t}.parquet"
         opts = "FORMAT PARQUET"
         if file_size_bytes:
-            # directory-of-files output; delete any stale single file
+            # directory-of-files output; clear any stale previous output
             if os.path.isfile(out):
                 os.remove(out)
+            elif os.path.isdir(out):
+                shutil.rmtree(out)
             opts += f", FILE_SIZE_BYTES {file_size_bytes}"
         con.sql(
             f"COPY (SELECT {sel} FROM '{src_file}', range({copies}) i(i)) "

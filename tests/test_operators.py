@@ -489,3 +489,29 @@ def test_dedup_exact_collapse_label_equivalence(spark):
         for ti in range(len(texts)):
             labels = {by_id[ti * 100 + c] for c in range(12)}
             assert labels == {ti * 100}, f"{fn.__name__}: cluster {ti} -> {labels}"
+
+
+def test_dedup_null_and_empty_text_docs_survive(spark):
+    """NULL-text docs must come back labeled as singletons (md5(NULL)
+    is NULL — without the sentinel fingerprint they'd collapse into one
+    bogus cluster AND fall out of the __fp equi-join entirely); empty
+    strings are genuinely identical content and share a component."""
+    rows = [(1, "alpha beta gamma delta"), (2, None), (3, None),
+            (4, ""), (5, ""), (6, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (D.minhash_dedup, D.simhash_dedup):
+        by_id = {r["doc_id"]: r["component"] for r in fn(df, "text", "doc_id").collect()}
+        assert set(by_id) == {1, 2, 3, 4, 5, 6}, f"{fn.__name__} dropped docs"
+        assert by_id[1] == by_id[6] == 1      # exact dups share min label
+    # Family-specific no-content semantics (unchanged from the
+    # pre-collapse pipelines): minhash's short-doc fallback gives null
+    # AND empty docs the same '' shingle, so they all merge; simhash's
+    # explode path emits no signature for null text, so nulls stay
+    # singletons while empty strings (one '' token) merge.
+    mh = {r["doc_id"]: r["component"]
+          for r in D.minhash_dedup(df, "text", "doc_id").collect()}
+    assert mh[2] == mh[3] == mh[4] == mh[5] == 2
+    sh = {r["doc_id"]: r["component"]
+          for r in D.simhash_dedup(df, "text", "doc_id").collect()}
+    assert sh[2] == 2 and sh[3] == 3
+    assert sh[4] == sh[5] == 4
