@@ -124,15 +124,18 @@ def resume_keys_from_json(
     against embedded Derby in tests/test_jdbc_integration.py:
     scan -> JSON-extract -> composite-key anti join).
 
-    Identifiers are quoted (case-preserving) because Spark's JDBC
-    writer creates quoted lowercase names — Derby requires the quotes
-    back; Postgres accepts them identically."""
+    COLUMN names are quoted (Spark's JDBC writer creates them
+    case-preserving, so Derby needs the quotes back and Postgres
+    accepts them identically); TABLE names stay unquoted, matching how
+    ``write_table``'s ``dbtable`` option creates them (Derby folds to
+    upper case, Postgres to lower — unquoted references resolve in
+    both)."""
     from pyspark.sql import functions as F
 
     q = f"""
         SELECT e."{metadata_col}" AS meta
-        FROM "{embedding_table}" e
-        JOIN "{collection_table}" c ON e."collection_id" = c."uuid"
+        FROM {embedding_table} e
+        JOIN {collection_table} c ON e."collection_id" = c."uuid"
         WHERE c."name" = '{collection}'
     """
     raw = read_query(spark, url, q, properties)

@@ -144,15 +144,28 @@ def test_json_metadata_resume_scan_end_to_end(spark):
         ("u1", json.dumps({"video_id": "vidB", "start_time": 0.0})),
         ("u2", json.dumps({"video_id": "vidZ", "start_time": 99.0})),
     ]
+    # Spark's default Derby mapping turns StringType into CLOB, which
+    # Derby cannot compare/join on; the real store's columns are
+    # VARCHAR/uuid, so type them explicitly (createTableColumnTypes)
+    # to model that schema faithfully.
     J.write_table(
         spark.createDataFrame(emb_rows, "collection_id string, cmetadata string"),
-        url, "langchain_pg_embedding", mode="overwrite", properties=PROPS,
+        url, "langchain_pg_embedding", mode="overwrite",
+        properties={
+            **PROPS,
+            "createTableColumnTypes":
+                "collection_id VARCHAR(64), cmetadata VARCHAR(1024)",
+        },
     )
     J.write_table(
         spark.createDataFrame(
             [("u1", "kfai"), ("u2", "other")], "uuid string, name string"
         ),
-        url, "langchain_pg_collection", mode="overwrite", properties=PROPS,
+        url, "langchain_pg_collection", mode="overwrite",
+        properties={
+            **PROPS,
+            "createTableColumnTypes": "uuid VARCHAR(64), name VARCHAR(256)",
+        },
     )
 
     done = J.resume_keys_from_json(spark, url, "kfai", properties=PROPS)
