@@ -35,7 +35,11 @@ SECTIONS = [
         "its exchange. Round 2 note: the threshold was deliberately DROPPED from "
         "64 MB to 10 MB after a 10x-scale experiment showed the static planner "
         "broadcasting the fact table itself (BASELINE.md §3d) — dims are hinted, "
-        "facts must never ride the auto threshold.",
+        "facts must never ride the auto threshold. Round 4: the declared join "
+        "order is now selective-chain-first (region filter -> nation -> customer "
+        "-> orders, fact last) — Spark has no CBO reorder over parquet views, "
+        "and past the broadcast regime the syntactic order would shuffle the "
+        "unreduced fact twice (BASELINE.md §5b).",
     ),
     (
         "q07",
