@@ -127,13 +127,24 @@ def main() -> None:
         return out
 
     def fixture_complete(dir_: str) -> bool:
+        import glob as _glob
+
         tables = [
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ]
-        return os.path.isdir(dir_) and all(
-            os.path.exists(os.path.join(dir_, f"{t}.parquet")) for t in tables
-        )
+        if not os.path.isdir(dir_):
+            return False
+        for t in tables:
+            p = os.path.join(dir_, f"{t}.parquet")
+            if os.path.isfile(p):
+                continue
+            # multi-file table: the dir must actually contain parquet
+            # (a crashed generator can leave it empty)
+            if os.path.isdir(p) and _glob.glob(os.path.join(p, "*.parquet")):
+                continue
+            return False
+        return True
 
     def growth_arm(dir_: str, conf: dict[str, str], n_runs: int = 5) -> dict:
         """Run the full suite + DuckDB twin at another SF and report

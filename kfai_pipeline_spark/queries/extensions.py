@@ -22,7 +22,9 @@ from kfai_pipeline_spark.queries.base import register
 
 # Per-process scratch salt: queries that materialize side state (q88's
 # skip file, q103's bucketed tables) must not share paths across
-# concurrent harness runs on the same sf_dir.
+# concurrent harness runs on the same sf_dir. Everything lands under
+# one per-process root that is removed at interpreter exit, so unique
+# names don't accumulate in the temp dir across runs.
 _SCRATCH_SALT = __import__("uuid").uuid4().hex[:8]
 
 
@@ -31,6 +33,19 @@ def _scratch_tag(spark, sf_dir: str) -> str:
     import hashlib
 
     return f"{_SCRATCH_SALT}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def _scratch_root() -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"kfai_scratch_{_SCRATCH_SALT}")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 # ---------------------------------------------------------------- Q25: sessionization
@@ -684,9 +699,7 @@ def q50_simhash_md5(spark, sf_dir):
     ),
 )
 def q51_partitioned_roundtrip(spark, sf_dir):
-    import hashlib
     import os
-    import tempfile
 
     from kfai_pipeline_spark.sources.video_records import write_partitioned_json
 
@@ -696,8 +709,9 @@ def q51_partitioned_roundtrip(spark, sf_dir):
         "value",
         F.unix_timestamp("ts").alias("epoch"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"kfai_q51_{tag}")
+    # per-run unique dir (same rationale as q88/q103): a concurrent
+    # harness run must never interleave with this overwrite
+    out_dir = os.path.join(_scratch_root(), f"kfai_q51_{_scratch_tag(spark, sf_dir)}")
     write_partitioned_json(events, out_dir, epoch_col="epoch")
     back = (
         spark.read.option("recursiveFileLookup", "false")  # partition dirs
@@ -1591,7 +1605,6 @@ def q87_composite_resume(spark, sf_dir):
 )
 def q88_skiplist_roundtrip(spark, sf_dir):
     import os
-    import tempfile
 
     from kfai_pipeline_spark.sources.skip_list import (
         filter_skipped,
@@ -1605,7 +1618,7 @@ def q88_skiplist_roundtrip(spark, sf_dir):
     # per-run unique dir (not sf_dir-derived): two concurrent harness
     # runs on the same sf_dir must never share scratch state
     path = os.path.join(
-        tempfile.gettempdir(), f"kfai_q88_{_scratch_tag(spark, sf_dir)}", "skip.json"
+        _scratch_root(), f"kfai_q88_{_scratch_tag(spark, sf_dir)}", "skip.json"
     )
     save_skip_set(docs.where(F.col("doc_id") % 17 == 0).select("video_id"), path)
     skip = load_skip_set(spark, path)
@@ -2050,7 +2063,6 @@ def q102_incremental_agg(spark, sf_dir):
 )
 def q103_bucketed_join(spark, sf_dir):
     import os
-    import tempfile
 
     from kfai_pipeline_spark.operators.partitioning import (
         bucketed_join_ready,
@@ -2060,7 +2072,7 @@ def q103_bucketed_join(spark, sf_dir):
     # per-run unique scratch dir + table names: concurrent harness runs
     # on the same sf_dir must not collide on the external table paths
     tag = _scratch_tag(spark, sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"kfai_q103_{tag}")
+    base = os.path.join(_scratch_root(), f"kfai_q103_{tag}")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     ct, ot = f"kfai_q103_cust_{tag}", f"kfai_q103_ord_{tag}"
