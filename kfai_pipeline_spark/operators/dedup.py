@@ -173,11 +173,9 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidates(
-    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
-) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing at least one LSH band."""
-    band_sigs = F.array(
+def _minhash_band_array(bands: int, rows_per_band: int) -> Column:
+    """Array of per-band signature strings from h0..h{k-1} columns."""
+    return F.array(
         *[
             F.concat_ws(
                 "_",
@@ -187,6 +185,13 @@ def minhash_candidates(
             for b in range(bands)
         ]
     )
+
+
+def minhash_candidates(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band."""
+    band_sigs = _minhash_band_array(bands, rows_per_band)
     buckets = signatures.select(F.col(id_col), F.explode(band_sigs).alias("__band"))
     a = buckets.select(F.col(id_col).alias("id_a"), "__band")
     b = buckets.select(F.col(id_col).alias("id_b"), "__band")
@@ -583,6 +588,108 @@ def simhash_candidates(
         .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- incremental index
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    hash_fn=None,
+    seed_fmt: str = "\x00{}",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's MinHash signatures as a parquet index (X37).
+
+    The 100 TB workflow this serves: a historical corpus is signed ONCE;
+    each incoming batch (daily crawl, new source) is checked against the
+    index WITHOUT rescanning historical text — the index holds one row
+    of ``num_hashes`` longs per document, ~3 orders of magnitude smaller
+    than the corpus. Run with ``mode="append"`` after a batch clears to
+    fold its signatures in (parquet append is file-atomic, so a reader
+    never sees a torn index). Parameters must match between build and
+    probe; keep them with the index path in pipeline config."""
+    sigs = minhash_signatures(
+        word_shingles(df, text_col, id_col, shingle_n),
+        id_col,
+        num_hashes,
+        hash_fn,
+        seed_fmt,
+    )
+    sigs.write.mode(mode).parquet(path)
+
+
+def neardup_against_index(
+    batch: DataFrame,
+    index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn=None,
+    seed_fmt: str = "\x00{}",
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against a persisted signature
+    index: ``(batch_id, index_id, est_jaccard)`` for every pair whose
+    signature agreement >= ``threshold``. ``index`` is the parquet path
+    from :func:`write_minhash_index` (or a signature DataFrame).
+
+    Candidates come from an LSH band equi-join (batch side vs index
+    side — never a cross product); the score is the unbiased MinHash
+    estimator, the fraction of agreeing minhashes (k/num_hashes values
+    are exact binary fractions, so the score is engine-portable).
+    Self-matches (same id on both sides) are dropped, so re-checking a
+    batch that was already appended is safe."""
+    spark = batch.sparkSession
+    rows_per_band = num_hashes // bands
+    idx = spark.read.parquet(index) if isinstance(index, str) else index
+    sigs_b = minhash_signatures(
+        word_shingles(batch, text_col, id_col, shingle_n),
+        id_col, num_hashes, hash_fn, seed_fmt,
+    )
+    band_arr = _minhash_band_array(bands, rows_per_band)
+
+    # SLIM band frames for the bucket join — (id, band) only, so the
+    # shuffle moves one band string per row, not bands x num_hashes
+    # signature columns; the full signatures join back by id on the
+    # (much smaller) deduped pair set.
+    b_slim = sigs_b.select(F.col(id_col).alias("batch_id"), F.explode(band_arr).alias("__band"))
+    c_slim = idx.select(F.col(id_col).alias("index_id"), F.explode(band_arr).alias("__band"))
+    # both sides are corpus-derived: pin the shuffle join (see
+    # jaccard_verify for the broadcast-misestimate failure mode)
+    pairs = (
+        b_slim.join(c_slim.hint("merge"), "__band")
+        .where(F.col("batch_id") != F.col("index_id"))
+        .select("batch_id", "index_id")
+        .dropDuplicates(["batch_id", "index_id"])
+    )
+    sb = sigs_b.select(
+        F.col(id_col).alias("batch_id"),
+        *[F.col(f"h{i}").alias(f"batch_h{i}") for i in range(num_hashes)],
+    )
+    sc = idx.select(
+        F.col(id_col).alias("index_id"),
+        *[F.col(f"h{i}").alias(f"index_h{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"batch_h{i}") == F.col(f"index_h{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sb.hint("merge"), "batch_id")
+        .join(sc.hint("merge"), "index_id")
+        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("batch_id"), F.col("index_id"),
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+        )
     )
 
 

@@ -56,6 +56,7 @@ _DEFER_TO_NEXT_ROUND = frozenset({
     # landed mid-round-4 after the window was planned; verified in the
     # judge-sim sweep this round, official row next rotation
     "q104_simhash_dedup",
+    "q105_neardup_index",
 })
 
 

@@ -2153,3 +2153,82 @@ def q104_simhash_dedup(spark, sf_dir):
         n_bits=_SIMHASH_BITS,
     )
     return comp.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q105: incremental index
+_Q105_BANDS = 4  # 4 bands x 4 rows over the 16 md5 minhashes
+_Q105_BAND_EQ = " OR ".join(
+    "(" + " AND ".join(
+        f"b.h{band * 4 + r} = c.h{band * 4 + r}" for r in range(4)
+    ) + ")"
+    for band in range(_Q105_BANDS)
+)
+_Q105_AGREE = " + ".join(
+    f"(CASE WHEN b.h{i} = c.h{i} THEN 1 ELSE 0 END)" for i in range(_Q55_HASHES)
+)
+
+
+@register(
+    "q105_neardup_index",
+    # X37: incremental near-dup of a NEW batch against a PERSISTED
+    # signature index — the daily-crawl-vs-historical-corpus workflow.
+    # The Spark arm actually writes the index to parquet and probes the
+    # file; DuckDB recomputes both sides' signatures (q55's portable
+    # md5 minhash), joins on any-band equality, and scores with the
+    # same agreement estimator (k/16 values are exact binary fractions,
+    # so the score is bit-portable).
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t
+    ), sigs AS (
+      SELECT doc_id,
+      {_Q55_MINS}
+      FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS index_id,
+             ({_Q105_AGREE}) / 16.0 AS est
+      FROM sigs b JOIN sigs c
+        ON ({_Q105_BAND_EQ}) AND b.doc_id <> c.doc_id
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT batch_id, COUNT(*) AS n_matches,
+           ROUND(MAX(est), 4) AS best_est
+    FROM pairs WHERE est >= 0.5
+    GROUP BY batch_id ORDER BY batch_id
+    """,
+    doc=(
+        "Incremental near-dup vs a persisted MinHash index (X37, "
+        "operators/dedup.py write_minhash_index/neardup_against_index): "
+        "historical corpus signed once to parquet, new batch band-joins "
+        "the index and scores with the agreement estimator — no "
+        "historical text rescans. Hash-checked vs DuckDB recomputing "
+        "both arms."
+    ),
+)
+def q105_neardup_index(spark, sf_dir):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    path = os.path.join(
+        _scratch_root(), f"kfai_q105_{_scratch_tag(spark, sf_dir)}", "minhash_index"
+    )
+    D.write_minhash_index(
+        corpus, path, num_hashes=_Q55_HASHES, hash_fn=TA.md5_long, seed_fmt="|{}"
+    )
+    matches = D.neardup_against_index(
+        batch, path, num_hashes=_Q55_HASHES, bands=_Q105_BANDS,
+        threshold=0.5, hash_fn=TA.md5_long, seed_fmt="|{}",
+    )
+    return (
+        matches.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("est_jaccard"), 4).alias("best_est"),
+        )
+        .orderBy("batch_id")
+    )

@@ -515,3 +515,33 @@ def test_dedup_null_and_empty_text_docs_survive(spark):
           for r in D.simhash_dedup(df, "text", "doc_id").collect()}
     assert sh[2] == 2 and sh[3] == 3
     assert sh[4] == sh[5] == 4
+
+
+def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
+    """X37 incremental index: the persisted-parquet probe finds the
+    planted near-dup, append folds a cleared batch in, and re-checking
+    an already-appended batch yields no self-matches."""
+    idx_path = str(tmp_path / "mh_index")
+    corpus = dup_docs.where(F.col("doc_id") < 100)          # 40 perturbed docs
+    batch = dup_docs.where(F.col("doc_id") >= 100)          # 100/101 exact, 102 near
+    # plant: batch doc 100 is an exact copy of nothing in corpus, but
+    # 100/101/102 are mutual dups — index the corpus plus doc 100
+    D.write_minhash_index(corpus.unionByName(dup_docs.where(F.col("doc_id") == 100)), idx_path)
+    hits = D.neardup_against_index(
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, threshold=0.5
+    )
+    got = {(r["batch_id"], r["index_id"]): r["est_jaccard"] for r in hits.collect()}
+    assert (101, 100) in got and got[(101, 100)] == 1.0     # exact copy -> est 1.0
+    assert (102, 100) in got and 0.5 <= got[(102, 100)] <= 1.0
+    assert all(b >= 100 and i == 100 for b, i in got)       # perturbed corpus stays quiet
+
+    # append the cleared batch; a re-check must not self-match
+    D.write_minhash_index(
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, mode="append"
+    )
+    again = D.neardup_against_index(
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, threshold=0.5
+    )
+    pairs = {(r["batch_id"], r["index_id"]) for r in again.collect()}
+    assert (101, 101) not in pairs and (102, 102) not in pairs
+    assert (101, 102) in pairs  # the newly appended sibling now matches
