@@ -73,6 +73,18 @@ def main() -> None:
         "duplicated_spans 8-gram",
         lambda: D.duplicated_spans(docs, "text", "doc_id").count(),
     )
+
+    def _index_probe():
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/mh_index"
+            corpus = docs.where(F.col("doc_id") % 10 != 0)
+            batch = docs.where(F.col("doc_id") % 10 == 0)
+            D.write_minhash_index(corpus, path)
+            return D.neardup_against_index(batch, path).count()
+
+    t("neardup vs persisted index (90/10 split)", _index_probe)
     from kfai_pipeline_spark.operators.bm25 import bm25_topk
     from kfai_pipeline_spark.operators.fusion import rrf_fuse, with_rank
     from kfai_pipeline_spark.operators.heavy_hitters import heavy_hitters
