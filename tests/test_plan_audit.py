@@ -556,3 +556,38 @@ def test_q102_incremental_merge_has_no_join_and_partial_aggs(spark):
     assert "Join" not in p
     assert "Union" in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_dedup_corpus_joins_never_broadcast(spark):
+    """Round-4 scale guard: every corpus-derived join side in the
+    minhash pipeline and the X37 index probe is pinned to a shuffle
+    join. Catalyst's post-aggregate size estimates once chose to
+    broadcast the full shingle frame (driver OOM at 100x) — if a hint
+    is dropped, a BroadcastExchange reappears here and this fails."""
+    import pandas as pd  # noqa: F401
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sh = D.word_shingles(docs, "text", "doc_id")
+    sigs = D.minhash_signatures(sh, "doc_id")
+    cands = D.minhash_candidates(sigs, "doc_id", 8, 4)
+    edges = D.jaccard_verify(cands, sh, "doc_id", 0.7)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastExchange" not in p, "corpus frame broadcast in verify path"
+    assert "CartesianProduct" not in p
+
+    probe = D.neardup_against_index(
+        docs.where("doc_id % 10 = 0"),
+        sigs.where("doc_id % 10 != 0"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    p2 = buf.getvalue()
+    assert "BroadcastExchange" not in p2, "index side broadcast in probe path"
+    assert "CartesianProduct" not in p2
