@@ -651,19 +651,18 @@ def q22(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    # Selective chain FIRST (region filter -> nation -> customer ->
-    # orders), fact last: the r_name predicate prunes customers before
-    # orders ever joins, so at scale the 60M-row lineitem shuffles ONCE
-    # (on l_orderkey, against already-filtered orders) instead of twice
-    # (syntactic order shuffles the full fact on l_orderkey AND its
-    # unreduced join output again on o_custkey). Spark has no CBO join
-    # reorder over parquet views — the declared order IS the join order,
-    # so declare the one a cost-based optimizer would pick.
+    # Fact FIRST, dims joined onto it: with Spark's no-CBO syntactic
+    # planning, left-deep fact-first keeps lineitem the PROBE side of
+    # every join, so each dim rides a broadcast build and the fact never
+    # shuffles in the broadcast regime. The round-4 experiment that put
+    # the selective dim chain first (BASELINE.md §5b) planned lineitem
+    # as the BUILD side of its join — the fact itself broadcast at
+    # sf0.1 (+80% wall) — and measured no win at sf10; REVERTED.
     return (
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(orders, orders.o_custkey == customer.c_custkey)
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -55,11 +55,11 @@ BENCH_SQL: dict[str, str] = {
     # the probe side at every join; declared order is how SQL says so.
     "q22": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
-        JOIN orders   ON o_custkey   = c_custkey
-        JOIN lineitem ON l_orderkey  = o_orderkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name

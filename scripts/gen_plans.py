@@ -35,11 +35,11 @@ SECTIONS = [
         "its exchange. Round 2 note: the threshold was deliberately DROPPED from "
         "64 MB to 10 MB after a 10x-scale experiment showed the static planner "
         "broadcasting the fact table itself (BASELINE.md §3d) — dims are hinted, "
-        "facts must never ride the auto threshold. Round 4: the declared join "
-        "order is now selective-chain-first (region filter -> nation -> customer "
-        "-> orders, fact last) — Spark has no CBO reorder over parquet views, "
-        "and past the broadcast regime the syntactic order would shuffle the "
-        "unreduced fact twice (BASELINE.md §5b).",
+        "facts must never ride the auto threshold. Round 4: a selective-chain-first "
+        "reorder was tried and REVERTED — with left-deep syntactic planning it "
+        "made lineitem the broadcast BUILD side (the fact broadcast at sf0.1, "
+        "+80% wall) and won nothing at sf10; fact-first keeps the fact the "
+        "probe side at every scale (BASELINE.md §5b).",
     ),
     (
         "q07",
