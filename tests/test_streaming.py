@@ -544,3 +544,75 @@ def test_rollup_version_gc_bounds_storage(spark, events_dir, tmp_path_factory):
         assert apply_batch(batch, v, rollup, keys, merge, keep_all, retain_versions=0)
     versions = sorted(d for d in os.listdir(keep_all) if d.startswith("v_"))
     assert versions == ["v_0", "v_1", "v_2", "v_3"]
+
+
+def test_streaming_neardup_index_maintenance(spark, tmp_path_factory):
+    """Streaming X37 twin: each micro-batch is screened against PRIOR
+    batches' signatures only (planted cross-batch copies are found,
+    nothing self-matches), every batch folds into its own committed
+    index directory, and a checkpoint replay is a no-op."""
+    import os
+
+    from kfai_pipeline_spark.streaming.neardup import maintain_neardup_index
+
+    src = str(tmp_path_factory.mktemp("nd_src"))
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "one two three four five six seven eight",
+        3: "red orange yellow green blue indigo violet ultra",
+        11: "alpha beta gamma delta epsilon zeta eta theta",   # copy of 1
+        12: "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        21: "nine ten eleven twelve thirteen fourteen fifteen sixteen",  # copy of 12
+        22: "unrelated words entirely fresh content here now ok",
+    }
+    batches = [[1, 2, 3], [11, 12], [21, 22]]
+    for i, ids in enumerate(batches):
+        spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    # one top-level dir per file so maxFilesPerTrigger batches cleanly
+    paths = [f"{src}/f{i}" for i in range(len(batches))]
+
+    index_dir = str(tmp_path_factory.mktemp("nd_index"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    log: list[tuple[int, tuple]] = []
+
+    def match_fn(matches, batch_id):
+        log.append((batch_id, tuple(sorted(map(tuple, matches.collect())))))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = maintain_neardup_index(stream, index_dir, ckpt, match_fn, threshold=0.5)
+    q.awaitTermination()
+
+    # every batch committed its own index dir
+    dirs = sorted(d for d in os.listdir(index_dir) if d.startswith("batch_"))
+    assert len(dirs) == len(batches)
+    arrival = {}
+    for d in dirs:
+        bid = int(d.split("_")[1])
+        for r in spark.read.parquet(os.path.join(index_dir, d)).select("doc_id").collect():
+            arrival[r[0]] = bid
+
+    all_matches = [(bid, m) for bid, ms in log for m in ms]
+    pairs = {(b, i) for _, (b, i, _) in [(bid, m) for bid, m in all_matches]}
+    # both planted cross-batch copies found, est 1.0
+    assert any(b == 11 and i == 1 for b, i in pairs), pairs
+    assert any(b == 21 and i == 12 for b, i in pairs), pairs
+    for bid, (b, i, est) in all_matches:
+        assert arrival[i] < bid, "matches must point at PRIOR batches only"
+        assert b != i
+        assert 0.5 <= est <= 1.0
+
+    # replay: draining the same checkpoint again is a no-op
+    n_calls = len(log)
+    q2 = maintain_neardup_index(stream, index_dir, ckpt, match_fn, threshold=0.5)
+    q2.awaitTermination()
+    assert len(log) == n_calls, "replayed drain must not refire batches"
+    assert sorted(
+        d for d in os.listdir(index_dir) if d.startswith("batch_")
+    ) == dirs
