@@ -6,6 +6,12 @@ scripts/make_sf1.py). Each op is fully materialized (count/collect);
 wall includes scan. Run AFTER correctness is green; the point is
 catching O(work) redundancy that sf0.01 hides (per-branch re-scans,
 per-iteration re-execution, per-element lambda re-evaluation).
+
+Also runs at 100x for the shuffle regime (BASELINE.md §5c):
+    SPARK_GRAFT_SF1_DIR=/root/repo/bench_sf10 python scripts/sf1_spot.py
+(generate bench_sf10/ with scripts/make_sf10.py). The 100x fixture's
+100-copies-per-doc structure is what exposed the round-4 broadcast
+and quadratic-clique defects — keep it in the rotation.
 """
 from __future__ import annotations
 
