@@ -616,3 +616,31 @@ def test_streaming_neardup_index_maintenance(spark, tmp_path_factory):
     assert sorted(
         d for d in os.listdir(index_dir) if d.startswith("batch_")
     ) == dirs
+
+
+def test_streaming_neardup_index_without_match_sink(spark, tmp_path_factory):
+    """match_fn=None runs index-only maintenance (sign everything,
+    screen nothing) — the bootstrap mode for backfilling history."""
+    import os
+
+    from kfai_pipeline_spark.streaming.neardup import maintain_neardup_index
+
+    src = str(tmp_path_factory.mktemp("ndq_src"))
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+
+    index_dir = str(tmp_path_factory.mktemp("ndq_index"))
+    ckpt = str(tmp_path_factory.mktemp("ndq_ckpt"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = maintain_neardup_index(stream, index_dir, ckpt, match_fn=None)
+    q.awaitTermination()
+    dirs = [d for d in os.listdir(index_dir) if d.startswith("batch_")]
+    assert len(dirs) == 1
+    sigs = spark.read.parquet(os.path.join(index_dir, dirs[0]))
+    assert sigs.count() == 2 and "h0" in sigs.columns
