@@ -965,20 +965,54 @@ def semantic_dedup(
     LSH bucket frame and component checkpoints. Pass ``scope`` (a
     :class:`CacheScope`) or use :func:`semantic_dedup_scoped` when
     looping over corpora, so the blocks release deterministically.
+
+    Exact-duplicate collapse (the quadratic-clique guard the text
+    families got in round 4, applied to vectors): byte-identical
+    embeddings — re-encoded copies, identical texts through a
+    deterministic embedder — form cliques in every sign-LSH bucket, so
+    they collapse to min-id representatives before pair generation.
+    Identical non-zero vectors have cosine exactly 1.0 >= any
+    threshold, so labels are unchanged by the same argument as
+    :func:`_exact_collapse`; ZERO vectors keep per-id sentinel
+    fingerprints because cosine(0,0) is undefined (never an edge), so
+    they must stay singletons exactly as the uncollapsed pipeline
+    leaves them.
     """
+    from pyspark import StorageLevel
+
+    sq_norm = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    fp = F.when(
+        F.col(vec_col).isNotNull() & (sq_norm > 0),
+        F.md5(F.to_json(F.struct(F.col(vec_col)))),
+    ).otherwise(F.concat(F.lit("__zero__"), F.col(id_col).cast("string")))
+    vec_fp = df.select(F.col(id_col).alias("__vid"), fp.alias("__fp"))
+    reps = (
+        df.select(fp.alias("__fp"), F.col(id_col), F.col(vec_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.first(vec_col).alias(vec_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if scope is not None:
+        scope.add(reps)
     pairs = embedding_neardup_pairs(
-        df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
+        reps, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
         **lsh_kwargs,
     )
     comp = connected_components(pairs.select("id_a", "id_b"), scope=scope)
-    gid = F.coalesce(F.col("component"), F.col(id_col))
+    rep_map = reps.select("__fp", F.col(id_col).alias("__rep"))
+    rep_comp = comp.select(F.col("id").alias("__rep"), "component")
+    gid = F.coalesce(F.col("component"), F.col("__rep"))
     return (
-        df.select(id_col)
-        .join(comp, df[id_col] == comp["id"], "left")
+        vec_fp.join(rep_map.hint("merge"), "__fp")
+        .join(rep_comp.hint("merge"), "__rep", "left")
         .select(
-            F.col(id_col),
+            F.col("__vid").alias(id_col),
             gid.alias("group_id"),
-            (F.col(id_col) == gid).alias("is_keeper"),
+            (F.col("__vid") == gid).alias("is_keeper"),
         )
     )
 

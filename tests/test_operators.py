@@ -545,3 +545,36 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
     pairs = {(r["batch_id"], r["index_id"]) for r in again.collect()}
     assert (101, 101) not in pairs and (102, 102) not in pairs
     assert (101, 102) in pairs  # the newly appended sibling now matches
+
+
+def test_semantic_dedup_vector_copy_collapse(spark):
+    """Vector twin of the exact-collapse guard: byte-identical
+    embeddings share their min-id group (cosine exactly 1.0), a near
+    pair still merges, and ZERO vectors stay singletons (cosine(0,0)
+    is undefined — never an edge), exactly as the uncollapsed pipeline
+    behaved."""
+    import math
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    near = [1.0, 2.0, 3.0, 4.2]          # cosine ~0.9993
+    other = [4.0, -3.0, 2.0, -1.0]
+    rows = (
+        [(i, base) for i in (10, 11, 12)]
+        + [(20, near)]
+        + [(30, other)]
+        + [(40, [0.0] * 4), (41, [0.0] * 4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for use_lsh in (False, True):
+        out = {
+            r["vec_id"]: (r["group_id"], r["is_keeper"])
+            for r in D.semantic_dedup(
+                df, threshold=0.99, use_lsh=use_lsh, dim=4
+            ).collect()
+        }
+        assert set(out) == {10, 11, 12, 20, 30, 40, 41}, out
+        assert out[10] == (10, True)
+        assert out[11] == (10, False) and out[12] == (10, False)
+        assert out[20] == (10, False)        # near-dup joins the copy cluster
+        assert out[30] == (30, True)
+        assert out[40] == (40, True) and out[41] == (41, True)  # zeros singleton
