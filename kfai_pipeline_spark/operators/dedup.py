@@ -631,19 +631,29 @@ def neardup_against_index(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
+    est_threshold: float = 0.5,
     hash_fn=None,
     seed_fmt: str = "\x00{}",
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against a persisted signature
     index: ``(batch_id, index_id, est_jaccard)`` for every pair whose
-    signature agreement >= ``threshold``. ``index`` is the parquet path
-    from :func:`write_minhash_index` (or a signature DataFrame).
+    signature agreement >= ``est_threshold``. ``index`` is the parquet
+    path from :func:`write_minhash_index` (or a signature DataFrame).
+
+    ``est_threshold`` cuts on the MinHash ESTIMATE of Jaccard (the
+    fraction of agreeing minhashes), NOT the exact shingle Jaccard that
+    :func:`minhash_dedup`'s ``threshold`` verifies — the estimator's
+    variance is ~1/sqrt(num_hashes) (large at 16-32 hashes), so the
+    same numeric value yields a different match set here than in the
+    batch pipeline; the parameter is named differently on purpose. The
+    index stores signatures only (historical text is never rescanned),
+    so an exact-verify pass isn't possible from the index alone —
+    follow up with a text-level verify on the (small) match set when
+    exact semantics are required.
 
     Candidates come from an LSH band equi-join (batch side vs index
-    side — never a cross product); the score is the unbiased MinHash
-    estimator, the fraction of agreeing minhashes (k/num_hashes values
-    are exact binary fractions, so the score is engine-portable).
+    side — never a cross product); k/num_hashes values are exact binary
+    fractions, so the score is engine-portable.
     Self-matches (same id on both sides) are dropped, so re-checking a
     batch that was already appended is safe."""
     spark = batch.sparkSession
@@ -685,7 +695,7 @@ def neardup_against_index(
         pairs.join(sb.hint("merge"), "batch_id")
         .join(sc.hint("merge"), "index_id")
         .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
-        .where(F.col("est_jaccard") >= threshold)
+        .where(F.col("est_jaccard") >= est_threshold)
         .select(
             F.col("batch_id"), F.col("index_id"),
             F.round("est_jaccard", 4).alias("est_jaccard"),

@@ -35,6 +35,7 @@ answer.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,10 +61,19 @@ def heavy_hitters(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 50,
+    scope=None,
 ) -> DataFrame:
     """Words with global frequency strictly above N/``k``, with exact
     counts: ``(word, cnt, frac ROUND 4)`` ordered by
-    ``(cnt DESC, word)``."""
+    ``(cnt DESC, word)``.
+
+    The tiny MG-candidate frame is cached so both consumers share one
+    corpus pass; pass ``scope`` (a :class:`~kfai_pipeline_spark.
+    operators.dedup.CacheScope`) — or use :func:`heavy_hitters_scoped`
+    — to release it deterministically. With ``scope=None`` the cached
+    frame (≤(k+1)·#partitions rows) lives for the session; fine for a
+    one-shot call, but LOOPED callers should use the scoped form so
+    repeated calls don't accrete cached frames."""
     import pandas as pd
 
     from kfai_pipeline_spark.operators.dedup import _maybe_widen
@@ -121,6 +131,8 @@ def heavy_hitters(
         .mapInPandas(mg_candidates, "w string, n bigint")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if scope is not None:
+        scope.add(mg)
     candidates = mg.where(F.col("w").isNotNull()).select("w").dropDuplicates(["w"])
     total = mg.agg(F.sum("n").alias("__n"))
     exact = (
@@ -138,3 +150,23 @@ def heavy_hitters(
         )
         .orderBy(F.col("cnt").desc(), "word")
     )
+
+
+@contextmanager
+def heavy_hitters_scoped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+):
+    """Scoped twin of :func:`heavy_hitters` (same contract as
+    ``minhash_dedup_scoped``): materialize the result inside the
+    ``with`` block; the cached MG-candidate frame releases on exit —
+    the entry point for loops over many corpora."""
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+
+    scope = CacheScope()
+    try:
+        yield heavy_hitters(df, text_col, id_col, k, scope=scope)
+    finally:
+        scope.release()

@@ -2222,7 +2222,7 @@ def q105_neardup_index(spark, sf_dir):
     )
     matches = D.neardup_against_index(
         batch, path, num_hashes=_Q55_HASHES, bands=_Q105_BANDS,
-        threshold=0.5, hash_fn=TA.md5_long, seed_fmt="|{}",
+        est_threshold=0.5, hash_fn=TA.md5_long, seed_fmt="|{}",
     )
     return (
         matches.groupBy("batch_id")

@@ -96,6 +96,7 @@ def pgvector_resume_keys(
     """S11: the store-contents resume set — (video_id, start_time) pairs
     already embedded (ref loaders/utils/helpers/database.py:13-50 reads
     cmetadata JSONB). The JSON extraction is pushed into Postgres."""
+    collection = collection.replace("'", "''")  # SQL-literal escape
     q = f"""
         SELECT e.cmetadata ->> 'video_id'               AS video_id,
                (e.cmetadata ->> 'start_time')::float8    AS start_time
@@ -130,8 +131,18 @@ def resume_keys_from_json(
     ``write_table``'s ``dbtable`` option creates them (Derby folds to
     upper case, Postgres to lower — unquoted references resolve in
     both)."""
+    import re
+
     from pyspark.sql import functions as F
 
+    # The table/column names are interpolated as SQL identifiers —
+    # restrict them to plain identifier characters so a crafted name
+    # can't escape the quoting; the collection VALUE is a string
+    # literal, so doubling single quotes suffices.
+    for ident in (embedding_table, collection_table, metadata_col):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
+    collection = collection.replace("'", "''")
     q = f"""
         SELECT e."{metadata_col}" AS meta
         FROM {embedding_table} e

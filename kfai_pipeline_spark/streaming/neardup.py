@@ -68,7 +68,7 @@ def maintain_neardup_index(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
+    est_threshold: float = 0.5,
     hash_fn=None,
     seed_fmt: str = "\x00{}",
 ):
@@ -90,7 +90,7 @@ def maintain_neardup_index(
                 idx = spark.read.parquet(*prior)
                 matches = neardup_against_index(
                     batch_df, idx, text_col, id_col, shingle_n,
-                    num_hashes, bands, threshold, hash_fn, seed_fmt,
+                    num_hashes, bands, est_threshold, hash_fn, seed_fmt,
                 )
             else:
                 matches = spark.createDataFrame(

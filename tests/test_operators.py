@@ -528,7 +528,7 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
     # 100/101/102 are mutual dups — index the corpus plus doc 100
     D.write_minhash_index(corpus.unionByName(dup_docs.where(F.col("doc_id") == 100)), idx_path)
     hits = D.neardup_against_index(
-        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, threshold=0.5
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, est_threshold=0.5
     )
     got = {(r["batch_id"], r["index_id"]): r["est_jaccard"] for r in hits.collect()}
     assert (101, 100) in got and got[(101, 100)] == 1.0     # exact copy -> est 1.0
@@ -540,7 +540,7 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
         dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, mode="append"
     )
     again = D.neardup_against_index(
-        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, threshold=0.5
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, est_threshold=0.5
     )
     pairs = {(r["batch_id"], r["index_id"]) for r in again.collect()}
     assert (101, 101) not in pairs and (102, 102) not in pairs
