@@ -634,6 +634,7 @@ def neardup_against_index(
     est_threshold: float = 0.5,
     hash_fn=None,
     seed_fmt: str = "\x00{}",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against a persisted signature
     index: ``(batch_id, index_id, est_jaccard)`` for every pair whose
@@ -655,7 +656,20 @@ def neardup_against_index(
     side — never a cross product); k/num_hashes values are exact binary
     fractions, so the score is engine-portable.
     Self-matches (same id on both sides) are dropped, so re-checking a
-    batch that was already appended is safe."""
+    batch that was already appended is safe.
+
+    ``threshold`` is a deprecated alias for ``est_threshold`` (the
+    parameter's pre-rename keyword); it warns and forwards."""
+    if threshold is not None:
+        import warnings
+
+        warnings.warn(
+            "neardup_against_index(threshold=) is deprecated; the cut is on "
+            "the MinHash ESTIMATE of Jaccard — pass est_threshold= instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        est_threshold = threshold
     spark = batch.sparkSession
     rows_per_band = num_hashes // bands
     idx = spark.read.parquet(index) if isinstance(index, str) else index

@@ -139,9 +139,17 @@ def resume_keys_from_json(
     # restrict them to plain identifier characters so a crafted name
     # can't escape the quoting; the collection VALUE is a string
     # literal, so doubling single quotes suffices.
-    for ident in (embedding_table, collection_table, metadata_col):
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
+    # Table names may be schema-qualified (each dot-separated segment a
+    # plain identifier — 'a.' / 'a..b' are rejected, not deferred to an
+    # opaque JDBC error); metadata_col is interpolated inside double
+    # quotes where a dot would become part of a literal column name, so
+    # it must be a single undotted identifier.
+    seg = r"[A-Za-z_][A-Za-z0-9_]*"
+    for ident in (embedding_table, collection_table):
+        if not re.fullmatch(rf"{seg}(\.{seg})*", ident):
             raise ValueError(f"invalid SQL identifier: {ident!r}")
+    if not re.fullmatch(seg, metadata_col):
+        raise ValueError(f"invalid SQL column identifier: {metadata_col!r}")
     collection = collection.replace("'", "''")
     q = f"""
         SELECT e."{metadata_col}" AS meta

@@ -71,6 +71,7 @@ def maintain_neardup_index(
     est_threshold: float = 0.5,
     hash_fn=None,
     seed_fmt: str = "\x00{}",
+    threshold: float | None = None,
 ):
     """Start an AvailableNow query that screens each micro-batch
     against the accumulated signature index and folds it in.
@@ -79,8 +80,20 @@ def maintain_neardup_index(
     ``(batch_id, index_id, est_jaccard)`` matches vs all PRIOR batches
     (called with an empty match set too, so sinks can commit the epoch);
     it must be idempotent per batch_id, like every foreachBatch sink.
-    Returns the started query."""
+    Returns the started query. ``threshold`` is a deprecated alias for
+    ``est_threshold`` (the pre-rename keyword); it warns and forwards."""
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
+
+    if threshold is not None:
+        import warnings
+
+        warnings.warn(
+            "maintain_neardup_index(threshold=) is deprecated; the cut is on "
+            "the MinHash ESTIMATE of Jaccard — pass est_threshold= instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        est_threshold = threshold
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

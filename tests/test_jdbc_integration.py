@@ -185,3 +185,25 @@ def test_json_metadata_resume_scan_end_to_end(spark):
     assert sorted(map(tuple, todo.collect())) == [
         ("vidA", 61.0), ("vidC", 0.0), ("vidZ", 99.0)
     ]
+
+
+def test_identifier_validation_rejects_degenerate_and_dotted(spark):
+    """The interpolated identifiers must be plain (per-segment) names:
+    degenerate dotted forms ('a.', 'a..b') fail loudly here, not as an
+    opaque JDBC error; metadata_col lives inside double quotes where a
+    dot would be part of a literal column name, so dots are rejected."""
+    url = "jdbc:derby:memory:never;create=true"
+    for bad in ("a.", ".a", "a..b", 'x"; DROP TABLE t; --', "a-b", ""):
+        with pytest.raises(ValueError):
+            J.resume_keys_from_json(
+                spark, url, "kfai", embedding_table=bad, properties=PROPS
+            )
+    with pytest.raises(ValueError):
+        J.resume_keys_from_json(
+            spark, url, "kfai", metadata_col="schema.col", properties=PROPS
+        )
+    # schema-qualified TABLE names remain legal (validation passes; the
+    # missing table then fails database-side, which is fine to skip)
+    import re as _re
+    seg = r"[A-Za-z_][A-Za-z0-9_]*"
+    assert _re.fullmatch(rf"{seg}(\.{seg})*", "app.langchain_pg_embedding")

@@ -546,6 +546,17 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
     assert (101, 101) not in pairs and (102, 102) not in pairs
     assert (101, 102) in pairs  # the newly appended sibling now matches
 
+    # deprecated alias: threshold= warns and forwards to est_threshold
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        aliased = D.neardup_against_index(
+            dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, threshold=0.5
+        )
+        assert {(r["batch_id"], r["index_id"]) for r in aliased.collect()} == pairs
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+
 
 def test_semantic_dedup_vector_copy_collapse(spark):
     """Vector twin of the exact-collapse guard: byte-identical

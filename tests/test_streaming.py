@@ -586,7 +586,7 @@ def test_streaming_neardup_index_maintenance(spark, tmp_path_factory):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/f*")
     )
-    q = maintain_neardup_index(stream, index_dir, ckpt, match_fn, threshold=0.5)
+    q = maintain_neardup_index(stream, index_dir, ckpt, match_fn, est_threshold=0.5)
     q.awaitTermination()
 
     # every batch committed its own index dir
@@ -610,7 +610,7 @@ def test_streaming_neardup_index_maintenance(spark, tmp_path_factory):
 
     # replay: draining the same checkpoint again is a no-op
     n_calls = len(log)
-    q2 = maintain_neardup_index(stream, index_dir, ckpt, match_fn, threshold=0.5)
+    q2 = maintain_neardup_index(stream, index_dir, ckpt, match_fn, est_threshold=0.5)
     q2.awaitTermination()
     assert len(log) == n_calls, "replayed drain must not refire batches"
     assert sorted(
