@@ -289,21 +289,53 @@ class CacheScope:
         self._dfs.clear()
 
 
-def connected_components(
-    edges: DataFrame, max_iterations: int = 20, scope: CacheScope | None = None
-) -> DataFrame:
-    """(id, component) from undirected edges (id_a, id_b) by iterative
-    min-label propagation. Each iteration is one shuffle; lineage is cut
-    with localCheckpoint so 100-iteration graphs don't blow the plan.
-    Superseded per-iteration checkpoints are unpersisted as soon as the
-    next one materializes, so peak cache is 2 label frames, not
-    O(iterations). The frames that must outlive the call (edge list +
-    final labels) register with ``scope`` when given, for deterministic
-    release via :meth:`CacheScope.release`.
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative operator exhausts its iteration budget
+    with labels still moving — returning the partial result would
+    silently split components."""
 
-    Converges in O(log n) iterations for typical near-dup graphs (small
-    diameter); ``max_iterations`` bounds pathological chains.
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    scope: CacheScope | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, component) from undirected edges (id_a, id_b) by min-label
+    propagation with pointer-doubling shortcutting. Each iteration does
+    one edge hop (neighbour min) and one label shortcut
+    (``component := label[component]``), so the distance every vertex
+    has covered toward its component's min id better than doubles per
+    iteration (covered ``c`` becomes ``2(c+1)``): a path graph of
+    diameter d converges in ~log2(d) iterations, and the default
+    ``max_iterations=20`` covers diameters beyond 10^6. Lineage is cut
+    per half-step so long runs don't blow the plan; superseded
+    checkpoints are unpersisted as soon as their successor materializes,
+    so peak cache is 3 label frames, not O(iterations). The frames that
+    must outlive the call (edge list + final labels) register with
+    ``scope`` when given, for deterministic release via
+    :meth:`CacheScope.release`.
+
+    If the budget exhausts with labels still changing the function
+    raises :class:`ConvergenceError` rather than return silently split
+    components.
+
+    ``checkpoint_dir``: by default lineage cuts use ``localCheckpoint``
+    (executor-memory blocks — fast, but an executor loss mid-run kills
+    the job). Pass a (HDFS/DBFS/local) directory to use RELIABLE
+    ``checkpoint`` instead: each cut is written to storage, so a long
+    dedup job survives executor loss at the cost of per-iteration I/O.
+    Checkpoint files are left for Spark's context cleaner / the caller
+    to remove with the directory.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # Materialize the edge list ONCE — and BEFORE symmetrizing: the
     # union's two branches each embed the full upstream pair pipeline
     # (shingling / LSH banding / pairwise dot products), so cutting
@@ -314,24 +346,26 @@ def connected_components(
     sym = cut.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(cut.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = _cut(sym)
     _release_blocks(cut)
     if scope is not None:
         scope.add(sym)
 
-    labels = (
+    labels = _cut(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    prev_ckpt: DataFrame | None = None
+    converged = False
     for _ in range(max_iterations):
+        start = labels
+        # HOP: pull the minimum label one edge inward
         neighbor_min = (
             sym.join(labels.hint("merge"), sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("__nmin"))
         )
-        new_labels = (
+        hopped = _cut(
             labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -340,24 +374,48 @@ def connected_components(
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # SHORTCUT (pointer doubling): component values are always
+        # vertex ids, so every label row can follow its component's own
+        # label one more step — chains halve instead of shrinking by 1.
+        parent = hopped.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_labels = _cut(
+            hopped.join(parent.hint("merge"), hopped.component == parent.__pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__pcomp", F.col("component"))
+                ).alias("component"),
+            )
+        )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o").hint("merge"), "id")
+            .join(start.alias("o").hint("merge"), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        # the compare above was the last consumer of the previous
-        # iteration's checkpoint — drop its blocks now
-        if prev_ckpt is not None:
-            _release_blocks(prev_ckpt)
-        prev_ckpt = new_labels
+        # the compare above was the last consumer of the iteration-start
+        # checkpoint; hopped was consumed by the shortcut join
+        _release_blocks(hopped)
+        _release_blocks(start)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    if scope is not None and prev_ckpt is not None:
-        scope.add(prev_ckpt)
+    if not converged:
+        _release_blocks(labels)
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — labels were still moving, so the result would "
+            "silently split components. With pointer doubling this needs a "
+            f"component diameter beyond ~2^{max_iterations}; raise "
+            "max_iterations (each iteration covers twice the distance) or "
+            "inspect the edge list for unexpected structure."
+        )
+    if scope is not None:
+        scope.add(labels)
     return labels
 
 

@@ -126,6 +126,54 @@ def test_connected_components_chain_and_triangle(spark):
     assert comps[10] == comps[11] == comps[12] == 10
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 50-hop path graph must converge in ~log2(diameter) iterations
+    (pointer doubling), not one hop per iteration: max_iterations=8
+    would fail under plain min-label propagation (needs 50)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in D.connected_components(edges, max_iterations=8).collect()
+    }
+    assert len(comps) == 51 and set(comps.values()) == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting the iteration budget with labels still moving must
+    raise, never return silently split components."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with pytest.raises(D.ConvergenceError, match="did not converge"):
+        D.connected_components(edges, max_iterations=2)
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """Opt-in reliable checkpointing: identical labels, and checkpoint
+    files actually land in the given directory (the fault-tolerant path
+    for long dedup jobs — executor loss can't drop localCheckpoint
+    blocks that were never written anywhere)."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in D.connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == comps[12] == 10
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote no files"
+
+
 def test_exact_dedup_keeps_one_per_text(spark, dup_docs):
     out = D.exact_dedup(dup_docs, "text")
     assert out.count() == dup_docs.count() - 1  # 100/101 collapse
