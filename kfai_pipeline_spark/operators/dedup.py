@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kfai_pipeline_spark.operators.similarity import _as_double, cosine, random_hyperplanes, _band_signatures
@@ -650,6 +650,51 @@ def simhash_candidates(
 
 
 # ---------------------------------------------------------------- incremental index
+def _committed_index_paths(spark, path: str) -> list[str]:
+    """The index's COMMITTED pieces: top-level part files (gated on the
+    top-level ``_SUCCESS`` that Spark's committer writes last) plus
+    ``append_*`` / ``batch_*`` subdirectories each gated on its own
+    ``_SUCCESS``. Task commits land part files one-by-one before the
+    job-level marker, so a probe concurrent with an append that globbed
+    the directory could see a TORN batch — gating on the marker means
+    it sees none or all of it. ``batch_*`` dirs are the streaming
+    maintainer's layout (streaming/neardup.py), so a batch probe can
+    read a streaming-maintained index directly."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    tops: list[str] = []
+    subs: list[str] = []
+    top_committed = False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory():
+            if (name.startswith("append_") or name.startswith("batch_")) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_SUCCESS")
+            ):
+                subs.append(f"{path}/{name}")
+        elif name == "_SUCCESS":
+            top_committed = True
+        elif name.endswith(".parquet"):
+            tops.append(str(status.getPath()))
+    return (tops if top_committed else []) + sorted(subs)
+
+
+def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_minhash_index` index, seeing only COMMITTED
+    batches (see :func:`_committed_index_paths`). Raises if no committed
+    piece exists — an empty scan would silently match nothing."""
+    pieces = _committed_index_paths(spark, path)
+    if not pieces:
+        raise FileNotFoundError(
+            f"no committed minhash index at {path!r} (no _SUCCESS-gated "
+            "part files or append_*/batch_* subdirectories)"
+        )
+    return spark.read.parquet(*pieces)
+
+
 def write_minhash_index(
     df: DataFrame,
     path: str,
@@ -668,9 +713,19 @@ def write_minhash_index(
     index WITHOUT rescanning historical text — the index holds one row
     of ``num_hashes`` longs per document, ~3 orders of magnitude smaller
     than the corpus. Run with ``mode="append"`` after a batch clears to
-    fold its signatures in (parquet append is file-atomic, so a reader
-    never sees a torn index). Parameters must match between build and
-    probe; keep them with the index path in pipeline config."""
+    fold its signatures in.
+
+    Append commit protocol: each append writes its OWN
+    ``append_<token>/`` subdirectory (mode=overwrite inside it), whose
+    ``_SUCCESS`` marker Spark's committer writes only after every part
+    file has landed. Readers (:func:`read_minhash_index`, the path arm
+    of :func:`neardup_against_index`) include a subdirectory only when
+    its marker exists — so a probe concurrent with an append sees none
+    or ALL of that batch, never a torn prefix. (A plain parquet append
+    into a flat directory commits part files one-by-one with no
+    read-side gate — the failure mode this layout exists to close.)
+    Parameters must match between build and probe; keep them with the
+    index path in pipeline config."""
     sigs = minhash_signatures(
         word_shingles(df, text_col, id_col, shingle_n),
         id_col,
@@ -678,7 +733,12 @@ def write_minhash_index(
         hash_fn,
         seed_fmt,
     )
-    sigs.write.mode(mode).parquet(path)
+    if mode == "append":
+        import uuid
+
+        sigs.write.mode("overwrite").parquet(f"{path}/append_{uuid.uuid4().hex[:12]}")
+    else:
+        sigs.write.mode(mode).parquet(path)
 
 
 def neardup_against_index(
@@ -730,7 +790,7 @@ def neardup_against_index(
         est_threshold = threshold
     spark = batch.sparkSession
     rows_per_band = num_hashes // bands
-    idx = spark.read.parquet(index) if isinstance(index, str) else index
+    idx = read_minhash_index(spark, index) if isinstance(index, str) else index
     sigs_b = minhash_signatures(
         word_shingles(batch, text_col, id_col, shingle_n),
         id_col, num_hashes, hash_fn, seed_fmt,

@@ -594,6 +594,14 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
     assert (101, 101) not in pairs and (102, 102) not in pairs
     assert (101, 102) in pairs  # the newly appended sibling now matches
 
+    # appended batches live in their own _SUCCESS-gated subdirectory
+    import os
+
+    subdirs = [d for d in os.listdir(idx_path) if d.startswith("append_")]
+    assert len(subdirs) == 1 and os.path.exists(
+        os.path.join(idx_path, subdirs[0], "_SUCCESS")
+    )
+
     # deprecated alias: threshold= warns and forwards to est_threshold
     import warnings
 
@@ -604,6 +612,47 @@ def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):
         )
         assert {(r["batch_id"], r["index_id"]) for r in aliased.collect()} == pairs
     assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+
+
+def test_neardup_index_probe_never_sees_torn_append(spark, dup_docs, tmp_path):
+    """X37 commit protocol: a probe concurrent with an append must see
+    none or ALL of the appending batch. Simulated by removing the
+    append subdirectory's _SUCCESS marker (the exact on-disk state
+    mid-commit, part files landed but the job marker not yet written):
+    the probe must exclude the whole batch, and see all of it once the
+    marker exists."""
+    import os
+    import pathlib
+
+    idx_path = str(tmp_path / "mh_index")
+    corpus = dup_docs.where(F.col("doc_id") < 100)
+    D.write_minhash_index(
+        corpus.unionByName(dup_docs.where(F.col("doc_id") == 100)), idx_path
+    )
+    D.write_minhash_index(
+        dup_docs.where(F.col("doc_id").isin(101, 102)), idx_path, mode="append"
+    )
+    sub = next(d for d in os.listdir(idx_path) if d.startswith("append_"))
+    marker = pathlib.Path(idx_path, sub, "_SUCCESS")
+
+    probe = dup_docs.where(F.col("doc_id") == 101)
+    marker.unlink()  # mid-commit: part files present, marker absent
+    torn = {
+        r["index_id"]
+        for r in D.neardup_against_index(probe, idx_path, est_threshold=0.5).collect()
+    }
+    assert torn == {100}, "uncommitted append leaked into the probe"
+
+    marker.touch()  # commit completes
+    full = {
+        r["index_id"]
+        for r in D.neardup_against_index(probe, idx_path, est_threshold=0.5).collect()
+    }
+    assert full == {100, 102}
+
+    # and a missing index fails loudly, not as an empty match set
+    with pytest.raises(FileNotFoundError):
+        D.read_minhash_index(spark, str(tmp_path / "nowhere"))
 
 
 def test_semantic_dedup_vector_copy_collapse(spark):
