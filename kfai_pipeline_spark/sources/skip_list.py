@@ -25,12 +25,31 @@ def load_skip_set(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([(v,) for v in ids], "video_id string")
 
 
+_SKIP_SET_WARN_ABOVE = 1_000_000
+
+
 def save_skip_set(df: DataFrame, path: str) -> int:
     """Persist the skip DataFrame as a sorted JSON array; returns count.
 
     Driver-side collect is intentional: skip lists are control metadata
-    (thousands of ids at most), not data-plane rows."""
-    ids = sorted(r[0] for r in df.select("video_id").distinct().collect())
+    (thousands of ids at most), not data-plane rows. A list above
+    ~10^6 ids is no longer control metadata — this warns (the collect
+    is now driver-memory-bound) and the right arm is to keep the ids
+    as a parquet table and use :func:`filter_skipped`'s anti join
+    (which never collects) instead of a JSON side file."""
+    distinct = df.select("video_id").distinct()
+    n = distinct.count()
+    if n > _SKIP_SET_WARN_ABOVE:
+        import warnings
+
+        warnings.warn(
+            f"skip list has {n:,} ids — beyond control-metadata size; the "
+            "driver-side collect below is memory-bound. Persist the ids as "
+            "a parquet table and anti-join with filter_skipped instead.",
+            ResourceWarning,
+            stacklevel=2,
+        )
+    ids = sorted(r[0] for r in distinct.collect())
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # write-then-rename so concurrent readers never see a torn file
     # (os.replace is atomic on POSIX); salt the temp name with the pid

@@ -146,7 +146,7 @@ def maintain_rollup(
     snapshot_dir: str,
     checkpoint_dir: str,
     start_version: int = 0,
-    retain_versions: int = 3,
+    retain_versions: int = 0,
 ):
     """Start an AvailableNow foreachBatch query that folds each
     micro-batch into a versioned key-grain rollup under
@@ -164,10 +164,14 @@ def maintain_rollup(
     ``_read_latest_version``) — otherwise every replayed-looking batch
     would be silently skipped.
 
-    ``retain_versions`` bounds storage: after each commit, committed
-    versions older than the newest ``retain_versions`` are deleted
-    (enough slack for in-flight readers of the previous snapshot).
-    Pass ``0`` to keep everything.
+    ``retain_versions`` bounds storage: when > 0, after each commit,
+    committed versions older than the newest ``retain_versions`` are
+    deleted. The DEFAULT (0) keeps every version: pruning right after a
+    commit can delete a snapshot out from under an in-flight reader
+    that resolved an older version, so GC is opt-in — size the window
+    to cover your longest reader (versions are one trigger apart, so
+    ``retain_versions`` ~ reader latency / trigger interval, plus
+    slack), or run an offline sweep during a read quiesce.
     """
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
@@ -192,7 +196,7 @@ def apply_batch(
     keys: list[str],
     merge: dict[str, str],
     snapshot_dir: str,
-    retain_versions: int = 3,
+    retain_versions: int = 0,
 ) -> bool:
     """One fold step (exposed so the replay guard is directly
     testable): merge ``agg_fn(batch_df)`` onto the latest snapshot and

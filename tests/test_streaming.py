@@ -539,9 +539,11 @@ def test_rollup_version_gc_bounds_storage(spark, events_dir, tmp_path_factory):
     want = {r.user_id: 6 * r.cnt for r in rollup(batch).collect()}
     assert got == want
 
+    # GC is OPT-IN: the default keeps every version (pruning after each
+    # commit could delete a snapshot under an in-flight reader)
     keep_all = str(tmp_path_factory.mktemp("rollup_keepall"))
     for v in range(4):
-        assert apply_batch(batch, v, rollup, keys, merge, keep_all, retain_versions=0)
+        assert apply_batch(batch, v, rollup, keys, merge, keep_all)
     versions = sorted(d for d in os.listdir(keep_all) if d.startswith("v_"))
     assert versions == ["v_0", "v_1", "v_2", "v_3"]
 
