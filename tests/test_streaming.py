@@ -646,3 +646,100 @@ def test_streaming_neardup_index_without_match_sink(spark, tmp_path_factory):
     assert len(dirs) == 1
     sigs = spark.read.parquet(os.path.join(index_dir, dirs[0]))
     assert sigs.count() == 2 and "h0" in sigs.columns
+
+
+def test_rolling_zscore_backfill_parity_and_replay(spark, events_dir, tmp_path_factory):
+    """X23b JVM bulk arm: draining time-sliced micro-batches through the
+    foreachBatch RANGE-frame fold must reproduce the single-batch
+    rolling_zscore exactly (the backfill parity contract: per-key event
+    time non-decreasing across epochs), and a replayed drain must no-op
+    behind the version guard."""
+    import os
+
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.rolling import rolling_zscore
+    from kfai_pipeline_spark.streaming.rollup import _read_latest_version
+    from kfai_pipeline_spark.streaming.zscore_bulk import rolling_zscore_backfill
+
+    from kfai_pipeline_spark.functions.datetime_fns import epoch_micros_fn
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    events = spark.read.parquet(events_dir).select(*cols)
+    # slice history into 4 time ranges written SEQUENTIALLY (file-source
+    # triggers follow modification time, so epoch order = time order)
+    src = str(tmp_path_factory.mktemp("zb_src"))
+    micros = epoch_micros_fn(events, "ts")
+    ev_us = events.withColumn("__us", micros(F.col("ts")))
+    bounds = [r[0] for r in ev_us.selectExpr(
+        "percentile(__us, array(0.25, 0.5, 0.75)) as p"
+    ).selectExpr("explode(p)").collect()]
+    slices = [
+        ev_us.where(F.col("__us") <= bounds[0]),
+        ev_us.where((F.col("__us") > bounds[0]) & (F.col("__us") <= bounds[1])),
+        ev_us.where((F.col("__us") > bounds[1]) & (F.col("__us") <= bounds[2])),
+        ev_us.where(F.col("__us") > bounds[2]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.select(*cols).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    out_dir = str(tmp_path_factory.mktemp("zb_out"))
+    state_dir = str(tmp_path_factory.mktemp("zb_state"))
+    ckpt = str(tmp_path_factory.mktemp("zb_ckpt"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = rolling_zscore_backfill(
+        stream, out_dir, state_dir, ckpt,
+        duration_seconds=3600, min_points=3, z_threshold=2.0,
+    )
+    q.awaitTermination()
+
+    batch_dirs = sorted(d for d in os.listdir(out_dir) if d.startswith("batch_"))
+    assert len(batch_dirs) == 4
+    got = {
+        r.event_id: r
+        for r in spark.read.parquet(*[os.path.join(out_dir, d) for d in batch_dirs]).collect()
+    }
+    want = {
+        r.event_id: r
+        for r in rolling_zscore(
+            events, "user_id", "ts", "value", 3600, min_points=3, z_threshold=2.0
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for eid, b in want.items():
+        s = got[eid]
+        for f in ("roll_mean", "roll_std", "zscore"):
+            bv, sv = getattr(b, f), getattr(s, f)
+            if bv is None:
+                assert sv is None, (eid, f)
+            else:
+                assert sv == _pytest.approx(bv, abs=2e-4), (eid, f)
+        assert s.is_anomaly == b.is_anomaly, eid
+
+    # replay: same checkpoint drains nothing, version pointer unmoved
+    latest = _read_latest_version(spark, state_dir)
+    assert latest == 3
+    q2_ = rolling_zscore_backfill(
+        stream, out_dir, state_dir, ckpt,
+        duration_seconds=3600, min_points=3, z_threshold=2.0,
+    )
+    q2_.awaitTermination()
+    assert _read_latest_version(spark, state_dir) == latest
+    assert sorted(d for d in os.listdir(out_dir) if d.startswith("batch_")) == batch_dirs
+
+    # the tail snapshot stays bounded: every retained row is within the
+    # frame of its key's newest event
+    tail = spark.read.parquet(f"{state_dir}/v_{latest}")
+    from pyspark.sql.window import Window as _W
+
+    viol = (
+        tail.withColumn("__us", epoch_micros_fn(tail, "ts")(F.col("ts")))
+        .withColumn("__mx", F.max("__us").over(_W.partitionBy("user_id")))
+        .where(F.col("__us") < F.col("__mx") - 3600 * 1e6)
+        .count()
+    )
+    assert viol == 0
