@@ -161,6 +161,8 @@ def image_features(
         import numpy as np
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {"path": [], "width": [], "height": [], "feature": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)
@@ -233,6 +235,8 @@ def decode_audio_meta(
         import wave
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {k: [] for k in ("path", "n_channels", "sample_width", "framerate", "n_frames", "duration_s")}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)
@@ -304,6 +308,8 @@ def transcribe_audio(
 
             model = whisper.load_model(whisper_model)  # once per partition
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {"path": [], "chunk_idx": [], "text": [], "start": [], "duration": []}
             for i in range(len(pdf)):
                 path = pdf[path_col].iloc[i]
@@ -397,6 +403,8 @@ def resize_images(
         import numpy as np
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {"path": [], "width": [], "height": [], "content": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)
@@ -475,6 +483,8 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {"path": [], "frame_idx": [], "frame": []}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)
@@ -609,6 +619,8 @@ def decode_video_meta(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {k: [] for k in ("path", "major_brand", "timescale", "duration_s", "n_tracks")}
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(content)

@@ -207,35 +207,59 @@ def cosine_topk_lsh(
     """Approximate top-k: sign-LSH banding for candidates, exact re-rank.
 
     Recall/cost trades via (bands, rows_per_band): more bands -> higher
-    recall, more candidates. Candidate generation is an equi-join on
-    (band signature) — shuffle keyed on signature, never a cross join.
+    recall, more candidates. Candidate generation is a map-side
+    broadcast join on (band signature) — never a cross join, and the
+    corpus bytes that move are band-frame SLIM.
+
+    Scale shape (rewritten after the 10M-vector sweep): the corpus band
+    frame carries (id, signature) ONLY. An earlier revision exploded
+    the 64-dim normalized vector into every band row — corpus bytes x
+    bands (90 GB at 10M x 16 bands) — and left the signature join
+    unpinned, so Catalyst's fabricated post-projection estimate planned
+    a sort-merge join that SORTED those 90 GB (filled the disk with
+    spill before any result). Now: queries' band frame broadcasts (tiny
+    by the small-query contract, like :func:`cosine_topk`), candidates
+    dedup to (query, id) pairs, and the full vectors join back by id —
+    corpus-side pinned ``hint("merge")`` (the fabricated-estimate rule:
+    a corpus-derived frame must never ride the auto-broadcast
+    threshold), query side broadcast.
     """
     planes = random_hyperplanes(dim, bands * rows_per_band, seed)
 
     # Sign-LSH band signatures are scale-invariant, so they're computed on
     # the raw vectors; scoring uses unit-normalized copies (one dot/pair).
-    v = vectors.select(
-        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v"),
+    v_slim = vectors.select(
+        F.col(id_col),
         F.explode(_band_signatures(_as_double(vec_col), planes, bands, rows_per_band)).alias(
             "__sig"
         ),
     )
-    q = queries.select(
+    q_slim = queries.select(
         F.col(query_id_col).alias("__qid"),
-        l2_normalize(_as_double(query_vec_col)).alias("__qv"),
         F.explode(_band_signatures(_as_double(query_vec_col), planes, bands, rows_per_band)).alias(
             "__sig"
         ),
     )
     cands = (
-        v.join(q, "__sig")
-        .select("__qid", id_col, "__v", "__qv")
+        v_slim.join(F.broadcast(q_slim), "__sig")
+        .select("__qid", id_col)
         .dropDuplicates(["__qid", id_col])
+    )
+    normed = vectors.select(
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v")
+    )
+    qn = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        l2_normalize(_as_double(query_vec_col)).alias("__qv"),
     )
     score = dot(F.col("__v"), F.col("__qv"))
     if round_to is not None:
         score = F.round(score, round_to)
-    scored = cands.select(F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score"))
+    scored = (
+        cands.join(normed.hint("merge"), id_col)
+        .join(F.broadcast(qn), "__qid")
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col), score.alias("score"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -348,11 +372,18 @@ def kmeans_centroids(
                 np.add.at(sums, assign, V)
                 counts += np.bincount(assign, minlength=k)
             live = np.nonzero(counts)[0]
+            # __s must be dtype=object even when live is EMPTY (a
+            # zero-row input split — file splits not aligned to row
+            # groups produce them): an empty default-dtype column
+            # reaches Arrow as float64, and from_pandas cannot convert
+            # that to array<double> (found by the 10M-vector sweep).
             yield pd.DataFrame(
                 {
                     "__c": live.astype("int32"),
                     "__n": counts[live],
-                    "__s": [sums[c].tolist() for c in live],
+                    "__s": pd.Series(
+                        [sums[c].tolist() for c in live], dtype=object
+                    ),
                 }
             )
 
@@ -398,16 +429,29 @@ def ivf_index(
 
 
 def save_ivf_index(
-    index: DataFrame, centroids: list[list[float]], path: str, mode: str = "overwrite"
+    index: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    mode: str = "overwrite",
+    colocate: bool = True,
 ) -> None:
     """Persist an inverted file for reuse across query batches: vectors
     partitioned by ``cluster_id`` (probe filters become parquet
     partition pruning — only the probed clusters' files are read) plus
-    a centroids JSON sidecar (k*dim floats, driver-side by design)."""
+    a centroids JSON sidecar (k*dim floats, driver-side by design).
+
+    ``colocate`` (default) repartitions on ``cluster_id`` before the
+    write, so each cluster's rows land in ONE task and the layout is
+    one file per cluster. Without it, a dynamic-partition write from T
+    input tasks emits up to T x k files (the 10M-vector sweep produced
+    40 x 256 = 10k small files) and every task sorts the full spread of
+    cluster ids — the classic small-files + spill shape. Opt out only
+    when the index is already partitioned on ``cluster_id``."""
     import json
     import os
 
-    index.write.mode(mode).partitionBy("cluster_id").parquet(os.path.join(path, "vectors"))
+    to_write = index.repartition("cluster_id") if colocate else index
+    to_write.write.mode(mode).partitionBy("cluster_id").parquet(os.path.join(path, "vectors"))
     tmp = os.path.join(path, "centroids.json")
     with open(tmp, "w") as f:
         json.dump(centroids, f)

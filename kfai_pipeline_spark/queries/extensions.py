@@ -1788,6 +1788,8 @@ def q93_multimodal_video(spark, sf_dir):
             return struct.pack(">I", 8 + len(payload)) + btype + payload
 
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty batch would mistype the binary column
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 mvhd = box(

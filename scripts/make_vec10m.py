@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""10M-row embeddings fixture (VERDICT r5 sweep item): real vector
+scale for the LSH/IVF arms — the sf fixtures carry only 2k vectors
+('dims stay broadcast-size'), which never exercises index routing,
+partition pruning, or the probe join at the scale those paths exist
+for.
+
+Planted structure: 1024 seeded Gaussian centers on the unit sphere;
+each vector = unit(center + noise*sigma), labelled with its center, so
+IVF/LSH recall is measurable against ground truth (same-center
+vectors are the near neighbours by construction). Deterministic
+(fixed seeds), dim 64 float32 to match the sf fixtures' schema
+(vec_id long, embedding array<float>, label int).
+
+Output: ./bench_vec10m/embeddings.parquet/ as ~64 MB files.
+Usage: python scripts/make_vec10m.py [n_rows] (default 10_000_000)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIM = 64
+N_CENTERS = 1024
+SIGMA = 0.25
+CHUNK = 500_000
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    out = os.path.join(REPO, "bench_vec10m", "embeddings.parquet")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((N_CENTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    written = 0
+    fidx = 0
+    while written < n:
+        m = min(CHUNK, n - written)
+        crng = np.random.default_rng(1000 + fidx)
+        labels = crng.integers(0, N_CENTERS, size=m)
+        vecs = centers[labels] + SIGMA * crng.standard_normal((m, DIM))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs.astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.arange(written, written + m, dtype=np.int64)
+                ),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel()), DIM
+                ).cast(pa.list_(pa.float32())),
+                "label": pa.array(labels.astype(np.int32)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out, f"part-{fidx:05d}.parquet"))
+        written += m
+        fidx += 1
+        print(f"{written}/{n}", flush=True)
+    print("done:", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,18 @@ def test_persisted_index_prunes_and_matches(spark, tmp_path):
     assert "PartitionFilters" in p
     assert "cluster_id" in p.split("PartitionFilters")[1].splitlines()[0]
 
+    # colocated layout (the default): each cluster's rows were
+    # repartitioned into one task, so each cluster directory holds
+    # exactly ONE parquet file — without it a T-task dynamic-partition
+    # write emits up to T files per cluster (10k files at the 10M
+    # sweep's 40x256), the small-files shape a 100 TB index can't carry
+    import glob
+    import os
+
+    for d in glob.glob(os.path.join(path, "vectors", "cluster_id=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
 
 def test_plan_size_flat_in_centroid_count(spark):
     """Assignment/probe plans must hold ZERO centroid literals: a
