@@ -48,6 +48,40 @@ def bpe_ish_token_count(text_col: str | Column) -> Column:
     return F.size(F.filter(F.split(segmented, "\x00"), lambda s: F.trim(s) != ""))
 
 
+def truncate_long_docs(
+    df: DataFrame, text_col: str = "text", max_chars: int = 1_000_000
+) -> DataFrame:
+    """Cap per-document text length before per-row text kernels — the
+    straggler defense for skewed length distributions.
+
+    A single row cannot be split across tasks, so one pathological
+    document (10-hour transcript, boilerplate dump) serializes its
+    entire shingle/regex/token work into ONE task while the rest of the
+    cluster idles: the round-6 skew spot (scripts/skew_doc_spot.py)
+    measured one 32 MB doc among 50k normal docs tripling the minhash
+    signing pass (4.1 -> 12.4 s) and 5x-ing quality scoring (1.7 ->
+    9.7 s), linear in the giant's size. Prefix truncation is the
+    standard data-pipeline answer (Gopher/CCNet cap document length
+    before per-doc features); this keeps provenance — ``orig_n_chars``
+    and ``was_truncated`` — so downstream filters can treat capped docs
+    explicitly rather than silently scoring a prefix as the whole.
+
+    Opt-in by design: truncation CHANGES semantics (MinHash estimates,
+    token counts and quality ratios see the prefix only), so pipelines
+    apply it deliberately, typically right after ingest."""
+    n = F.length(text_col)
+    return (
+        df.withColumn("orig_n_chars", n)
+        .withColumn("was_truncated", n > max_chars)
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("was_truncated"), F.substring(F.col(text_col), 1, max_chars)
+            ).otherwise(F.col(text_col)),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring columns: n_tokens, n_chars, avg_word_len,
     punct_ratio, stopword_ratio, and a composite quality_score in [0,1].

@@ -78,7 +78,15 @@ def main() -> None:
         fn()
         return round(time.time() - t, 1)
 
-    for tag, df in (("uniform", normal), ("skewed", normal.unionByName(giant))):
+    skewed = normal.unionByName(giant)
+    truncated = TA.truncate_long_docs(skewed, "text", max_chars=100_000).select(
+        "doc_id", "text"
+    )
+    for tag, df in (
+        ("uniform", normal),
+        ("skewed", skewed),
+        ("skewed_trunc100k", truncated),
+    ):
         sigs = D.minhash_signatures(
             D.word_shingles(df, "text", "doc_id", 3), "doc_id", 32
         )

@@ -132,3 +132,17 @@ def test_bigram_staging_survives_optimizer(spark, sample_docs):
         with contextlib.redirect_stdout(buf):
             build().explain("formatted")
         assert "__w" in buf.getvalue(), "staged split projection was collapsed"
+
+
+def test_truncate_long_docs_caps_and_flags(spark):
+    from kfai_pipeline_spark.operators.text_analysis import truncate_long_docs
+
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, "x" * 500), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in truncate_long_docs(df, "text", max_chars=100).collect()}
+    assert out[1]["text"] == "short doc" and out[1]["was_truncated"] is False
+    assert len(out[2]["text"]) == 100 and out[2]["was_truncated"] is True
+    assert out[2]["orig_n_chars"] == 500
+    assert out[3]["text"] is None and out[3]["was_truncated"] is None
