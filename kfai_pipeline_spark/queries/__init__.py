@@ -34,19 +34,10 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 1 only (fell out of the r2/r3 re-run window)
-    frozenset({"q48_ngram_jaccard"}),
-    # last official row: round 3 (the r1-r3 relational/extension core)
+    # last official row: round 3 (missed the r5 re-run window)
     frozenset({
-        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
-        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-        "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25", "q26",
-        "q27", "q28", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
         "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
-        "q37_chunk_docs", "q38_embed_pipeline", "q39_asof", "q40_quality",
-        "q41_cube", "q42_fullouter", "q43_cross", "q44_grouping_sets",
-        "q45_stats", "q46_sketch", "q47_simsearch_ivf",
-        "q60_correlated_subquery",
+        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
     }),
     # last official row: round 4 (the rotated training-data/retrieval window)
     frozenset({
@@ -66,6 +57,18 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q94_dup_spans", "q95_scd2_history", "q96_bm25", "q97_merge_upsert",
         "q98_heavy_hitters", "q99_source_curation", "q100_rolling_zscore",
         "q101_hybrid_rrf", "q102_incremental_agg", "q103_bucketed_join",
+    }),
+    # last official row: round 5 (fresh new-op rows + relational re-confirm)
+    frozenset({
+        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
+        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+        "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25", "q26",
+        "q27", "q28", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
+        "q39_asof", "q40_quality", "q41_cube", "q42_fullouter", "q43_cross",
+        "q44_grouping_sets", "q45_stats", "q46_sketch", "q48_ngram_jaccard",
+        "q53_multimodal_asr", "q57_duration_format_roundtrip",
+        "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
+        "q104_simhash_dedup", "q105_neardup_index",
     }),
 )
 

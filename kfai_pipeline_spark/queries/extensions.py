@@ -2234,3 +2234,132 @@ def q105_neardup_index(spark, sf_dir):
         )
         .orderBy("batch_id")
     )
+
+
+# ------------------------------------------- Q106: long-doc truncation guard
+@register(
+    "q106_truncate_longdocs",
+    # Prefix truncation with provenance (the skew straggler defense,
+    # BASELINE.md §5h): both engines cap at 200 chars and hash the
+    # surviving text, so the md5 pins exact prefix semantics
+    # (1-based, character-counted substring) across engines.
+    oracle="""
+    SELECT doc_id,
+           length(text) AS orig_n_chars,
+           length(text) > 200 AS was_truncated,
+           md5(CASE WHEN length(text) > 200 THEN substr(text, 1, 200)
+                    ELSE text END) AS prefix_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Long-document truncation guard (text_analysis.truncate_long_docs): "
+        "caps per-doc text at a prefix before per-row text kernels — the "
+        "single-task straggler defense for skewed length distributions "
+        "(one 32 MB doc tripled the 50k-doc minhash pass, §5h). Keeps "
+        "orig_n_chars/was_truncated provenance; hash-checked vs DuckDB "
+        "recomputing the same capped prefix."
+    ),
+)
+def q106_truncate_longdocs(spark, sf_dir):
+    from kfai_pipeline_spark.operators.text_analysis import truncate_long_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = truncate_long_docs(docs, "text", max_chars=200)
+    return out.select(
+        "doc_id",
+        "orig_n_chars",
+        "was_truncated",
+        F.md5("text").alias("prefix_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------- Q107: streaming z-score backfill arm
+@register(
+    "q107_zscore_backfill",
+    # The JVM bulk arm (streaming/zscore_bulk.py) drains time-sliced
+    # micro-batches through the foreachBatch RANGE-frame fold; the
+    # oracle is q100's batch SQL — hash equality proves the epoch-sliced
+    # streaming drain reproduces the single-pass batch frame exactly
+    # (the backfill parity contract).
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROUND(avg(value) OVER w, 4) AS roll_mean,
+           ROUND(stddev_samp(value) OVER w, 4) AS roll_std,
+           ROUND(CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+                      THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                 END, 4) AS zscore,
+           COALESCE(
+               CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+                    THEN abs((value - avg(value) OVER w)
+                             / stddev_samp(value) OVER w) > 2.0
+               END, FALSE) AS is_anomaly
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc=(
+        "Streaming z-score BACKFILL (streaming/zscore_bulk.py "
+        "rolling_zscore_backfill): the 10M-drain bulk arm — each "
+        "micro-batch scored by the batch RANGE-frame kernel against a "
+        "duration-bounded per-key tail snapshot, exactly-once via "
+        "rollup-style version monotonicity, 8x the custom-state drain "
+        "(BASELINE.md §5f). The query slices events into 3 time-ordered "
+        "epochs, drains them AvailableNow, and returns the per-event "
+        "scores — hash-checked vs the single-pass batch SQL."
+    ),
+)
+def q107_zscore_backfill(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.functions.datetime_fns import epoch_micros_fn
+    from kfai_pipeline_spark.streaming.zscore_bulk import rolling_zscore_backfill
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q107_{_scratch_tag(spark, sf_dir)}"
+    )
+    src = os.path.join(root, "src")
+    if not os.path.isdir(os.path.join(root, "out")):
+        micros = epoch_micros_fn(ev, "ts")
+        ev_us = ev.withColumn("__us", micros(F.col("ts")))
+        bounds = [
+            r[0]
+            for r in ev_us.selectExpr(
+                "percentile(__us, array(0.34, 0.67)) AS p"
+            ).selectExpr("explode(p)").collect()
+        ]
+        slices = [
+            ev_us.where(F.col("__us") <= bounds[0]),
+            ev_us.where((F.col("__us") > bounds[0]) & (F.col("__us") <= bounds[1])),
+            ev_us.where(F.col("__us") > bounds[1]),
+        ]
+        # sequential writes: the file source triggers in modification-time
+        # order, so epoch order == time order (the parity precondition:
+        # per-key event time non-decreasing ACROSS micro-batches)
+        for i, sl in enumerate(slices):
+            sl.select(*cols).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/f{i}"
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = rolling_zscore_backfill(
+            stream,
+            os.path.join(root, "out"),
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+            duration_seconds=3600,
+            min_points=3,
+            z_threshold=2.0,
+        )
+        q.awaitTermination()
+    scored = spark.read.parquet(os.path.join(root, "out", "batch_*"))
+    return scored.select(
+        "event_id", "user_id", "value",
+        "roll_mean", "roll_std", "zscore", "is_anomaly",
+    ).orderBy("event_id")
