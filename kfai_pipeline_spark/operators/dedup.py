@@ -492,6 +492,7 @@ def _minhash_components(
     bands: int,
     threshold: float,
     scope: CacheScope | None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     from pyspark import StorageLevel
 
@@ -508,7 +509,9 @@ def _minhash_components(
     sigs = minhash_signatures(shingles, id_col, num_hashes)
     cands = minhash_candidates(sigs, id_col, bands, rows_per_band)
     dup_edges = jaccard_verify(cands, shingles, id_col, threshold)
-    comps = connected_components(dup_edges.select("id_a", "id_b"), scope=scope)
+    comps = connected_components(
+        dup_edges.select("id_a", "id_b"), scope=scope, checkpoint_dir=checkpoint_dir
+    )
     return _components_to_all_docs(doc_fp, reps, comps, id_col)
 
 
@@ -520,10 +523,17 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id, component) for
     every document, where near-duplicates share a component (singletons
     keep their own id). Keep one doc per component to dedup.
+
+    ``checkpoint_dir``: pass a reliable (HDFS/DBFS/local) directory to
+    make the component iterations fault-tolerant — without it the
+    label-propagation lineage cuts live in executor memory
+    (localCheckpoint), so an executor loss kills a long dedup job (see
+    :func:`connected_components`).
 
     NOTE: the returned plan is lazy and references a persisted shingle
     cache plus component checkpoints; they stay resident until session
@@ -531,7 +541,8 @@ def minhash_dedup(
     corpora should use :func:`minhash_dedup_scoped` instead, which
     releases all of it deterministically on exit."""
     return _minhash_components(
-        df, text_col, id_col, shingle_n, num_hashes, bands, threshold, scope=None
+        df, text_col, id_col, shingle_n, num_hashes, bands, threshold,
+        scope=None, checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -1087,6 +1098,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     use_lsh: bool = True,
     scope: CacheScope | None = None,
+    checkpoint_dir: str | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
@@ -1144,7 +1156,9 @@ def semantic_dedup(
         reps, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
         **lsh_kwargs,
     )
-    comp = connected_components(pairs.select("id_a", "id_b"), scope=scope)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), scope=scope, checkpoint_dir=checkpoint_dir
+    )
     rep_map = reps.select("__fp", F.col(id_col).alias("__rep"))
     rep_comp = comp.select(F.col("id").alias("__rep"), "component")
     gid = F.coalesce(F.col("component"), F.col("__rep"))
