@@ -326,97 +326,113 @@ def connected_components(
     ``checkpoint`` instead: each cut is written to storage, so a long
     dedup job survives executor loss at the cost of per-iteration I/O.
     Checkpoint files are left for Spark's context cleaner / the caller
-    to remove with the directory.
+    to remove with the directory. NOTE: the checkpoint directory is a
+    SparkContext-global setting — it is restored on exit, but two
+    concurrent connected_components calls with different dirs in one
+    session race on it; give concurrent jobs the same dir.
     """
+    sc = edges.sparkSession.sparkContext
+    prev_ckpt_dir = sc._jsc.sc().getCheckpointDir()
+    prev_ckpt_dir = prev_ckpt_dir.get() if prev_ckpt_dir.isDefined() else None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
-    def _cut(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    try:
+        def _cut(df: DataFrame) -> DataFrame:
+            if checkpoint_dir is not None:
+                return df.checkpoint(eager=True)
+            return df.localCheckpoint(eager=True)
 
-    # Materialize the edge list ONCE — and BEFORE symmetrizing: the
-    # union's two branches each embed the full upstream pair pipeline
-    # (shingling / LSH banding / pairwise dot products), so cutting
-    # after the union executes that pipeline twice (measured 2x on the
-    # sf1 SemDeDup spot-run), and not cutting at all re-executes it per
-    # iteration — O(iterations x pairs) work.
-    cut = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    sym = cut.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(cut.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    sym = _cut(sym)
-    _release_blocks(cut)
-    if scope is not None:
-        scope.add(sym)
+        # Materialize the edge list ONCE — and BEFORE symmetrizing: the
+        # union's two branches each embed the full upstream pair pipeline
+        # (shingling / LSH banding / pairwise dot products), so cutting
+        # after the union executes that pipeline twice (measured 2x on the
+        # sf1 SemDeDup spot-run), and not cutting at all re-executes it per
+        # iteration — O(iterations x pairs) work.
+        cut = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+        sym = cut.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(cut.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        sym = _cut(sym)
+        _release_blocks(cut)
+        if scope is not None:
+            scope.add(sym)
 
-    labels = _cut(
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
-    converged = False
-    for _ in range(max_iterations):
-        start = labels
-        # HOP: pull the minimum label one edge inward
-        neighbor_min = (
-            sym.join(labels.hint("merge"), sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("__nmin"))
+        labels = _cut(
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
         )
-        hopped = _cut(
-            labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("__nmin", F.col("component"))).alias(
-                    "component"
-                ),
+        converged = False
+        for _ in range(max_iterations):
+            start = labels
+            # HOP: pull the minimum label one edge inward
+            neighbor_min = (
+                sym.join(labels.hint("merge"), sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("__nmin"))
             )
-        )
-        # SHORTCUT (pointer doubling): component values are always
-        # vertex ids, so every label row can follow its component's own
-        # label one more step — chains halve instead of shrinking by 1.
-        parent = hopped.select(
-            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
-        )
-        new_labels = _cut(
-            hopped.join(parent.hint("merge"), hopped.component == parent.__pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("__pcomp", F.col("component"))
-                ).alias("component"),
+            hopped = _cut(
+                labels.join(neighbor_min.hint("merge"), labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce("__nmin", F.col("component"))).alias(
+                        "component"
+                    ),
+                )
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(start.alias("o").hint("merge"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # the compare above was the last consumer of the iteration-start
-        # checkpoint; hopped was consumed by the shortcut join
-        _release_blocks(hopped)
-        _release_blocks(start)
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        _release_blocks(labels)
-        raise ConvergenceError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations — labels were still moving, so the result would "
-            "silently split components. With pointer doubling this needs a "
-            f"component diameter beyond ~2^{max_iterations}; raise "
-            "max_iterations (each iteration covers twice the distance) or "
-            "inspect the edge list for unexpected structure."
-        )
-    if scope is not None:
-        scope.add(labels)
-    return labels
+            # SHORTCUT (pointer doubling): component values are always
+            # vertex ids, so every label row can follow its component's own
+            # label one more step — chains halve instead of shrinking by 1.
+            parent = hopped.select(
+                F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+            )
+            new_labels = _cut(
+                hopped.join(parent.hint("merge"), hopped.component == parent.__pid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("__pcomp", F.col("component"))
+                    ).alias("component"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(start.alias("o").hint("merge"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            # the compare above was the last consumer of the iteration-start
+            # checkpoint; hopped was consumed by the shortcut join
+            _release_blocks(hopped)
+            _release_blocks(start)
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            _release_blocks(labels)
+            if scope is None:
+                _release_blocks(sym)  # no scope will ever free the edge frame
+            raise ConvergenceError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations — labels were still moving, so the result would "
+                "silently split components. With pointer doubling this needs a "
+                f"component diameter beyond ~2^{max_iterations}; raise "
+                "max_iterations (each iteration covers twice the distance) or "
+                "inspect the edge list for unexpected structure."
+            )
+        if scope is not None:
+            scope.add(labels)
+        return labels
+    finally:
+        # the checkpoint dir is SparkContext-global: restore the
+        # previous one so later unrelated checkpoint() calls do not
+        # land in this job's directory (no public unset exists, so a
+        # previously-unset dir stays pointed here — documented above)
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
 
 
 def _exact_collapse(
@@ -555,6 +571,7 @@ def minhash_dedup_scoped(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ):
     """Scoped twin of :func:`minhash_dedup`: yields the (id, component)
     frame; on exit every block the pipeline cached (shingles, the edge
@@ -565,11 +582,16 @@ def minhash_dedup_scoped(
 
         with minhash_dedup_scoped(docs) as comps:
             comps.write.parquet(out)   # nothing left cached afterwards
+
+    ``checkpoint_dir`` is the reliable-checkpoint option, identical to
+    :func:`minhash_dedup`'s — long jobs should pass it from HERE, this
+    being the documented production entry point.
     """
     scope = CacheScope()
     try:
         yield _minhash_components(
-            df, text_col, id_col, shingle_n, num_hashes, bands, threshold, scope=scope
+            df, text_col, id_col, shingle_n, num_hashes, bands, threshold,
+            scope=scope, checkpoint_dir=checkpoint_dir,
         )
     finally:
         scope.release()
@@ -669,28 +691,65 @@ def _committed_index_paths(spark, path: str) -> list[str]:
     job-level marker, so a probe concurrent with an append that globbed
     the directory could see a TORN batch — gating on the marker means
     it sees none or all of it. ``batch_*`` dirs are the streaming
-    maintainer's layout (streaming/neardup.py), so a batch probe can
-    read a streaming-maintained index directly."""
+    maintainer's layout (streaming/neardup.py, whose listing reuses
+    :func:`list_success_dirs`), so a batch probe can read a
+    streaming-maintained index directly.
+
+    Base part files WITHOUT the top-level marker raise rather than get
+    silently excluded: that state is either a mid-write base (readers
+    must not proceed) or a stripped marker (object-store lifecycle
+    rules, ``marksuccessfuljobs=false`` clusters) — in both cases a
+    probe that silently skipped the base corpus would report zero
+    matches against it and wave duplicates through. The protocol
+    requires _SUCCESS markers; disable marker suppression for index
+    directories."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return []
     tops: list[str] = []
-    subs: list[str] = []
     top_committed = False
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if status.isDirectory():
-            if (name.startswith("append_") or name.startswith("batch_")) and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_SUCCESS")
-            ):
-                subs.append(f"{path}/{name}")
-        elif name == "_SUCCESS":
+            continue
+        if name == "_SUCCESS":
             top_committed = True
         elif name.endswith(".parquet"):
             tops.append(str(status.getPath()))
-    return (tops if top_committed else []) + sorted(subs)
+    if tops and not top_committed:
+        raise IOError(
+            f"minhash index at {path!r} has base part files but no top-level "
+            "_SUCCESS marker — either a write is in flight or the marker was "
+            "stripped; refusing to probe a possibly-partial base corpus"
+        )
+    subs = [p for _, p in list_success_dirs(spark, path, ("append_", "batch_"))]
+    return tops + sorted(subs)
+
+
+def list_success_dirs(
+    spark, root: str, prefixes: tuple[str, ...]
+) -> list[tuple[str, str]]:
+    """(name, path) of ``root``'s immediate subdirectories matching any
+    of ``prefixes`` whose parquet write COMMITTED (``_SUCCESS``
+    present). The single home of the marker-gated listing rule — shared
+    by the batch index reader above and the streaming maintainer
+    (streaming/neardup.py), so the commit protocol cannot drift between
+    the two layouts."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out: list[tuple[str, str]] = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefixes)):
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_SUCCESS")):
+            out.append((name, f"{root}/{name}"))
+    return sorted(out)
 
 
 def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
@@ -792,6 +851,10 @@ def neardup_against_index(
     if threshold is not None:
         import warnings
 
+        if est_threshold != 0.5:  # both cuts passed: refuse to guess
+            raise ValueError(
+                "pass est_threshold= only — threshold= is its deprecated alias"
+            )
         warnings.warn(
             "neardup_against_index(threshold=) is deprecated; the cut is on "
             "the MinHash ESTIMATE of Jaccard — pass est_threshold= instead",
@@ -1180,10 +1243,12 @@ def semantic_dedup_scoped(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     use_lsh: bool = True,
+    checkpoint_dir: str | None = None,
     **lsh_kwargs,
 ):
     """Scoped twin of :func:`semantic_dedup` (same contract as
-    :func:`minhash_dedup_scoped`): yields the (id, group_id, is_keeper)
+    :func:`minhash_dedup_scoped`, including its reliable
+    ``checkpoint_dir`` option): yields the (id, group_id, is_keeper)
     frame; on exit the LSH bucket persist and every component checkpoint
     are blocking-unpersisted. Materialize INSIDE the ``with`` block —
     checkpoints cut lineage, so the frame cannot recompute after
@@ -1192,7 +1257,7 @@ def semantic_dedup_scoped(
     try:
         yield semantic_dedup(
             df, vec_col, id_col, threshold=threshold, use_lsh=use_lsh, scope=scope,
-            **lsh_kwargs,
+            checkpoint_dir=checkpoint_dir, **lsh_kwargs,
         )
     finally:
         scope.release()

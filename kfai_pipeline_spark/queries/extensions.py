@@ -2322,7 +2322,8 @@ def q107_zscore_backfill(spark, sf_dir):
         _scratch_root(), f"kfai_q107_{_scratch_tag(spark, sf_dir)}"
     )
     src = os.path.join(root, "src")
-    if not os.path.isdir(os.path.join(root, "out")):
+    done_marker = os.path.join(root, "_DONE")
+    if not os.path.exists(done_marker):
         micros = epoch_micros_fn(ev, "ts")
         ev_us = ev.withColumn("__us", micros(F.col("ts")))
         bounds = [
@@ -2358,6 +2359,11 @@ def q107_zscore_backfill(spark, sf_dir):
             z_threshold=2.0,
         )
         q.awaitTermination()
+        # completion marker AFTER the full drain: a crashed partial run
+        # must re-drain (the checkpoint resumes it), never be served as
+        # if it were the whole result
+        with open(done_marker, "w") as f:
+            f.write("done")
     scored = spark.read.parquet(os.path.join(root, "out", "batch_*"))
     return scored.select(
         "event_id", "user_id", "value",

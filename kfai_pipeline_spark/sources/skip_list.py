@@ -37,19 +37,19 @@ def save_skip_set(df: DataFrame, path: str) -> int:
     is now driver-memory-bound) and the right arm is to keep the ids
     as a parquet table and use :func:`filter_skipped`'s anti join
     (which never collects) instead of a JSON side file."""
-    distinct = df.select("video_id").distinct()
-    n = distinct.count()
-    if n > _SKIP_SET_WARN_ABOVE:
+    # one job: collect, then warn on the materialized size (a separate
+    # count() would re-run the whole upstream pipeline a second time)
+    ids = sorted(r[0] for r in df.select("video_id").distinct().collect())
+    if len(ids) > _SKIP_SET_WARN_ABOVE:
         import warnings
 
         warnings.warn(
-            f"skip list has {n:,} ids — beyond control-metadata size; the "
-            "driver-side collect below is memory-bound. Persist the ids as "
-            "a parquet table and anti-join with filter_skipped instead.",
+            f"skip list has {len(ids):,} ids — beyond control-metadata size; "
+            "the driver-side collect above is memory-bound. Persist the ids "
+            "as a parquet table and anti-join with filter_skipped instead.",
             ResourceWarning,
             stacklevel=2,
         )
-    ids = sorted(r[0] for r in distinct.collect())
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # write-then-rename so concurrent readers never see a torn file
     # (os.replace is atomic on POSIX); salt the temp name with the pid

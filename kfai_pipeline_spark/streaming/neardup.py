@@ -35,27 +35,17 @@ from kfai_pipeline_spark.operators.dedup import (
 
 
 def _committed_batch_dirs(spark, index_dir: str, exclude_id: int) -> list[str]:
-    import os
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
 
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return []
     out = []
-    for status in fs.listStatus(path):
-        name = status.getPath().getName()
-        if not (status.isDirectory() and name.startswith("batch_")):
-            continue
+    for name, path in list_success_dirs(spark, index_dir, ("batch_",)):
         try:
             bid = int(name.split("_", 1)[1])
         except ValueError:
             continue
-        if bid == exclude_id:
-            continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(os.path.join(index_dir, name, "_SUCCESS"))):
-            out.append(os.path.join(index_dir, name))
-    return sorted(out)
+        if bid != exclude_id:
+            out.append(path)
+    return out
 
 
 def maintain_neardup_index(
@@ -87,6 +77,10 @@ def maintain_neardup_index(
     if threshold is not None:
         import warnings
 
+        if est_threshold != 0.5:  # both cuts passed: refuse to guess
+            raise ValueError(
+                "pass est_threshold= only — threshold= is its deprecated alias"
+            )
         warnings.warn(
             "maintain_neardup_index(threshold=) is deprecated; the cut is on "
             "the MinHash ESTIMATE of Jaccard — pass est_threshold= instead",

@@ -65,11 +65,17 @@ def _score_batch_against_tail(
     duration_seconds: float,
     min_points: int,
     z_threshold: float,
-) -> tuple[DataFrame, DataFrame]:
-    """One fold step, JVM only: returns (scored NEW rows, next tail).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One fold step, JVM only: returns (scored NEW rows, next tail,
+    persisted union handle).
 
-    Exposed for direct testing; both results derive from one union so
-    Catalyst shares the scan."""
+    The union feeds TWO actions (the output write and the tail write),
+    so it is persisted HERE and the third return value hands the caller
+    the handle to unpersist after both writes — without it each write
+    would re-read the batch source and the tail parquet and re-run the
+    union."""
+    from pyspark import StorageLevel
+
     cols = [key_col, id_col, ts_col, value_col]
     batch = batch_df.select(*cols).withColumn(_NEW, F.lit(True))
     union = (
@@ -77,6 +83,7 @@ def _score_batch_against_tail(
         if tail_df is None
         else tail_df.select(*cols).withColumn(_NEW, F.lit(False)).unionByName(batch)
     )
+    union = union.persist(StorageLevel.MEMORY_AND_DISK)
     scored = rolling_zscore(
         union, key_col, ts_col, value_col, duration_seconds, min_points, z_threshold
     )
@@ -91,7 +98,7 @@ def _score_batch_against_tail(
         .where(F.col("__us") >= F.col("__max_us") - F.lit(frame_us))
         .select(*cols)
     )
-    return out, tail
+    return out, tail, union
 
 
 def rolling_zscore_backfill(
@@ -127,12 +134,15 @@ def rolling_zscore_backfill(
         tail = (
             spark.read.parquet(f"{state_dir}/v_{latest}") if latest >= 0 else None
         )
-        out, new_tail = _score_batch_against_tail(
+        out, new_tail, union = _score_batch_against_tail(
             batch_df, tail, key_col, ts_col, value_col, id_col,
             duration_seconds, min_points, z_threshold,
         )
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch_{batch_id}")
-        new_tail.write.mode("overwrite").parquet(f"{state_dir}/v_{version}")
+        try:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch_{batch_id}")
+            new_tail.write.mode("overwrite").parquet(f"{state_dir}/v_{version}")
+        finally:
+            union.unpersist()
         _write_latest_version(spark, state_dir, version)
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)
