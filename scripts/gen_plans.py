@@ -189,6 +189,15 @@ SECTIONS = [
         "ever collected for broadcast.",
     ),
     (
+        "q106_truncate_longdocs",
+        "Long-doc truncation guard (X38)",
+        "Pure codegen map: length/substring/md5 in one WholeStageCodegen "
+        "span over the scan, NO exchange before the final sort — the "
+        "straggler defense costs one pass, nothing else. (The straggler "
+        "itself is a data property: one giant row serializes its own "
+        "task; see BASELINE.md §5h.)",
+    ),
+    (
         "q100_rolling_zscore",
         "Trailing-window z-score anomaly detection (X23b)",
         "count/avg/stddev and the z arithmetic all ride ONE Window "
