@@ -654,6 +654,21 @@ def test_neardup_index_probe_never_sees_torn_append(spark, dup_docs, tmp_path):
     with pytest.raises(FileNotFoundError):
         D.read_minhash_index(spark, str(tmp_path / "nowhere"))
 
+    # base part files WITHOUT the top-level marker (stripped by
+    # object-store lifecycle rules / mid-write) must raise, never be
+    # silently excluded — a probe that skipped the base corpus would
+    # wave its duplicates through
+    os.remove(os.path.join(idx_path, "_SUCCESS"))
+    with pytest.raises(IOError, match="no top-level _SUCCESS"):
+        D.read_minhash_index(spark, idx_path)
+    pathlib.Path(idx_path, "_SUCCESS").touch()
+
+    # conflicting threshold kwargs refuse to guess
+    with pytest.raises(ValueError, match="deprecated alias"):
+        D.neardup_against_index(
+            probe, idx_path, est_threshold=0.7, threshold=0.5
+        )
+
 
 def test_semantic_dedup_vector_copy_collapse(spark):
     """Vector twin of the exact-collapse guard: byte-identical
