@@ -198,9 +198,19 @@ def _band_rows(
     bands: int,
     rows_per_band: int,
     out_id: str,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Exploded (id, band signature) rows via one broadcast-numpy matmul
     per Arrow batch — the plan holds ZERO plane literals.
+
+    ``probe_flips`` (query side only): multi-probe LSH (Lv et al. 2007,
+    "Multi-Probe LSH") — besides each band's base signature, emit
+    variants with the ``probe_flips`` LOWEST-|margin| projection bits
+    flipped one at a time. A vector near a hyperplane lands on either
+    side with ~equal probability, so probing the adjacent buckets of
+    exactly those borderline bits recovers most of the recall that one
+    more band would buy, at (1 + probe_flips)x PROBE rows instead of
+    another full corpus band.
 
     The expression arm (:func:`_band_signatures`) embeds every plane as
     an ``F.lit`` array and evaluates n_planes interpreted dot folds per
@@ -240,15 +250,27 @@ def _band_rows(
             if not len(sub):
                 continue
             V = np.array(sub[vec_col].tolist(), dtype=np.float64)
-            bits = (V @ P.T) >= 0  # b x n_planes
+            proj = V @ P.T  # b x n_planes
+            bits = proj >= 0
             packed = (
                 bits.reshape(len(sub), *weights_shape).astype(np.int64) * weights
             ).sum(axis=2) + band_offset  # b x bands
             ids = sub[id_col].to_numpy()
+            sigs = [packed]
+            if probe_flips > 0:
+                # rank each band's projections by |margin|; flip the
+                # closest-to-the-hyperplane bits one at a time
+                margins = np.abs(proj).reshape(len(sub), *weights_shape)
+                order = np.argsort(margins, axis=2, kind="stable")
+                for j in range(min(probe_flips, weights_shape[1])):
+                    pos = order[:, :, j]  # projection index within band
+                    flip = np.int64(1) << (weights_shape[1] - 1 - pos)
+                    sigs.append(packed ^ flip)
+            all_sigs = np.stack(sigs, axis=1)  # b x variants x bands
             yield pd.DataFrame(
                 {
-                    out_id: np.repeat(ids, weights_shape[0]),
-                    "__sig": packed.ravel(),
+                    out_id: np.repeat(ids, all_sigs.shape[1] * weights_shape[0]),
+                    "__sig": all_sigs.reshape(len(sub), -1).ravel(),
                 }
             )
 
@@ -268,13 +290,18 @@ def cosine_topk_lsh(
     rows_per_band: int = 4,
     seed: int = 42,
     round_to: int | None = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH banding for candidates, exact re-rank.
 
     Recall/cost trades via (bands, rows_per_band): more bands -> higher
-    recall, more candidates. Candidate generation is a map-side
-    broadcast join on (band signature) — never a cross join, and the
-    corpus bytes that move are band-frame SLIM.
+    recall, more candidates. ``multiprobe`` adds query-side 1-bit
+    perturbation probes of the lowest-|margin| bits (see
+    :func:`_band_rows`) — recall per extra candidate beats adding
+    bands, since only the tiny broadcast side grows. Candidate
+    generation is a map-side broadcast join on (band signature) —
+    never a cross join, and the corpus bytes that move are band-frame
+    SLIM.
 
     Scale shape (rewritten after the 10M-vector sweep): the corpus band
     frame carries (id, signature) ONLY. An earlier revision exploded
@@ -296,7 +323,8 @@ def cosine_topk_lsh(
     # expression arm); scoring uses unit-normalized copies.
     v_slim = _band_rows(vectors, vec_col, id_col, planes, bands, rows_per_band, id_col)
     q_slim = _band_rows(
-        queries, query_vec_col, query_id_col, planes, bands, rows_per_band, "__qid"
+        queries, query_vec_col, query_id_col, planes, bands, rows_per_band, "__qid",
+        probe_flips=multiprobe,
     )
     cands = (
         v_slim.join(F.broadcast(q_slim), "__sig")
