@@ -1335,3 +1335,101 @@ def duplicated_spans(
         F.round(frac, 4).alias("dup_span_frac"),
         (frac >= F.lit(flag_threshold)).alias("flagged"),
     )
+
+
+# ------------------------------------------- corpus segment-level dedup (X39)
+def dedup_segments(
+    segs: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "seg_no",
+    seg_col: str = "seg",
+) -> DataFrame:
+    """First-occurrence segment dedup across the whole corpus (the
+    CCNet / "deduplicate repeated lines" pass at line/sentence/segment
+    granularity): every segment whose normalized form (lower+trim) has
+    appeared earlier — ordered by (id, pos) — is marked ``keep=false``;
+    the globally FIRST copy and all blank segments keep. Complements
+    strip_boilerplate (which drops EVERY copy of corpus-frequent lines;
+    this keeps exactly one).
+
+    Scale shape: the winner per segment hash comes from
+    groupBy(hash).min(struct(id, pos)) — a map-side-combining aggregate
+    — then a join back on the hash. Deliberately NOT a row_number()
+    window over the hash: a hot boilerplate segment at 100 TB ("click
+    here to subscribe" x 10^9) would put a billion rows in ONE window
+    partition (single-task straggler), while min(struct) reduces the
+    same partition map-side to one row per task. Both the aggregate and
+    the join key on the md5 of the normalized segment; the join pins
+    hint("merge") because both sides are corpus-scale and Catalyst's
+    post-aggregate size estimate is unreliable (BASELINE.md §5e).
+
+    Returns the input columns plus ``keep``. Ref parity: the reference
+    dedups at whole-document granularity only (cleaning.py); this is
+    extension surface X39 for sub-document training-data hygiene.
+    """
+    norm = F.lower(F.trim(F.col(seg_col)))
+    keyed = segs.withColumn(
+        "__h", F.when(F.length(norm) > 0, F.md5(norm))
+    )
+    winners = (
+        keyed.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("__w"))
+    )
+    out = keyed.join(winners.hint("merge"), "__h", "left")
+    keep = F.col("__h").isNull() | (
+        F.struct(F.col(id_col), F.col(pos_col)) == F.col("__w")
+    )
+    return out.withColumn("keep", keep).drop("__h", "__w")
+
+
+def dedup_segments_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_seg: int = 8,
+) -> DataFrame:
+    """End-to-end sub-document dedup over prose: chunk each doc into
+    fixed word segments (map-side, text_analysis.segment_words), drop
+    all-but-first copies of every corpus-repeated segment
+    (dedup_segments), and reassemble the survivors in original order.
+
+    Returns (id, n_segs, n_kept, dedup_text) — ``dedup_text`` is NULL
+    when every segment of a doc was a repeat (collect_list skips the
+    NULL structs the keep filter produces, and the no-survivor case
+    must stay distinguishable from a legitimately empty doc).
+    Reassembly is one groupBy(id) with position-ordered array_sort —
+    the only per-doc shuffle in the pipeline.
+    """
+    from kfai_pipeline_spark.operators.text_analysis import segment_words
+
+    flagged = dedup_segments(
+        segment_words(df, id_col, text_col, words_per_seg),
+        id_col,
+        "seg_no",
+        "seg",
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("seg_no"), F.col("seg"))
+    )
+    n_kept = F.sum(F.col("keep").cast("long")).alias("n_kept")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            n_kept,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("__joined"),
+        )
+        .select(
+            id_col,
+            "n_segs",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("__joined")).alias("dedup_text"),
+        )
+    )

@@ -218,3 +218,115 @@ def training_order(
         .withColumn(pos_col, F.row_number().over(w))
         .drop("__ord")
     )
+
+
+# --------------------------------- DSIR hashed importance weights (X41)
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) with hashed n-gram features: score every document
+    by how much its hashed-bigram distribution looks like the ``target``
+    subset (a boolean Column over the input rows, e.g. lang == 'en')
+    versus the corpus as a whole.
+
+    Features: word bigrams hashed into ``buckets`` buckets. With
+    add-one smoothing over the bucket vocabulary, the per-doc importance
+    weight is the bigram-wise log-likelihood ratio
+
+        w(d) = sum_b c_db * [ (ln(t_b+1) - ln(T+B)) - (ln(s_b+1) - ln(S+B)) ]
+
+    where c_db counts doc d's bigrams in bucket b, t_b/s_b the target /
+    corpus bucket totals, T/S their sums, B the bucket count. Top-w docs
+    are the DSIR selection; returns (id, dsir_weight, n_buckets).
+
+    Scale shape: ONE corpus bigram pass feeds both the per-doc bucket
+    counts (groupBy(id, bucket) — map-side combining) and the global
+    bucket stats (groupBy(bucket) — at most B rows out per task). The
+    stats and their 1-row totals come back as broadcast joins, so the
+    corpus never shuffles for them. The per-doc sum is an ORDERED fold
+    over the bucket-sorted (bucket, val) structs — floating addition is
+    non-associative, and an unordered SUM would make the weight depend
+    on partitioning; the fold makes it bit-stable and lets the DuckDB
+    oracle (q109) reproduce it with list_reduce (the q96 BM25 contract).
+
+    Ref parity: the reference selects data only by skip-lists and status
+    flags (pipeline/run_pipeline.py); distribution-matched selection is
+    extension surface for training-data curation.
+    """
+    b_lit = F.lit(float(buckets))
+    hf = hash_fn or _DEFAULT_HASH
+    # same consecutive-pair construction as text_analysis.word_bigrams,
+    # inlined so the target flag rides the single corpus scan (a rejoin
+    # to re-attach it would be a second pass over the text)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucketed = df.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(bigrams).alias("__bigram"),
+    ).select(
+        F.col(id_col),
+        F.col("__tgt"),
+        F.pmod(hf(F.col("__bigram")), F.lit(buckets)).alias("bucket"),
+    )
+    stats = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__s_b"),
+        F.sum(F.col("__tgt").cast("long")).alias("__t_b"),
+    )
+    totals = stats.agg(
+        F.sum("__s_b").alias("__S"), F.sum("__t_b").alias("__T")
+    )
+    doc_bucket = bucketed.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    val = F.col("__c") * (
+        (F.log(F.col("__t_b") + F.lit(1.0)) - F.log(F.col("__T") + b_lit))
+        - (F.log(F.col("__s_b") + F.lit(1.0)) - F.log(F.col("__S") + b_lit))
+    )
+    per = (
+        doc_bucket.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("bucket"), val.alias("__val"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "__val"))),
+            lambda s: s["__val"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per.groupBy(id_col).agg(
+        folded.alias("dsir_weight"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Top-k DSIR selection: the k docs whose hashed-bigram distribution
+    best matches the target subset (ties break on id). orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-k then a
+    k-row driver merge, never a global sort."""
+    w = dsir_weights(df, target, id_col, text_col, buckets, hash_fn)
+    return w.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(k)

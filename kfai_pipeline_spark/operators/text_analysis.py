@@ -469,3 +469,38 @@ def bigram_logprob(
         F.round(F.avg("__lp"), 4).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def segment_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_seg: int = 8,
+) -> DataFrame:
+    """Chunk each document's whitespace tokens into fixed-size word
+    segments: (id, seg_no, seg) rows, ``seg_no`` 0-based, segments join
+    their words with a single space (the last segment may be short).
+
+    Map-side ONLY — the chunking is transform(sequence(...)) over the
+    in-row word array followed by posexplode, so deriving segment
+    granularity from a 100 TB corpus costs zero shuffles (the naive
+    posexplode-words -> groupBy(doc, pos/k) plan shuffles every word in
+    the corpus to reassemble what was already adjacent in-row).
+
+    The segment granularity feeds corpus-level segment dedup
+    (dedup.dedup_segments) on prose without newline structure; for real
+    line-structured text, split on the line separator instead and feed
+    the same dedup (ref pipeline cleans at whole-doc granularity only —
+    cleaning.py — so sub-document dedup is an extension surface).
+    """
+    words = _words(text_col)
+    n_segs = F.ceil(F.size(words) / F.lit(words_per_seg)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_seg + 1, words_per_seg), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("seg_no", "seg")
+    )

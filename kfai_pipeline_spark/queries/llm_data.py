@@ -1225,3 +1225,143 @@ def q101_hybrid_rrf(spark, sf_dir):
         [F.col("score").desc(), F.col("vec_id")],
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, vec], "doc_id", k=10)
+
+
+# ------------------------------------------------- q108: segment-level dedup
+@register(
+    "q108_segment_dedup",
+    # First-occurrence segment dedup (CCNet line-dedup semantics at
+    # 8-word-segment granularity — the synthetic corpus has no newline
+    # structure, so segments stand in for lines). Both engines chunk
+    # identically, keep the globally-first copy of each normalized
+    # segment ordered by (doc_id, seg_no), and md5 the reassembled
+    # survivor text, so the hash pins exact keep + reassembly semantics.
+    # NULL dedup_md5 = every segment was a repeat (distinguishable from
+    # an empty doc).
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST((pos - 1) // 8 AS INT) AS seg_no,
+               string_agg(word, ' ' ORDER BY pos) AS seg
+        FROM w GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT doc_id, seg_no, seg,
+               CASE WHEN length(trim(seg)) = 0 THEN TRUE
+                    ELSE ROW_NUMBER() OVER (
+                        PARTITION BY md5(lower(trim(seg)))
+                        ORDER BY doc_id, seg_no) = 1
+               END AS keep
+        FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           COUNT(*) FILTER (WHERE keep) AS n_kept,
+           CASE WHEN COUNT(*) FILTER (WHERE keep) > 0
+                THEN md5(string_agg(seg, ' ' ORDER BY seg_no)
+                         FILTER (WHERE keep))
+           END AS dedup_md5
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Corpus segment-level dedup (dedup.dedup_segments_text, X39): "
+        "chunk docs into 8-word segments MAP-SIDE (transform over the "
+        "in-row word array — zero shuffles to derive granularity), drop "
+        "all-but-first copies of every corpus-repeated segment via a "
+        "skew-safe groupBy(hash).min(struct) winner + merge-pinned join "
+        "back (deliberately not a row_number window: a hot boilerplate "
+        "segment would put 10^9 rows in one window partition), then "
+        "reassemble survivors in order. Hash-checked per doc vs DuckDB "
+        "recomputing identical chunk/keep/reassembly semantics."
+    ),
+)
+def q108_segment_dedup(spark, sf_dir):
+    from kfai_pipeline_spark.operators.dedup import dedup_segments_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_segments_text(docs, "doc_id", "text", words_per_seg=8)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------- q109: DSIR importance sample
+@register(
+    "q109_dsir_sample",
+    # DSIR (Xie et al. 2023) top-50 by hashed-bigram log-likelihood
+    # ratio vs the lang='en' target slice. Bucket counts are exact
+    # integers in both engines (portable md5-prefix hash, mod 256); the
+    # per-doc weight is an ORDERED fold over bucket-sorted terms
+    # (list_reduce here, F.aggregate in Spark — the q96 BM25 float
+    # contract), rounded at 4dp. Selection orders by the UNROUNDED
+    # weight in both engines so the k-boundary can't flip on rounding.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bigram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+    ),
+    bucketed AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               ('0x' || substr(md5(bigram), 1, 15))::BIGINT % 256 AS bucket
+        FROM bg
+    ),
+    stats AS (
+        SELECT bucket, COUNT(*) AS s_b, COUNT(*) FILTER (WHERE tgt) AS t_b
+        FROM bucketed GROUP BY 1
+    ),
+    tot AS (SELECT SUM(s_b) AS s_tot, SUM(t_b) AS t_tot FROM stats),
+    dbk AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bucketed GROUP BY 1, 2),
+    vals AS (
+        SELECT d.doc_id, d.bucket,
+               d.c * ((ln(st.t_b + 1.0) - ln(tt.t_tot + 256.0))
+                      - (ln(st.s_b + 1.0) - ln(tt.s_tot + 256.0))) AS val
+        FROM dbk d JOIN stats st USING (bucket) CROSS JOIN tot tt
+    ),
+    folded AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(0.0, list(val ORDER BY bucket)),
+                           (acc, x) -> acc + x) AS wgt,
+               COUNT(*) AS n_buckets
+        FROM vals GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(wgt, 4) AS dsir_weight, n_buckets
+    FROM folded ORDER BY wgt DESC, doc_id LIMIT 50
+    """,
+    doc=(
+        "DSIR hashed importance resampling (sampling.dsir_sample, X41; "
+        "arXiv:2302.03169): rank docs by how much their hashed-bigram "
+        "distribution matches a target slice vs the whole corpus. One "
+        "corpus bigram pass feeds both aggregates; the 256-row bucket "
+        "stats and 1-row totals come back as broadcast joins (the "
+        "corpus never shuffles for them); per-doc weights are ordered "
+        "folds; top-50 is TakeOrderedAndProject. md5-prefix hash arm "
+        "for oracle portability (xxhash64 is the production default)."
+    ),
+)
+def q109_dsir_sample(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import dsir_sample
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = dsir_sample(
+        docs, F.col("lang") == "en", k=50, buckets=256, hash_fn=md5_long
+    )
+    return out.select(
+        "doc_id",
+        F.round("dsir_weight", 4).alias("dsir_weight"),
+        "n_buckets",
+    )

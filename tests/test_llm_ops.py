@@ -365,3 +365,107 @@ def test_bigram_logprob_contract(spark):
     assert rows[1]["n_bigrams"] == 5
     for r in rows.values():
         assert r["avg_logprob"] < 0
+
+
+# ------------------------------------------- segment dedup (X39, q108)
+def test_segment_words_chunks_map_side(spark):
+    from kfai_pipeline_spark.operators.text_analysis import segment_words
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "  x   y  "), (3, "solo")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r.doc_id, r.seg_no, r.seg)
+        for r in segment_words(df, words_per_seg=2).collect()
+    )
+    assert rows == [
+        (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"),
+        (2, 0, "x y"), (3, 0, "solo"),
+    ]
+    # map-side only: no Exchange in the plan
+    plan = segment_words(df, words_per_seg=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_segments_keeps_first_global_occurrence(spark):
+    from kfai_pipeline_spark.operators.dedup import dedup_segments
+
+    segs = spark.createDataFrame(
+        [
+            (1, 0, "hello world"),
+            (1, 1, "subscribe now"),
+            (2, 0, "Subscribe   now"),   # dup of (1,1) after lower+trim? no: inner spaces differ
+            (2, 1, "subscribe now"),     # exact dup of (1,1)
+            (2, 2, "SUBSCRIBE NOW"),     # dup after lower
+            (3, 0, "hello world"),       # dup of (1,0)
+            (3, 1, ""),                  # blank: always kept
+            (1, 2, "subscribe now"),     # later pos in doc 1: dropped too
+        ],
+        ["doc_id", "seg_no", "seg"],
+    )
+    out = {
+        (r.doc_id, r.seg_no): r.keep
+        for r in dedup_segments(segs).collect()
+    }
+    assert out == {
+        (1, 0): True, (1, 1): True, (1, 2): False,
+        (2, 0): True,   # inner whitespace differs -> distinct segment
+        (2, 1): False, (2, 2): False,
+        (3, 0): False, (3, 1): True,
+    }
+
+
+def test_dedup_segments_text_reassembles_in_order(spark):
+    from kfai_pipeline_spark.operators.dedup import dedup_segments_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # segs: "a b", "c d", "e f"
+            (2, "c d a b x y"),      # "c d" and "a b" are repeats of doc 1
+            (3, "a b c d"),          # every segment is a repeat -> NULL text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_segments_text(df, words_per_seg=2).collect()}
+    assert (out[1].n_segs, out[1].n_kept, out[1].dedup_text) == (3, 3, "a b c d e f")
+    assert (out[2].n_segs, out[2].n_kept, out[2].dedup_text) == (3, 1, "x y")
+    assert (out[3].n_segs, out[3].n_kept) == (2, 0)
+    assert out[3].dedup_text is None
+
+
+# ------------------------------------------------- DSIR (X41, q109)
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from kfai_pipeline_spark.operators.sampling import dsir_sample, dsir_weights
+
+    # target docs are all "t t t ..."; distractors are "d d d ...";
+    # the probe docs mix both vocabularies in different proportions
+    rows = [(i, "t " * 10, True) for i in range(10)]
+    rows += [(100 + i, "d " * 10, False) for i in range(10)]
+    rows += [(200, "t t t t t t t t", False), (201, "d d d d d d d d", False)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(df, F.col("tgt"), buckets=64).collect()
+    }
+    # the target-vocabulary probe outscores the distractor-vocabulary one
+    assert w[200] > w[201]
+    # ranking: the ten pure-target docs (9 positive bigrams each), then
+    # 200 (7 positive), then 201 (7 negative), then the d-docs (9
+    # negative) — so top-11 is exactly the t-docs plus 200
+    top = [r.doc_id for r in dsir_sample(df, F.col("tgt"), k=11, buckets=64).collect()]
+    assert 200 in top and 201 not in top
+
+
+def test_dsir_weight_is_partitioning_invariant(spark):
+    from kfai_pipeline_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, " ".join("w%d" % ((i * 7 + j) % 13) for j in range(20)), i % 3 == 0)
+         for i in range(60)],
+        ["doc_id", "text", "tgt"],
+    )
+    a = {r.doc_id: r.dsir_weight
+         for r in dsir_weights(df, F.col("tgt")).collect()}
+    b = {r.doc_id: r.dsir_weight
+         for r in dsir_weights(df.repartition(13, "doc_id"), F.col("tgt")).collect()}
+    assert a == b  # bit-identical: the fold is ordered, stats are exact ints
