@@ -19,6 +19,7 @@ the per-stratum window.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -228,6 +229,7 @@ def dsir_weights(
     text_col: str = "text",
     buckets: int = 256,
     hash_fn: Callable[[Column], Column] | None = None,
+    scope=None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169) with hashed n-gram features: score every document
@@ -245,11 +247,17 @@ def dsir_weights(
     corpus bucket totals, T/S their sums, B the bucket count. Top-w docs
     are the DSIR selection; returns (id, dsir_weight, n_buckets).
 
-    Scale shape: ONE corpus bigram pass feeds both the per-doc bucket
-    counts (groupBy(id, bucket) — map-side combining) and the global
-    bucket stats (groupBy(bucket) — at most B rows out per task). The
-    stats and their 1-row totals come back as broadcast joins, so the
-    corpus never shuffles for them. The per-doc sum is an ORDERED fold
+    Scale shape: ONE corpus bigram pass materializes the compact
+    (doc, bucket) count frame (groupBy with map-side combining, at most
+    #docs x B rows — persisted, since Spark shares no subplans: without
+    the cache every derived aggregate would re-scan and re-explode the
+    corpus, 3 full passes instead of 1). Bucket stats and their 1-row
+    totals derive from the cached frame and come back as broadcast
+    joins, so the corpus never shuffles for them. Pass ``scope`` (a
+    dedup.CacheScope) — or use :func:`dsir_sample_scoped` — to release
+    the cached frame deterministically; with ``scope=None`` it lives
+    for the session (fine one-shot, looped callers should scope it).
+    The per-doc sum is an ORDERED fold
     over the bucket-sorted (bucket, val) structs — floating addition is
     non-associative, and an unordered SUM would make the weight depend
     on partitioning; the fold makes it bit-stable and lets the DuckDB
@@ -258,6 +266,10 @@ def dsir_weights(
     Ref parity: the reference selects data only by skip-lists and status
     flags (pipeline/run_pipeline.py); distribution-matched selection is
     extension surface for training-data curation.
+
+    Docs with fewer than two words (incl. NULL/empty text) have no
+    bigram features and are ABSENT from the output — unscorable, not
+    zero-scored; left-join the result if the distinction matters.
     """
     b_lit = F.lit(float(buckets))
     hf = hash_fn or _DEFAULT_HASH
@@ -282,16 +294,22 @@ def dsir_weights(
         F.col("__tgt"),
         F.pmod(hf(F.col("__bigram")), F.lit(buckets)).alias("bucket"),
     )
-    stats = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("__s_b"),
-        F.sum(F.col("__tgt").cast("long")).alias("__t_b"),
+    # __tgt is functionally dependent on the doc id, so this grain is
+    # (id, bucket): the one corpus-scan product everything derives from
+    db = bucketed.groupBy(id_col, "__tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    db = db.persist()
+    if scope is not None:
+        scope.add(db)
+    stats = db.groupBy("bucket").agg(
+        F.sum("__c").alias("__s_b"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias("__t_b"),
     )
     totals = stats.agg(
         F.sum("__s_b").alias("__S"), F.sum("__t_b").alias("__T")
     )
-    doc_bucket = bucketed.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    doc_bucket = db.select(F.col(id_col), F.col("bucket"), F.col("__c"))
     val = F.col("__c") * (
         (F.log(F.col("__t_b") + F.lit(1.0)) - F.log(F.col("__T") + b_lit))
         - (F.log(F.col("__s_b") + F.lit(1.0)) - F.log(F.col("__S") + b_lit))
@@ -323,10 +341,34 @@ def dsir_sample(
     text_col: str = "text",
     buckets: int = 256,
     hash_fn: Callable[[Column], Column] | None = None,
+    scope=None,
 ) -> DataFrame:
     """Top-k DSIR selection: the k docs whose hashed-bigram distribution
     best matches the target subset (ties break on id). orderBy+limit
     compiles to TakeOrderedAndProject — per-partition top-k then a
     k-row driver merge, never a global sort."""
-    w = dsir_weights(df, target, id_col, text_col, buckets, hash_fn)
+    w = dsir_weights(df, target, id_col, text_col, buckets, hash_fn, scope)
     return w.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(k)
+
+
+@contextmanager
+def dsir_sample_scoped(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    hash_fn: Callable[[Column], Column] | None = None,
+):
+    """Scoped twin of :func:`dsir_sample` (the ``heavy_hitters_scoped``
+    contract): materialize inside the ``with`` block; the cached
+    (doc, bucket) count frame releases on exit — the entry point for
+    loops over many corpora/targets."""
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+
+    scope = CacheScope()
+    try:
+        yield dsir_sample(df, target, k, id_col, text_col, buckets, hash_fn, scope)
+    finally:
+        scope.release()

@@ -492,15 +492,27 @@ def segment_words(
     line-structured text, split on the line separator instead and feed
     the same dedup (ref pipeline cleans at whole-doc granularity only —
     cleaning.py — so sub-document dedup is an extension surface).
+
+    NULL text coalesces to '' (one blank, always-kept segment) so every
+    input doc yields at least one row — posexplode over a NULL array
+    would otherwise DROP the document from the pipeline silently, and a
+    dedup pass must be total over its input.
     """
-    words = _words(text_col)
-    n_segs = F.ceil(F.size(words) / F.lit(words_per_seg)).cast("int")
+    # staged split — slicing split(text) inside the transform lambda
+    # would re-split the document PER SEGMENT (the round-3 O(n^2) HOF
+    # re-evaluation class; see repetition_features / fingerprint)
+    staged = df.select(
+        F.col(id_col),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
+    wc = F.col("__w")
+    n_segs = F.ceil(F.size(wc) / F.lit(words_per_seg)).cast("int")
     seg_arr = F.transform(
         F.sequence(F.lit(0), n_segs - F.lit(1)),
         lambda i: F.array_join(
-            F.slice(words, i * words_per_seg + 1, words_per_seg), " "
+            F.slice(wc, i * words_per_seg + 1, words_per_seg), " "
         ),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(seg_arr).alias("seg_no", "seg")
     )

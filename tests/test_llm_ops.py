@@ -469,3 +469,19 @@ def test_dsir_weight_is_partitioning_invariant(spark):
     b = {r.doc_id: r.dsir_weight
          for r in dsir_weights(df.repartition(13, "doc_id"), F.col("tgt")).collect()}
     assert a == b  # bit-identical: the fold is ordered, stats are exact ints
+
+
+def test_segment_dedup_is_total_over_null_and_empty_text(spark):
+    from kfai_pipeline_spark.operators.dedup import dedup_segments_text
+    from kfai_pipeline_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup_segments_text(df, words_per_seg=2).collect()}
+    # every input doc survives the pass; NULL text behaves like empty
+    assert set(out) == {1, 2, 3}
+    assert (out[2].n_segs, out[2].n_kept, out[2].dedup_text) == (1, 1, "")
+    # DSIR: featureless docs are absent by contract (unscorable != 0)
+    scored = {r.doc_id for r in dsir_weights(df, F.lit(False)).collect()}
+    assert scored == {1}
