@@ -284,6 +284,7 @@ _NESTED_LOOP_OK = {
     "q96_bm25",             # broadcast 1-row corpus-stats cross join
     "q98_heavy_hitters",    # broadcast 1-row corpus-total cross join
     "q101_hybrid_rrf",      # bm25 1-row stats + broadcast cosine probe arms
+    "q109_dsir_sample",     # broadcast 1-row bucket-totals cross join
 }
 
 
@@ -591,3 +592,34 @@ def test_dedup_corpus_joins_never_broadcast(spark):
     p2 = buf.getvalue()
     assert "BroadcastExchange" not in p2, "index side broadcast in probe path"
     assert "CartesianProduct" not in p2
+
+
+def test_q108_segment_dedup_winner_is_agg_join_not_window(spark):
+    """The first-occurrence winner must come from a map-side-combining
+    aggregate joined back on the segment hash — NOT a row_number()
+    window over the hash (a hot boilerplate segment at 100 TB would put
+    its entire duplicate set into ONE window partition). Also: the
+    segment derivation must reference a STAGED word array (re-splitting
+    inside the transform lambda is the round-3 O(n^2) class)."""
+    p = plan(spark, "q108_segment_dedup")
+    assert "Window" not in p
+    # partial min(struct) before the exchange = map-side combine
+    assert "partial_min(struct" in p
+    # SMJ join-back on the hash, never a broadcast (corpus-scale side)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+    gen = [l for l in p.splitlines() if "posexplode" in l]
+    assert gen and all("split(" not in l for l in gen), "unstaged re-split"
+
+
+def test_q109_dsir_stats_broadcast_and_fold_is_ordered(spark):
+    """Bucket stats (<=B rows) and the 1-row totals must come back as
+    broadcasts — the corpus-grain (doc, bucket) frame never shuffles
+    for them; the per-doc weight must be an ordered fold (array_sort
+    before aggregate), not a bare float SUM."""
+    p = plan(spark, "q109_dsir_sample")
+    assert "BroadcastHashJoin" in p          # bucket stats
+    assert "BroadcastNestedLoopJoin" in p    # 1-row totals
+    assert "TakeOrderedAndProject" in p      # top-k, not a global sort
+    assert "array_sort" in p and "aggregate(" in p
+    # one corpus pass: every derived aggregate reads the cached frame
+    assert "InMemoryTableScan" in p
