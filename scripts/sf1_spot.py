@@ -79,6 +79,20 @@ def main() -> None:
         "duplicated_spans 8-gram",
         lambda: D.duplicated_spans(docs, "text", "doc_id").count(),
     )
+    t(
+        "segment_dedup 8-word",
+        lambda: D.dedup_segments_text(docs, "doc_id", "text").count(),
+    )
+
+    def _dsir():
+        from kfai_pipeline_spark.operators.sampling import dsir_sample_scoped
+
+        with dsir_sample_scoped(
+            docs, F.col("lang") == "en", k=50, text_col="text"
+        ) as sel:
+            return sel.count()
+
+    t("dsir top-50 (en target)", _dsir)
 
     def _index_probe():
         import tempfile
