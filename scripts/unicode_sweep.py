@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Unicode / multilingual cross-engine sweep (round 6).
+
+The graded fixtures are pure ASCII, so every oracle contract built on
+md5 / lower / trim / regex classes had only ever been exercised on
+ASCII — while a real 100 TB corpus is multilingual. This sweep builds a
+small adversarial documents fixture (accents, case-folding traps like
+Istanbul-dotted-I and Eszett, Greek final sigma, Cyrillic, CJK without
+spaces, Korean, emoji, astral math letters, NBSP / ideographic /
+zero-width spaces, combining vs precomposed accents, Arabic/Devanagari,
+ligatures, fullwidth forms, U+FFFD) plus the standard non-text tables,
+then runs the text-family registry queries through driver_sim
+(Spark vs DuckDB hash compare).
+
+Finding on first run: q40_quality diverged — Spark counts punctuation
+under Java's (?U) Unicode \\w (deliberate, the right multilingual
+semantics) while the oracle's RE2 \\w is ASCII-only; the oracle now
+spells out the Unicode class ([^\\p{L}\\p{M}\\p{N}\\p{Pc}\\p{Z}\\s]).
+All 32 swept queries green after the fix.
+
+Usage: python scripts/unicode_sweep.py  (builds /tmp/uni_fixture, ~2 min)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (1, "café résumé naïve coöperate déjà vu élan", "fr", "web"),
+    (2, "straße weiß groß FUSSBALL Straße", "de", "web"),
+    (3, "İstanbul ısparta DİYARBAKIR ırmak", "tr", "web"),
+    (4, "Ελληνικά κείμενο ΣΊΣΥΦΟΣ τέλος σ vs ς", "el", "web"),
+    (5, "русский текст �МОСКВА привет мир", "ru", "web"),
+    (6, "日本語のテキストです 漢字 ひらがな カタカナ", "ja", "web"),
+    (7, "中文文本没有空格但这里有 空格 分词", "zh", "web"),
+    (8, "한국어 텍스트 예시 입니다", "ko", "web"),
+    (9, "emoji test 🎉 🚀 party 🎉 🎉 done", "en", "social"),
+    (10, "astral 𝒜𝒷𝒸 math 𝔘𝔫𝔦 chars", "en", "social"),
+    (11, "nbsp separated words here", "en", "web"),
+    (12, "ideographic　space　test", "ja", "web"),
+    (13, "combining é vs precomposed é equal?", "en", "web"),
+    (14, "tab\tand\nnewline\r\nmix spaces", "en", "web"),
+    (15, "zero​width​space joined", "en", "web"),
+    (16, "ARABIC نص عربي مع كلمات", "ar", "web"),
+    (17, "mixed English और हिन्दी text", "hi", "web"),
+    (18, "ligature ﬁre ﬂow oﬃce", "en", "web"),
+    (19, "fullwidth ＡＢＣ１２３ chars", "en", "web"),
+    (20, "café résumé naïve coöperate déjà vu élan", "fr", "mirror"),
+    (21, "CAFÉ RÉSUMÉ NAÏVE COÖPERATE DÉJÀ VU ÉLAN", "fr", "mirror"),
+    (22, "русский текст москва ПРИВЕТ МИР", "ru", "mirror"),
+    (23, "emoji test 🎉 🚀 party 🎉 🎉 done", "en", "mirror"),
+    (24, "straße weiß groß fussball STRASSE", "de", "mirror"),
+]
+
+QUERIES = [
+    "q26", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
+    "q40_quality", "q48_ngram_jaccard", "q49_fingerprint_md5",
+    "q50_simhash_md5", "q55_minhash_md5", "q56_connected_components",
+    "q61_decontaminate", "q62_repetition", "q63_hash_sample",
+    "q64_stratified_sample", "q66_pii_redact", "q67_shard_pack",
+    "q68_boilerplate_strip", "q71_curation_funnel", "q73_mixture_sample",
+    "q75_unigram_logprob", "q81_tfidf_terms", "q91_training_order",
+    "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
+    "q98_heavy_hitters", "q99_source_curation", "q104_simhash_dedup",
+    "q106_truncate_longdocs", "q108_segment_dedup", "q109_dsir_sample",
+]
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixture = os.environ.get("SPARK_GRAFT_UNI_DIR", "/tmp/uni_fixture")
+    os.makedirs(fixture, exist_ok=True)
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s) in TEXTS]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{fixture}/documents.parquet")
+    # non-text tables ride along from the smallest real fixture so
+    # driver_sim's view registration succeeds
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{fixture}/{t}.parquet")
+    rc = subprocess.call(
+        [sys.executable, f"{REPO}/scripts/driver_sim.py", fixture, *QUERIES]
+    )
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
