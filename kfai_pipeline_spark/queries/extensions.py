@@ -2377,3 +2377,76 @@ def q107_zscore_backfill(spark, sf_dir):
         "event_id", "user_id", "value",
         "roll_mean", "roll_std", "zscore", "is_anomaly",
     ).orderBy("event_id")
+
+
+# --------------------------------------- Q110: int8-quantized ANN + re-rank
+@register(
+    "q110_quantized_ann",
+    # Int8 scalar quantization (Faiss SQ8): codes are EXACT integers in
+    # both engines (floor(x+0.5) of identical doubles — round() would
+    # diverge on half ties), so the candidate cut is deterministic; the
+    # approx/exact cosines follow the q27 list_cosine_similarity
+    # contract, rounded 4dp, ordered by the UNROUNDED scores.
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (
+        SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM corpus
+    ),
+    st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos),
+    cx AS (
+        SELECT c.vec_id, s.pos,
+               CASE WHEN s.mx > s.mn
+                    THEN floor((c.v[s.pos] - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                    ELSE 0 END AS code,
+               s.mn, s.mx
+        FROM corpus c CROSS JOIN st s
+    ),
+    recon AS (
+        SELECT vec_id, list(mn + code * (mx - mn) / 255 ORDER BY pos) AS xhat
+        FROM cx GROUP BY vec_id
+    ),
+    approx AS (
+        SELECT r.vec_id,
+               list_cosine_similarity(r.xhat, q.qv) AS a_raw
+        FROM recon r CROSS JOIN q
+    ),
+    cands AS (
+        SELECT vec_id, a_raw,
+               ROW_NUMBER() OVER (ORDER BY a_raw DESC, vec_id) AS rn
+        FROM approx
+    ),
+    exact AS (
+        SELECT c.vec_id, c.a_raw,
+               list_cosine_similarity(co.v, q.qv) AS s_raw
+        FROM cands c
+        JOIN corpus co USING (vec_id) CROSS JOIN q
+        WHERE c.rn <= 40
+    )
+    SELECT vec_id, ROUND(a_raw, 4) AS approx_score, ROUND(s_raw, 4) AS score
+    FROM exact
+    ORDER BY s_raw DESC, vec_id LIMIT 10
+    """,
+    doc=(
+        "Int8 scalar-quantized ANN with exact re-rank (similarity."
+        "quantized_topk, X42; Faiss SQ8, arXiv:1702.08734): stage 1 "
+        "scans the 4x-smaller codes table (bandwidth IS the cost of a "
+        "100 TB brute-force candidate pass) against the full-precision "
+        "query, keeps top k*refine; stage 2 re-ranks the survivors "
+        "against the full-precision vectors. Per-dim codebook and "
+        "queries ride broadcasts; codes pinned bit-exact cross-engine."
+    ),
+)
+def q110_quantized_ann(spark, sf_dir):
+    from kfai_pipeline_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    out = quantized_topk(corpus, q, k=10, refine=4)
+    return out.select("vec_id", "approx_score", "score")

@@ -285,6 +285,7 @@ _NESTED_LOOP_OK = {
     "q98_heavy_hitters",    # broadcast 1-row corpus-total cross join
     "q101_hybrid_rrf",      # bm25 1-row stats + broadcast cosine probe arms
     "q109_dsir_sample",     # broadcast 1-row bucket-totals cross join
+    "q110_quantized_ann",   # broadcast codebook + query cross joins
 }
 
 
@@ -623,3 +624,13 @@ def test_q109_dsir_stats_broadcast_and_fold_is_ordered(spark):
     assert "array_sort" in p and "aggregate(" in p
     # one corpus pass: every derived aggregate reads the cached frame
     assert "InMemoryTableScan" in p
+
+
+def test_q110_quantized_ann_broadcasts_and_no_second_full_scan(spark):
+    """The quantized candidate pass must ride broadcasts (codebook,
+    queries); the re-rank joins a tiny candidate set back — no
+    CartesianProduct, and the final top-k per query is a bounded
+    window, with ROW_NUMBER filter pushed as a rank limit."""
+    p = plan(spark, "q110_quantized_ann")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 2

@@ -199,3 +199,70 @@ def test_blas_arm_equals_jvm_arm(spark):
     a = sorted(map(tuple, cosine_topk(corpus, queries, k=7).collect()))
     b = sorted(map(tuple, cosine_topk_blas(corpus, queries, k=7).collect()))
     assert a == b and len(a) == 20 * 7
+
+
+# ------------------------------ int8 scalar quantization (X42, q110)
+def test_quantize_int8_codes_are_exact_and_layout_invariant(spark):
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.similarity import (
+        quantization_stats,
+        quantize_int8,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    st = quantization_stats(emb)
+    a = {r.vec_id: r.codes for r in quantize_int8(emb, st).collect()}
+    b = {
+        r.vec_id: r.codes
+        for r in quantize_int8(emb.repartition(7, "vec_id"), st).collect()
+    }
+    assert a == b
+    assert all(0 <= c <= 255 for codes in a.values() for c in codes)
+
+
+def test_quantized_topk_matches_exact_at_full_refine(spark):
+    """With refine covering the whole corpus the candidate stage cannot
+    drop anything, so the re-ranked top-k must EQUAL the exact
+    brute-force top-k (ids and scores)."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    n = corpus.count()
+    qt = quantized_topk(corpus, q, k=5, refine=n)
+    ex = cosine_topk(corpus, q, k=5, round_to=4)
+    assert [(r.vec_id, r.score) for r in qt.collect()] == [
+        (r.vec_id, r.score) for r in ex.collect()
+    ]
+
+
+def test_quantization_error_is_bounded(spark):
+    """SQ8 reconstruction error per dim <= (mx-mn)/255/2; on unit-ish
+    vectors the approx cosine should sit within a few 1e-3 of exact."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators.similarity import quantized_topk
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    rows = quantized_topk(corpus, q, k=10, refine=4).collect()
+    assert rows and all(abs(r.approx_score - r.score) < 0.01 for r in rows)
