@@ -859,7 +859,9 @@ def quantized_topk(
         .where(F.col("__rn") <= k * refine)
         .drop("__rn")
     )
-    exact = cands.join(
+    # broadcast the k*refine-row candidate set so the full-precision
+    # table streams map-side through the re-rank (see sq8_topk)
+    exact = F.broadcast(cands).join(
         vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")),
         id_col,
     ).join(
@@ -887,5 +889,218 @@ def quantized_topk(
             id_col,
             approx.alias("approx_score"),
             score.alias("score"),
+        )
+    )
+
+
+def write_sq8_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the SQ8 index: ``<path>/stats`` (1-row per-dim codebook)
+    and ``<path>/codes`` (id, code_bytes BINARY — uint8-PACKED, one
+    byte per dimension — plus the precomputed reconstruction norm).
+
+    Packing into a binary column (not array<int>) is the point: parquet
+    has no int8 physical type, so an int array burns 4 bytes/dim before
+    encoding, while the packed bytes hit the advertised 4x-vs-float32
+    size cut — at 100 TB of vectors the candidate scan is
+    bandwidth-bound, and the codes table IS the bytes it reads. The
+    reconstruction norm rides along so the scan never has to rebuild
+    it. Same floor(x+0.5) code math as :func:`quantize_int8`, same
+    operation order, so both arms produce identical codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    stats_df = quantization_stats(vectors, vec_col)
+    stats_df.write.mode("overwrite").parquet(f"{path}/stats")
+    srow = stats_df.sparkSession.read.parquet(f"{path}/stats").collect()[0]
+    mn = np.array(srow["__mn"], dtype=np.float64)
+    mx = np.array(srow["__mx"], dtype=np.float64)
+    den = mx - mn
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("code_bytes", BinaryType()),
+            StructField("norm_hat", DoubleType()),
+        ]
+    )
+    src = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                # empty file splits yield zero-row frames; pin dtypes so
+                # Arrow never infers float64 for the binary column (the
+                # round-6 empty-batch defect class, BASELINE.md §5g)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype="int64"),
+                        "code_bytes": pd.Series(dtype="object"),
+                        "norm_hat": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            # same op order as the expression arm: ((x-mn)/den)*255+0.5
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = (V - mn) / den
+            codes = np.where(den > 0, np.floor(frac * 255.0 + 0.5), 0.0)
+            recon = mn + codes * den / 255.0
+            c8 = codes.astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0].astype("int64"),
+                    "code_bytes": [row.tobytes() for row in c8],
+                    "norm_hat": np.sqrt((recon * recon).sum(axis=1)),
+                }
+            )
+
+    src.mapInPandas(pack, schema=out_schema).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def sq8_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    refine: int = 4,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Scan the persisted SQ8 index for top-``k*refine`` candidates per
+    query, then (when ``vectors`` is given) re-rank them exactly against
+    the full-precision table. Returns (query_id, vec_id, approx_score[,
+    score]).
+
+    The candidate kernel exploits that the asymmetric dot product is
+    LINEAR in the codes: dot(recon, q) = q·mn + (q*scale)·c, so each
+    Arrow batch is ONE uint8-matrix matmul against the transformed
+    query weights plus a constant — no per-pair dequantization. The
+    codes table (1 byte/dim + one stored norm) is the only corpus-scale
+    read; queries/codebook broadcast; each batch emits only its local
+    top candidates, so the global window shuffles O(k·refine·queries·
+    batches) rows (the cosine_topk_blas two-level shape). Re-rank joins
+    the tiny candidate id set back to ``vectors``."""
+    import numpy as np
+
+    srow = spark.read.parquet(f"{path}/stats").collect()[0]
+    mn = np.array(srow["__mn"], dtype=np.float64)
+    mx = np.array(srow["__mx"], dtype=np.float64)
+    scale = (mx - mn) / 255.0
+    q_rows = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col)
+    ).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    W = Q * scale                      # q x d
+    const = Q @ mn                     # q
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    n_cand = k * refine
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("__approx", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["code_bytes"]), dtype=np.uint8
+            ).reshape(len(pdf), -1).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            nh = pdf["norm_hat"].to_numpy()
+            dots = C @ W.T + const            # b x q
+            denom = nh[:, None] * qnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, dots / denom, -np.inf)
+            kk = min(n_cand, len(ids))
+            out = {"query_id": [], id_col: [], "__approx": []}
+            for j in range(len(qids)):
+                col = S[:, j]
+                order = np.lexsort((ids, -col))[:kk]
+                out["query_id"].extend([qids[j]] * len(order))
+                out[id_col].extend(ids[order])
+                out["__approx"].extend(col[order])
+            yield pd.DataFrame(out)
+
+    codes_df = spark.read.parquet(f"{path}/codes")
+    local = codes_df.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    cands = (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_cand)
+        .drop("__rn")
+    )
+    approx = F.col("__approx")
+    if round_to is not None:
+        approx = F.round(approx, round_to)
+    if vectors is None:
+        return cands.select(
+            "query_id", id_col, approx.alias("approx_score")
+        )
+    # BROADCAST the tiny candidate set: without the hint Catalyst
+    # sort-merge-joins, shuffling the entire float table to meet 800
+    # candidate rows (measured 30.9 s vs 13 s at 10M vectors). The
+    # float scan itself is the irreducible re-rank cost; with the
+    # vectors laid out sorted/bucketed by id it prunes further at the
+    # row-group level.
+    exact_join = F.broadcast(cands).join(
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")),
+        id_col,
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                _as_double(query_vec_col).alias("__q"),
+            )
+        ),
+        "query_id",
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("__raw"), F.asc(id_col)
+    )
+    score_col = F.col("__raw")
+    if round_to is not None:
+        score_col = F.round(score_col, round_to)
+    return (
+        exact_join.withColumn("__raw", cosine(F.col("__v"), F.col("__q")))
+        .withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            approx.alias("approx_score"),
+            score_col.alias("score"),
         )
     )
