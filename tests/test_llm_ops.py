@@ -485,3 +485,56 @@ def test_segment_dedup_is_total_over_null_and_empty_text(spark):
     # DSIR: featureless docs are absent by contract (unscorable != 0)
     scored = {r.doc_id for r in dsir_weights(df, F.lit(False)).collect()}
     assert scored == {1}
+
+
+def test_dedup_segments_text_matches_python_reference(spark):
+    """Property: the Spark pipeline must agree with a direct Python
+    transcription of the contract (global first-occurrence by
+    (doc_id, seg_no), lower+trim normalization, blanks always kept,
+    in-order reassembly, NULL when nothing survives) on randomized
+    high-collision corpora."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from kfai_pipeline_spark.operators.dedup import dedup_segments_text
+
+    def ref_dedup(docs, w):
+        out, seen = {}, set()
+        for doc_id, text in sorted(docs):
+            words = re.split(r"\s+", (text or "").strip())
+            segs = [
+                " ".join(words[i : i + w]) for i in range(0, len(words), w)
+            ]
+            kept = []
+            for seg in segs:
+                norm = seg.strip().lower()
+                if norm == "" or norm not in seen:
+                    if norm:
+                        seen.add(norm)
+                    kept.append(seg)
+            out[doc_id] = (
+                len(segs),
+                len(kept),
+                " ".join(kept) if kept else None,
+            )
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="aB c", max_size=40), min_size=1, max_size=8
+        )
+    )
+    def check(texts):
+        docs = list(enumerate(texts))
+        got = {
+            r.doc_id: (r.n_segs, r.n_kept, r.dedup_text)
+            for r in dedup_segments_text(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                words_per_seg=2,
+            ).collect()
+        }
+        assert got == ref_dedup(docs, 2)
+
+    check()
