@@ -198,6 +198,43 @@ SECTIONS = [
         "task; see BASELINE.md §5h.)",
     ),
     (
+        "q108_segment_dedup",
+        "Corpus segment-level dedup (X39)",
+        "Segment grain is derived MAP-SIDE (staged word array + "
+        "transform/posexplode — zero shuffles, and no per-segment "
+        "re-split of the document). The first-occurrence winner is a "
+        "groupBy(hash).min(struct) with map-side partial_min, joined "
+        "back SortMergeJoin on the hash — machine-asserted: no Window "
+        "(a 10^9-copy hot boilerplate segment must never serialize its "
+        "duplicate set into one window task; min() reduces it to one "
+        "row per task map-side, BASELINE.md §5k). Reassembly is the "
+        "only per-doc shuffle.",
+    ),
+    (
+        "q109_dsir_sample",
+        "DSIR hashed importance resampling (X41)",
+        "ONE corpus bigram pass materializes the compact (doc, bucket) "
+        "count frame (persisted — Spark shares no subplans, so the "
+        "three derived aggregates would otherwise re-explode the "
+        "corpus); the B-row bucket stats and 1-row totals come back as "
+        "broadcasts (machine-asserted InMemoryTableScan + "
+        "BroadcastHashJoin); the per-doc weight is an ORDERED float "
+        "fold so the result is partitioning-invariant; top-k is "
+        "TakeOrderedAndProject.",
+    ),
+    (
+        "q110_quantized_ann",
+        "Int8 scalar-quantized ANN + exact re-rank (X42)",
+        "Codes are bit-exact across engines (floor(x+0.5) of identical "
+        "doubles); the per-dim codebook and the query set ride "
+        "broadcasts, the candidate window is bounded at k*refine, and "
+        "the re-rank joins the BROADCAST candidate set back so the "
+        "full-precision table streams map-side. The production twin "
+        "(sq8_topk) scans a PACKED-byte persisted index — 1 byte/dim — "
+        "with a linear-form uint8 matmul kernel: 5.3x the brute BLAS "
+        "scan at 10M vectors (BASELINE.md §5g-addendum 3).",
+    ),
+    (
         "q100_rolling_zscore",
         "Trailing-window z-score anomaly detection (X23b)",
         "count/avg/stddev and the z arithmetic all ride ONE Window "
