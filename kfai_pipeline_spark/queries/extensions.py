@@ -2450,3 +2450,53 @@ def q110_quantized_ann(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") != 0)
     out = quantized_topk(corpus, q, k=10, refine=4)
     return out.select("vec_id", "approx_score", "score")
+
+
+# --------------------------------- Q111: SQ8 persisted-index roundtrip
+@register(
+    "q111_sq8_index",
+    # Rows-only BY DESIGN (oracle=None): the production SQ8 arm scans a
+    # PACKED-byte persisted index with a numpy matmul kernel whose
+    # float reassociation differs in ulps from any SQL fold — a strict
+    # hash oracle would be a knife-edge, and the SEMANTICS are already
+    # hash-checked three ways by q110 (the expression arm: bit-exact
+    # codes, identical fold order). The hash-checked twin contract:
+    # tests/test_similarity_ivf.py asserts this pipeline's output EQUALS
+    # q110's on the same corpus. What this row adds to the driver loop
+    # is the index lifecycle: write (stats + packed codes + norms) →
+    # read → kernel probe → broadcast exact re-rank, executed fresh
+    # each round.
+    oracle=None,
+    doc=(
+        "SQ8 persisted-index roundtrip (similarity.write_sq8_index + "
+        "sq8_topk, X42 production arm): writes the packed-byte index "
+        "to scratch, probes it with the linear-form uint8 matmul "
+        "kernel, re-ranks exactly against the full-precision table. "
+        "5.3x the brute BLAS scan at 10M vectors (BASELINE.md "
+        "§5g-addendum 3). Rows-only; hash-checked twin = q110."
+    ),
+)
+def q111_sq8_index(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        sq8_topk,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q111_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "sq8")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        write_sq8_index(corpus, idx)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    out = sq8_topk(spark, idx, q, k=10, refine=4, vectors=corpus)
+    return out.select("vec_id", "approx_score", "score")

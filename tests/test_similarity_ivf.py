@@ -266,3 +266,22 @@ def test_quantization_error_is_bounded(spark):
     corpus = emb.where(F.col("vec_id") != 0)
     rows = quantized_topk(corpus, q, k=10, refine=4).collect()
     assert rows and all(abs(r.approx_score - r.score) < 0.01 for r in rows)
+
+
+def test_q111_index_roundtrip_equals_q110_expression_arm(spark):
+    """The rows-only q111 (persisted packed-byte index + kernel scan)
+    must produce exactly the q110 expression arm's output — the
+    hash-checked-twin contract for the production path."""
+    from kfai_pipeline_spark.queries import REGISTRY
+
+    from tests.conftest import SF_ORACLE
+
+    a = [
+        (r.vec_id, r.approx_score, r.score)
+        for r in REGISTRY["q111_sq8_index"].build(spark, SF_ORACLE).collect()
+    ]
+    b = [
+        (r.vec_id, r.approx_score, r.score)
+        for r in REGISTRY["q110_quantized_ann"].build(spark, SF_ORACLE).collect()
+    ]
+    assert a == b and len(a) == 10
