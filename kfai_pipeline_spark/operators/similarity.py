@@ -850,6 +850,10 @@ def quantized_topk(
             F.col(id_col),
             cosine(recon, F.col("__q")).alias("__approx"),
         )
+        # zero-norm vectors have no meaningful cosine (NULL) — drop
+        # them so both arms (this and sq8_topk's kernel, which masks
+        # non-finite scores) agree on degenerate inputs
+        .where(F.col("__approx").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__approx"), F.col(id_col)
@@ -872,7 +876,9 @@ def quantized_topk(
         ),
         "query_id",
     )
-    score = cosine(F.col("__v"), F.col("__q2"))
+    # rank and emit from ONE __score_raw column (the d-length HOF fold
+    # is expensive — don't evaluate it twice per candidate row)
+    score = F.col("__score_raw")
     approx = F.col("__approx")
     if round_to is not None:
         score = F.round(score, round_to)
@@ -927,9 +933,16 @@ def write_sq8_index(
     mn = np.array(srow["__mn"], dtype=np.float64)
     mx = np.array(srow["__mx"], dtype=np.float64)
     den = mx - mn
+    # the id column keeps ITS OWN type (string keys are as legitimate
+    # as longs — the expression arm is id-type-agnostic and the two
+    # arms must share a domain)
+    id_type = vectors.schema[id_col].dataType
+    id_pd_dtype = (
+        "int64" if id_type.typeName() in ("long", "integer", "short") else "object"
+    )
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField("code_bytes", BinaryType()),
             StructField("norm_hat", DoubleType()),
         ]
@@ -944,7 +957,7 @@ def write_sq8_index(
                 # round-6 empty-batch defect class, BASELINE.md §5g)
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series(dtype="int64"),
+                        id_col: pd.Series(dtype=id_pd_dtype),
                         "code_bytes": pd.Series(dtype="object"),
                         "norm_hat": pd.Series(dtype="float64"),
                     }
@@ -959,7 +972,7 @@ def write_sq8_index(
             c8 = codes.astype(np.uint8)
             yield pd.DataFrame(
                 {
-                    id_col: pdf.iloc[:, 0].astype("int64"),
+                    id_col: pdf.iloc[:, 0],
                     "code_bytes": [row.tobytes() for row in c8],
                     "norm_hat": np.sqrt((recon * recon).sum(axis=1)),
                 }
@@ -1019,10 +1032,13 @@ def sq8_topk(
         StructType,
     )
 
+    codes_df = spark.read.parquet(f"{path}/codes")
+    # id types follow the data (string keys work exactly like longs —
+    # the expression-arm twin is id-type-agnostic)
     out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField(id_col, codes_df.schema[id_col].dataType),
             StructField("__approx", DoubleType()),
         ]
     )
@@ -1046,13 +1062,16 @@ def sq8_topk(
             out = {"query_id": [], id_col: [], "__approx": []}
             for j in range(len(qids)):
                 col = S[:, j]
-                order = np.lexsort((ids, -col))[:kk]
+                # zero-norm rows scored -inf above: EXCLUDE them, the
+                # expression arm drops its NULL-cosine twin rows too
+                valid = np.isfinite(col)
+                vids, vcol = ids[valid], col[valid]
+                order = np.lexsort((vids, -vcol))[:kk]
                 out["query_id"].extend([qids[j]] * len(order))
-                out[id_col].extend(ids[order])
-                out["__approx"].extend(col[order])
+                out[id_col].extend(vids[order])
+                out["__approx"].extend(vcol[order])
             yield pd.DataFrame(out)
 
-    codes_df = spark.read.parquet(f"{path}/codes")
     local = codes_df.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__approx"), F.asc(id_col)

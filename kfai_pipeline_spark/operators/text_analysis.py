@@ -89,9 +89,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(text_col)
     n_tokens = token_count(text_col)
     n_chars = F.length(F.col(text_col))
-    # (?U): Java regex \w is ASCII-only by default — the Unicode flag
-    # keeps accented/CJK letters out of the punctuation count
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"(?U)[^\w\s]", ""))
+    # Explicit PORTABLE word class, not Java's (?U)\w: the engines must
+    # agree character-for-character, and (?U)\w has Java-only members
+    # (gc=No digits like ½ excluded, Other_Alphabetic symbols like Ⓐ
+    # included, NEL as whitespace) that no RE2 class reproduces. Both
+    # this regex and the q40 oracle spell the same set: letters L,
+    # marks M, decimal digits Nd, connector Pc, separators Z, ASCII
+    # \s, and the ZWJ/ZWNJ join controls (routine in Persian/Hindi
+    # text and emoji sequences). Everything else counts as punctuation.
+    n_punct = n_chars - F.length(
+        F.regexp_replace(
+            F.col(text_col),
+            "[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\u200C\\u200D]",
+            "",
+        )
+    )
     stop_hits = F.size(
         F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS_EN))
     )

@@ -188,18 +188,22 @@ def q39_asof(spark, sf_dir):
 # ---------------------------------------------------------------- Q40: quality features
 @register(
     "q40_quality",
-    # punct class: the Spark side counts punctuation under Java's (?U)
-    # Unicode \w (accented/CJK letters, combining marks, connector
-    # punctuation and unicode spaces are NOT punctuation — the right
-    # semantics for a multilingual corpus). RE2's \w is ASCII-only, so
-    # the oracle spells the same class out: letters L, marks M, digits
-    # N, connector Pc, separators Z, ASCII \s. Identical on ASCII
-    # fixtures; the round-6 unicode sweep caught the divergence.
+    # punct class: BOTH engines pin the same explicit Unicode word set
+    # (letters L, marks M, decimal digits Nd, connector Pc, separators
+    # Z, ASCII \s, ZWJ/ZWNJ) — accented/CJK letters and combining
+    # marks are NOT punctuation, the right semantics for a
+    # multilingual corpus. Java's (?U)\w was rejected: no RE2 class
+    # reproduces its Java-only members (gc=No, Other_Alphabetic, NEL),
+    # so the operator uses this exact class too. Identical on ASCII;
+    # the round-6 unicode sweep caught the original \w divergence and
+    # the review pass caught the (?U) edge cases.
     oracle="""
     SELECT doc_id,
            CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
            ROUND((length(text) - length(regexp_replace(
-                      text, '[^\\p{L}\\p{M}\\p{N}\\p{Pc}\\p{Z}\\s]', '', 'g'))
+                      text,
+                      '[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\x{200C}\\x{200D}]',
+                      '', 'g'))
                  ) / length(text), 4) AS punct_ratio,
            ROUND(length(list_filter(string_split_regex(trim(text), '\\s+'),
                         w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')

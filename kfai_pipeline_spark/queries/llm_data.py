@@ -1240,9 +1240,11 @@ def q101_hybrid_rrf(spark, sf_dir):
     # an empty doc).
     oracle="""
     WITH w AS (
+        -- coalesce matches the Spark arm's NULL-totality contract:
+        -- unnest of a NULL array would silently DROP the document
         SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\\s+')) AS word,
-               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+               unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS word,
+               generate_subscripts(string_split_regex(trim(coalesce(text, '')), '\\s+'), 1) AS pos
         FROM documents
     ),
     seg AS (
@@ -1351,6 +1353,10 @@ def q108_segment_dedup(spark, sf_dir):
     ),
 )
 def q109_dsir_sample(spark, sf_dir):
+    # unscoped on purpose: the registry memoizes builds per (session,
+    # sf_dir), so the persisted (doc,bucket) frame exists at most once
+    # per fixture per session (the q98 session-lived-cache precedent);
+    # LOOPED callers outside the registry should use dsir_sample_scoped
     from kfai_pipeline_spark.operators.sampling import dsir_sample
     from kfai_pipeline_spark.operators.text_analysis import md5_long
 

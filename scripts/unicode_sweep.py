@@ -55,6 +55,14 @@ TEXTS = [
     (22, "русский текст москва ПРИВЕТ МИР", "ru", "mirror"),
     (23, "emoji test 🎉 🚀 party 🎉 🎉 done", "en", "mirror"),
     (24, "straße weiß groß fussball STRASSE", "de", "mirror"),
+    # review-pass probes for the pinned punctuation class (q40): gc=No
+    # fraction, ZWJ emoji sequence, Other_Alphabetic symbol, NEL
+    # control, ZWNJ (routine in Persian)
+    (25, "half ½ frac", "en", "probe"),
+    (26, "fam \U0001F468‍\U0001F469 emoji", "en", "probe"),
+    (27, "circled Ⓐ letter", "en", "probe"),
+    (28, "nelline", "en", "probe"),
+    (29, "persian mi‌khaham text", "fa", "probe"),
 ]
 
 QUERIES = [

@@ -285,3 +285,36 @@ def test_q111_index_roundtrip_equals_q110_expression_arm(spark):
         for r in REGISTRY["q110_quantized_ann"].build(spark, SF_ORACLE).collect()
     ]
     assert a == b and len(a) == 10
+
+
+def test_sq8_arms_agree_on_string_ids_and_zero_norm_vectors(spark):
+    """Review-pass contracts: (a) both quantization arms accept
+    non-long ids; (b) zero-norm vectors are EXCLUDED by both arms
+    (NULL cosine in the expression arm, non-finite mask in the
+    kernel), so the twins stay identical on degenerate inputs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.operators.similarity import (
+        quantized_topk,
+        sq8_topk,
+        write_sq8_index,
+    )
+
+    rows = [("d%02d" % i, [float((i * 7 + j) % 5) for j in range(8)])
+            for i in range(1, 30)]
+    rows.append(("zz_zero", [0.0] * 8))  # zero-norm: must never rank
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame(
+        [("q0", [1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0])],
+        ["query_id", "embedding"],
+    )
+    a = quantized_topk(corpus, q, k=5, refine=6)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_sq8_index(corpus, f"{tmp}/idx")
+        b = sq8_topk(spark, f"{tmp}/idx", q, k=5, refine=6, vectors=corpus)
+        got_a = [(r.vec_id, r.approx_score, r.score) for r in a.collect()]
+        got_b = [(r.vec_id, r.approx_score, r.score) for r in b.collect()]
+    assert got_a == got_b and len(got_a) == 5
+    assert all(v != "zz_zero" for v, _, _ in got_a)
