@@ -286,6 +286,7 @@ _NESTED_LOOP_OK = {
     "q101_hybrid_rrf",      # bm25 1-row stats + broadcast cosine probe arms
     "q109_dsir_sample",     # broadcast 1-row bucket-totals cross join
     "q110_quantized_ann",   # broadcast codebook + query cross joins
+    "q111_sq8_index",       # 1-row literal query join constant-folds to NLJ
 }
 
 
