@@ -620,9 +620,14 @@ def simhash(
     # scan's split count (shuffle-bearing frames are never probed —
     # see _maybe_widen)
     df = _maybe_widen(df)
+    # NULL text behaves like empty text (one '' word): explode over a
+    # NULL split would silently DROP the document while blank docs stay
+    # — the signature pass must be total over its input (NULL sweep)
     words = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("__w"),
     ).withColumn("__h", hash_fn(F.col("__w")))
     bit_aggs = [
         F.sum(

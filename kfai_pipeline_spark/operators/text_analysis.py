@@ -68,8 +68,13 @@ def truncate_long_docs(
 
     Opt-in by design: truncation CHANGES semantics (MinHash estimates,
     token counts and quality ratios see the prefix only), so pipelines
-    apply it deliberately, typically right after ingest."""
-    n = F.length(text_col)
+    apply it deliberately, typically right after ingest.
+
+    Provenance is TOTAL: NULL text yields orig_n_chars=0 and
+    was_truncated=false (the text itself passes through NULL) — a
+    NULL boolean in a guard column would poison every downstream
+    filter with three-valued logic (round-6 NULL sweep)."""
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
     return (
         df.withColumn("orig_n_chars", n)
         .withColumn("was_truncated", n > max_chars)

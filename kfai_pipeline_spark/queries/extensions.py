@@ -198,17 +198,22 @@ def q39_asof(spark, sf_dir):
     # the round-6 unicode sweep caught the original \w divergence and
     # the review pass caught the (?U) edge cases.
     oracle="""
+    WITH q AS (
+        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents
+    )
     SELECT doc_id,
-           CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-           ROUND((length(text) - length(regexp_replace(
-                      text,
-                      '[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\x{200C}\\x{200D}]',
-                      '', 'g'))
-                 ) / length(text), 4) AS punct_ratio,
-           ROUND(length(list_filter(string_split_regex(trim(text), '\\s+'),
-                        w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
-                 )) / length(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
-    FROM documents
+           CAST(n_tok AS INT) AS n_tokens,
+           COALESCE(CASE WHEN length(text) > 0 THEN
+               ROUND((length(text) - length(regexp_replace(
+                          text,
+                          '[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\x{200C}\\x{200D}]',
+                          '', 'g'))
+                     ) / length(text), 4) END, 0.0) AS punct_ratio,
+           COALESCE(CASE WHEN n_tok > 0 THEN
+               ROUND(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
+                     )) / n_tok, 4) END, 0.0) AS stopword_ratio
+    FROM q
     ORDER BY doc_id
     LIMIT 500
     """,
@@ -229,7 +234,7 @@ def q40_quality(spark, sf_dir):
     "q29_tokens",
     oracle="""
     SELECT doc_id,
-           CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS len_chars
     FROM documents
     ORDER BY doc_id
@@ -255,8 +260,8 @@ def q29_tokens(spark, sf_dir):
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-           ROUND(AVG(length(string_split_regex(trim(text), '\\s+'))), 2) AS avg_tokens
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END), 2) AS avg_tokens
     FROM documents
     GROUP BY lang ORDER BY lang
     """,
@@ -325,7 +330,7 @@ def _langid_oracle() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words FROM documents
+  SELECT doc_id, lang, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
 ), s AS (
   SELECT doc_id, lang, greatest(
       {arms}
@@ -558,7 +563,7 @@ def q47_simsearch_ivf(spark, sf_dir):
     "q48_ngram_jaccard",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS w FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -601,7 +606,7 @@ def q48_ngram_jaccard(spark, sf_dir):
     # between engines, the set itself does not.
     oracle="""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
 ), kg AS (
   SELECT doc_id,
     list_transform(
@@ -660,7 +665,7 @@ _Q50_SIG = " + ".join(
     # signature is a sum of distinct powers of two (== bitwise OR).
     oracle=f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
 ), wh AS (
   SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
   FROM w, LATERAL (SELECT unnest(words) AS w) u
@@ -894,7 +899,7 @@ def q57_duration_format_roundtrip(spark, sf_dir):
     # Spark's iterative propagation must converge to the same labels.
     oracle="""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS w FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -957,7 +962,7 @@ _Q55_MINS = ",\n      ".join(
     # hash-checked arm; q34 remains the production xxhash64 pipeline.
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS words FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t
@@ -2121,7 +2126,7 @@ def q103_bucketed_join(spark, sf_dir):
     # Spark arm's exact-duplicate collapse is invisible in the output.
     oracle=f"""
     WITH RECURSIVE w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
     ), wh AS (
       SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
       FROM w, LATERAL (SELECT unnest(words) AS w) u
@@ -2193,7 +2198,7 @@ _Q105_AGREE = " + ".join(
     # so the score is bit-portable).
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS words FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t
@@ -2257,8 +2262,8 @@ def q105_neardup_index(spark, sf_dir):
     # (1-based, character-counted substring) across engines.
     oracle="""
     SELECT doc_id,
-           length(text) AS orig_n_chars,
-           length(text) > 200 AS was_truncated,
+           length(coalesce(text, '')) AS orig_n_chars,
+           length(coalesce(text, '')) > 200 AS was_truncated,
            md5(CASE WHEN length(text) > 200 THEN substr(text, 1, 200)
                     ELSE text END) AS prefix_md5
     FROM documents

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""NULL-injection cross-engine sweep (round 6).
+
+The graded fixtures contain zero NULLs; production corpora are full of
+them, and SQL three-valued logic makes NULL handling the classic
+cross-engine divergence point. This sweep builds a documents fixture
+with NULL text / empty text / whitespace-only text / NULL lang / NULL
+source / an all-NULL row, then runs the text-family registry queries
+through driver_sim (Spark vs DuckDB hash compare).
+
+First run found EIGHT divergences, resolved under one contract —
+**NULL text behaves like empty text, and derived guard columns are
+total (never NULL)**:
+  - token counting: blank docs counted 1 token in the oracles
+    (len(['']) after split) vs 0 in token_count() — oracles now CASE
+    on blank first;
+  - quality ratios: oracles yielded NULL (or div-by-zero) where the
+    operator documents 0.0 — now COALESCE'd;
+  - signature family (fingerprint / minhash / simhash / jaccard /
+    components): Spark's greatest()-floor degrades NULL to one ''
+    shingle but DuckDB's split(NULL) vanished the doc — oracles now
+    coalesce(text, '');
+  - simhash ITSELF dropped NULL-text docs (explode over a NULL split)
+    while keeping blank docs — fixed in the operator;
+  - truncate_long_docs guard columns were NULL for NULL text (a NULL
+    boolean poisons downstream filters) — now total (0, false).
+
+Usage: python scripts/null_sweep.py  (builds /tmp/null_fixture, ~3 min)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "q26", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
+    "q40_quality", "q48_ngram_jaccard", "q49_fingerprint_md5",
+    "q50_simhash_md5", "q55_minhash_md5", "q56_connected_components",
+    "q61_decontaminate", "q62_repetition", "q63_hash_sample",
+    "q64_stratified_sample", "q66_pii_redact", "q67_shard_pack",
+    "q68_boilerplate_strip", "q71_curation_funnel", "q73_mixture_sample",
+    "q75_unigram_logprob", "q81_tfidf_terms", "q91_training_order",
+    "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
+    "q98_heavy_hitters", "q99_source_curation", "q104_simhash_dedup",
+    "q105_neardup_index", "q106_truncate_longdocs",
+    "q108_segment_dedup", "q109_dsir_sample",
+]
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixture = os.environ.get("SPARK_GRAFT_NULL_DIR", "/tmp/null_fixture")
+    os.makedirs(fixture, exist_ok=True)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (1, None, "en", "web"),
+        (2, "", "en", "web"),
+        (3, "   ", "en", "web"),
+        (4, "normal doc with words here", None, "web"),
+        (5, "another ordinary document text", "en", None),
+        (6, None, None, None),
+        (7, "duplicate text body here", "fr", "web"),
+        (8, "duplicate text body here", "fr", "web"),
+        (9, "words " * 30, "de", "mirror"),
+    ] + [
+        (
+            10 + i,
+            f"filler doc number {i} with some shared tokens the and of",
+            ["en", "es", "zh"][i % 3],
+            "web",
+        )
+        for i in range(15)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else None for r in rows],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{fixture}/documents.parquet")
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{fixture}/{t}.parquet")
+    rc = subprocess.call(
+        [sys.executable, f"{REPO}/scripts/driver_sim.py", fixture, *QUERIES]
+    )
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -551,18 +551,17 @@ def test_dedup_null_and_empty_text_docs_survive(spark):
         by_id = {r["doc_id"]: r["component"] for r in fn(df, "text", "doc_id").collect()}
         assert set(by_id) == {1, 2, 3, 4, 5, 6}, f"{fn.__name__} dropped docs"
         assert by_id[1] == by_id[6] == 1      # exact dups share min label
-    # Family-specific no-content semantics (unchanged from the
-    # pre-collapse pipelines): minhash's short-doc fallback gives null
-    # AND empty docs the same '' shingle, so they all merge; simhash's
-    # explode path emits no signature for null text, so nulls stay
-    # singletons while empty strings (one '' token) merge.
-    mh = {r["doc_id"]: r["component"]
-          for r in D.minhash_dedup(df, "text", "doc_id").collect()}
-    assert mh[2] == mh[3] == mh[4] == mh[5] == 2
-    sh = {r["doc_id"]: r["component"]
-          for r in D.simhash_dedup(df, "text", "doc_id").collect()}
-    assert sh[2] == 2 and sh[3] == 3
-    assert sh[4] == sh[5] == 4
+    # Unified no-content semantics (round-6 NULL sweep): NULL text
+    # behaves like empty text across the WHOLE signature family —
+    # minhash's short-doc fallback and simhash's coalesced explode both
+    # give null and empty docs the same '' token, so all four merge
+    # into one no-content component. (Identical empty docs ARE exact
+    # duplicates of each other; a per-family split here meant minhash
+    # and simhash disagreed about the same corpus.)
+    for fn in (D.minhash_dedup, D.simhash_dedup):
+        by_id = {r["doc_id"]: r["component"]
+                 for r in fn(df, "text", "doc_id").collect()}
+        assert by_id[2] == by_id[3] == by_id[4] == by_id[5] == 2, fn.__name__
 
 
 def test_neardup_against_index_roundtrip(spark, dup_docs, tmp_path):

@@ -145,4 +145,7 @@ def test_truncate_long_docs_caps_and_flags(spark):
     assert out[1]["text"] == "short doc" and out[1]["was_truncated"] is False
     assert len(out[2]["text"]) == 100 and out[2]["was_truncated"] is True
     assert out[2]["orig_n_chars"] == 500
-    assert out[3]["text"] is None and out[3]["was_truncated"] is None
+    # guard columns are TOTAL (round-6 NULL sweep): a NULL boolean in
+    # was_truncated would poison downstream three-valued filters
+    assert out[3]["text"] is None and out[3]["was_truncated"] is False
+    assert out[3]["orig_n_chars"] == 0
