@@ -38,8 +38,26 @@ def asof_join(
     post-carry filter — the carried match timestamp rides along as one
     extra column, so the plan shape (one shuffle, one window) is
     unchanged.
+
+    NULL join keys follow equi-join semantics: they match NOTHING
+    (window partitionBy would otherwise group every NULL-key row into
+    one partition and cross-match them — the round-6 NULL sweep caught
+    exactly that). NULL-key left rows BYPASS the window entirely and
+    union back with NULL values — correctness aside, a crawl corpus's
+    giant NULL-key population would otherwise serialize into a single
+    hot window partition.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    left_null = left.where(F.col(on).isNull()).select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    left = left.where(F.col(on).isNotNull())
+    right = right.where(F.col(on).isNotNull())
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -93,4 +111,4 @@ def asof_join(
     return matched.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in value_cols],
-    )
+    ).unionByName(left_null)

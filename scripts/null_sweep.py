@@ -36,6 +36,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+EVENT_QUERIES = [
+    "q16", "q17", "q24", "q25", "q28", "q39_asof",
+    "q54_sessionize_terminator", "q58_sliding_window", "q72_interval_join",
+    "q80_rolling_range", "q84_funnel", "q85_retention",
+    "q100_rolling_zscore", "q102_incremental_agg", "q107_zscore_backfill",
+]
+
 QUERIES = [
     "q26", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
     "q40_quality", "q48_ngram_jaccard", "q49_fingerprint_md5",
@@ -92,12 +99,46 @@ def main() -> None:
     pq.write_table(tbl, f"{fixture}/documents.parquet")
     src = "/root/testdata/sf0.001"
     for t in (
-        "region nation customer supplier part orders lineitem events "
-        "embeddings"
+        "region nation customer supplier part orders lineitem embeddings"
     ).split():
         shutil.copy(f"{src}/{t}.parquet", f"{fixture}/{t}.parquet")
+    # events with NULL value / event_type / props / user_id (ts and
+    # event_id stay structural). First run: q39_asof matched NULL user
+    # ids to each other (window partitionBy groups NULLs) — asof_join
+    # now gives NULL keys equi-join semantics and routes them around
+    # the window (skew bonus: no giant NULL-key window partition).
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT * FROM read_parquet('{src}/events.parquet')"
+    ).fetchdf()
+    ev.loc[ev.index % 19 == 0, "value"] = None
+    ev.loc[ev.index % 53 == 0, "event_type"] = None
+    ev.loc[ev.index % 31 == 0, "props"] = None
+    uid = ev["user_id"].astype("object")
+    uid[ev.index % 41 == 0] = None
+    ev["user_id"] = uid
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ev["event_id"], pa.int64()),
+                "ts": pa.array(ev["ts"], pa.timestamp("us")),
+                "user_id": pa.array(ev["user_id"].tolist(), pa.int64()),
+                "event_type": pa.array(ev["event_type"], pa.string()),
+                "value": pa.array(ev["value"], pa.float64()),
+                "props": pa.array(ev["props"], pa.string()),
+            }
+        ),
+        f"{fixture}/events.parquet",
+    )
     rc = subprocess.call(
-        [sys.executable, f"{REPO}/scripts/driver_sim.py", fixture, *QUERIES]
+        [
+            sys.executable,
+            f"{REPO}/scripts/driver_sim.py",
+            fixture,
+            *QUERIES,
+            *EVENT_QUERIES,
+        ]
     )
     sys.exit(rc)
 

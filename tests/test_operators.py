@@ -700,3 +700,27 @@ def test_semantic_dedup_vector_copy_collapse(spark):
         assert out[20] == (10, False)        # near-dup joins the copy cluster
         assert out[30] == (30, True)
         assert out[40] == (40, True) and out[41] == (41, True)  # zeros singleton
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """Equi-join semantics for NULL keys (round-6 NULL sweep): a
+    NULL-key left row returns with NULL values (left-join totality)
+    and never picks up a NULL-key right row's carry; NULL-key right
+    rows are inert."""
+    import datetime as dt
+
+    from kfai_pipeline_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10), "l1"), (None, t(10), "l2")],
+        "user_id long, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0), (None, t(5), 999.0)],
+        "user_id long, rts timestamp, val double",
+    )
+    out = {r.tag: r.val for r in asof_join(
+        left, right, "user_id", "lts", "rts", value_cols=["val"]
+    ).collect()}
+    assert out == {"l1": 100.0, "l2": None}
