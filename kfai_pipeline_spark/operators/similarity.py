@@ -367,7 +367,10 @@ def assign_clusters(
 ) -> DataFrame:
     """Append the 0-based nearest-centroid id (max dot; first wins on
     ties — for unit vectors max dot == max cosine, i.e. spherical
-    k-means assignment). NULL vectors get a NULL cluster id.
+    k-means assignment). NULL and zero-norm vectors get a NULL cluster
+    id — a zero vector has no direction, so "nearest centroid by
+    cosine" is undefined for it (the degenerate-vector contract shared
+    with cosine/quantized_topk; round-6 sweep).
 
     Scale shape: the centroid matrix ships ONCE per executor as a Spark
     broadcast variable and each Arrow batch scores with a single
@@ -402,7 +405,11 @@ def assign_clusters(
             out = np.full(len(pdf), None, dtype=object)
             if mask.any():
                 V = np.array(vals[mask].tolist(), dtype=np.float64)
-                out[mask] = np.argmax(V @ C.T, axis=1)
+                ok = (V * V).sum(axis=1) > 0
+                sub = np.full(int(mask.sum()), None, dtype=object)
+                if ok.any():
+                    sub[ok] = np.argmax(V[ok] @ C.T, axis=1)
+                out[mask] = sub
             pdf = pdf.copy()
             pdf[out_col] = pd.array(out, dtype="Int32")
             yield pdf
@@ -688,7 +695,13 @@ def cosine_topk_blas(
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # q x d
 
-    normed = vectors.select(F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v"))
+    # NULL/zero-norm vectors normalize to NULL; drop them MAP-SIDE or
+    # the numpy batch matrix goes ragged and the kernel crashes (they
+    # could never rank anyway — the JVM arm's NULLS-LAST ordering
+    # excludes them implicitly)
+    normed = vectors.select(
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v")
+    ).where(F.col("__v").isNotNull())
     from pyspark.sql.types import (
         DoubleType,
         LongType,

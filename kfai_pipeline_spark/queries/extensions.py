@@ -1705,8 +1705,14 @@ def q89_asof_tolerance(spark, sf_dir):
         FROM embeddings WHERE vec_id < 4
     ),
     scored AS (
+        -- zero-norm guard: DuckDB's list_cosine_similarity returns
+        -- -1.0 for a zero vector (!); the contract says a zero vector
+        -- has no direction and is unassignable (NULL cluster)
         SELECT e.vec_id, c.cid,
-               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos
+               CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) > 0
+                    THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+               END AS cos
         FROM embeddings e, cents c
         WHERE e.vec_id >= 4
     ),
@@ -2398,8 +2404,11 @@ def q107_zscore_backfill(spark, sf_dir):
     # contract, rounded 4dp, ordered by the UNROUNDED scores.
     oracle="""
     WITH corpus AS (
+        -- NULL embeddings are excluded by contract (the Spark arm's
+        -- NULL cosine filter); a NULL element would also error
+        -- DuckDB's list_cosine_similarity outright
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id <> 0
+        FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL
     ),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
     dims AS (

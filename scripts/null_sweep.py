@@ -36,6 +36,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+VECTOR_QUERIES = [
+    "q27", "q36_neardup_emb", "q46_sketch", "q47_simsearch_ivf",
+    "q69_radius_search", "q74_semantic_dedup", "q76_simsearch_blas",
+    "q90_cluster_assign", "q101_hybrid_rrf", "q110_quantized_ann",
+]
+
 EVENT_QUERIES = [
     "q16", "q17", "q24", "q25", "q28", "q39_asof",
     "q54_sessionize_terminator", "q58_sliding_window", "q72_interval_join",
@@ -98,10 +104,34 @@ def main() -> None:
     )
     pq.write_table(tbl, f"{fixture}/documents.parquet")
     src = "/root/testdata/sf0.001"
-    for t in (
-        "region nation customer supplier part orders lineitem embeddings"
-    ).split():
+    for t in "region nation customer supplier part orders lineitem".split():
         shutil.copy(f"{src}/{t}.parquet", f"{fixture}/{t}.parquet")
+    # embeddings with a NULL vector, a zero vector, and a NULL label.
+    # First run found: the BLAS kernel crashed on ragged numpy input
+    # (NULL vectors now drop map-side), assign_clusters sent zero
+    # vectors to cluster 0 via argmax-dot while DuckDB's
+    # list_cosine_similarity returns -1.0 for them (!) — contract:
+    # zero-norm vectors have no direction, NULL cluster / never rank.
+    import duckdb
+
+    emdf = duckdb.sql(
+        f"SELECT * FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchdf()
+    emb = [list(map(float, e)) for e in emdf["embedding"]]
+    emb[5] = None
+    emb[7] = [0.0] * 64
+    lab = [int(x) for x in emdf["label"]]
+    lab[9] = None
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(emdf["vec_id"].tolist(), pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+                "label": pa.array(lab, pa.int32()),
+            }
+        ),
+        f"{fixture}/embeddings.parquet",
+    )
     # events with NULL value / event_type / props / user_id (ts and
     # event_id stay structural). First run: q39_asof matched NULL user
     # ids to each other (window partitionBy groups NULLs) — asof_join
@@ -138,6 +168,7 @@ def main() -> None:
             fixture,
             *QUERIES,
             *EVENT_QUERIES,
+            *VECTOR_QUERIES,
         ]
     )
     sys.exit(rc)

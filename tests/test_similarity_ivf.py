@@ -318,3 +318,34 @@ def test_sq8_arms_agree_on_string_ids_and_zero_norm_vectors(spark):
         got_b = [(r.vec_id, r.approx_score, r.score) for r in b.collect()]
     assert got_a == got_b and len(got_a) == 5
     assert all(v != "zz_zero" for v, _, _ in got_a)
+
+
+def test_degenerate_vectors_never_rank_or_assign(spark):
+    """Round-6 degenerate-vector contract: NULL embeddings drop
+    map-side in the BLAS arm (a ragged numpy batch would crash the
+    kernel) and zero-norm vectors are unassignable (NULL cluster) and
+    never rank — DuckDB's list_cosine_similarity returns -1.0 for a
+    zero vector, so the contract must be explicit, not accidental."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.operators.similarity import (
+        assign_clusters,
+        cosine_topk_blas,
+    )
+
+    rows = [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(10)]
+    rows += [(90, None), (91, [0.0, 0.0, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    top = [r.vec_id for r in cosine_topk_blas(vecs, q, k=12).collect()]
+    assert 90 not in top and 91 not in top and len(top) == 10
+    cl = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(
+            vecs, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]], "embedding"
+        ).collect()
+    }
+    assert cl[90] is None and cl[91] is None
+    assert all(cl[i] is not None for i in range(10))
