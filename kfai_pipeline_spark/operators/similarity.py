@@ -445,6 +445,12 @@ def kmeans_centroids(
     ).where(F.col("__v").isNotNull())
     init_rows = normed.orderBy("__id").limit(n_clusters).select("__v").collect()
     centroids = [list(r["__v"]) for r in init_rows]
+    if not centroids:
+        # nothing to seed from (empty or all-degenerate corpus):
+        # callers treat an empty codebook as "no index" (ivf_topk
+        # returns an empty result) rather than crashing the Lloyd loop
+        # on a 0-dimensional centroid matrix
+        return []
     sc = vectors.sparkSession.sparkContext
 
     for _ in range(iters):
@@ -653,6 +659,21 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, iters)
+    if not centroids:
+        # empty (or all-degenerate) corpus: no clusters to probe — an
+        # empty result with the contract schema, not a kernel crash on
+        # a 0-dim centroid matrix (round-6 empty-input sweep)
+        spark = vectors.sparkSession
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            [
+                queries.schema[query_id_col],
+                vectors.schema[id_col],
+                StructField("score", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     index = ivf_index(vectors, centroids, vec_col, id_col)
     return ivf_probe_topk(
         index, centroids, queries, k, nprobe, id_col, query_vec_col, query_id_col, round_to
@@ -1029,9 +1050,28 @@ def sq8_topk(
     mn = np.array(srow["__mn"], dtype=np.float64)
     mx = np.array(srow["__mx"], dtype=np.float64)
     scale = (mx - mn) / 255.0
-    q_rows = queries.select(
-        F.col(query_id_col), _as_double(query_vec_col)
-    ).collect()
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), _as_double(query_vec_col)
+        ).collect()
+        if r[1] is not None
+    ]
+    if mn.size == 0 or not q_rows:
+        # empty index (built over an empty corpus) or no usable query
+        # vectors: an empty result with the contract schema, not a
+        # shape error in the kernel (round-6 empty-input sweep)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        codes_schema = spark.read.parquet(f"{path}/codes").schema
+        fields = [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            codes_schema[id_col],
+            StructField("approx_score", DoubleType()),
+        ]
+        if vectors is not None:
+            fields.append(StructField("score", DoubleType()))
+        return spark.createDataFrame([], StructType(fields))
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     W = Q * scale                      # q x d

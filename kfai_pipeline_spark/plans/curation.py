@@ -81,9 +81,14 @@ def curation_funnel(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     flags = curation_flags(df, text_col, id_col, **kw)
 
     def _pair(cond):
+        # coalesce: SUM over ZERO input rows is NULL, and a funnel
+        # report over an empty corpus must read "0 docs, 0 tokens",
+        # not "unknown" (round-6 empty-input sweep)
         return (
-            F.sum(F.when(cond, 1).otherwise(0)),
-            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).cast("bigint"),
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)),
+            F.coalesce(
+                F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)), F.lit(0)
+            ).cast("bigint"),
         )
 
     stages = [

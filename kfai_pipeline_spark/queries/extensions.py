@@ -732,6 +732,13 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     write_partitioned_json(events, out_dir, epoch_col="epoch")
     back = (
         spark.read.option("recursiveFileLookup", "false")  # partition dirs
+        # pinned schema (the S4 contract): schema inference over an
+        # empty partition tree fails outright, and a 100 TB pipeline
+        # must never infer when it already knows the shape
+        .schema(
+            "event_id bigint, event_type string, value double, "
+            "epoch bigint, year int, month int"
+        )
         .json(out_dir)
     )
     return (
@@ -2355,11 +2362,18 @@ def q107_zscore_backfill(spark, sf_dir):
                 "percentile(__us, array(0.34, 0.67)) AS p"
             ).selectExpr("explode(p)").collect()
         ]
-        slices = [
-            ev_us.where(F.col("__us") <= bounds[0]),
-            ev_us.where((F.col("__us") > bounds[0]) & (F.col("__us") <= bounds[1])),
-            ev_us.where(F.col("__us") > bounds[1]),
-        ]
+        if len(bounds) < 2 or bounds[0] is None:
+            # empty events: percentile over nothing has no split points
+            # — drain one (empty) epoch instead of crashing on bounds[0]
+            slices = [ev_us, ev_us.limit(0), ev_us.limit(0)]
+        else:
+            slices = [
+                ev_us.where(F.col("__us") <= bounds[0]),
+                ev_us.where(
+                    (F.col("__us") > bounds[0]) & (F.col("__us") <= bounds[1])
+                ),
+                ev_us.where(F.col("__us") > bounds[1]),
+            ]
         # sequential writes: the file source triggers in modification-time
         # order, so epoch order == time order (the parity precondition:
         # per-key event time non-decreasing ACROSS micro-batches)
@@ -2387,7 +2401,18 @@ def q107_zscore_backfill(spark, sf_dir):
         # if it were the whole result
         with open(done_marker, "w") as f:
             f.write("done")
-    scored = spark.read.parquet(os.path.join(root, "out", "batch_*"))
+    import glob as _glob
+
+    out_cols = (
+        "event_id bigint, user_id bigint, value double, roll_mean double, "
+        "roll_std double, zscore double, is_anomaly boolean"
+    )
+    if _glob.glob(os.path.join(root, "out", "batch_*")):
+        scored = spark.read.parquet(os.path.join(root, "out", "batch_*"))
+    else:
+        # a fully-empty drain commits no batch dirs — an empty result
+        # with the contract schema, not a missing-path read error
+        scored = spark.createDataFrame([], out_cols)
     return scored.select(
         "event_id", "user_id", "value",
         "roll_mean", "roll_std", "zscore", "is_anomaly",

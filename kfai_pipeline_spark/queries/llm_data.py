@@ -500,7 +500,8 @@ def q70_fixed_chunks(spark, sf_dir):
     ),
     f4 AS (SELECT *, ok_dedup AND sample_keep AS ok_sample FROM f3),
     agg AS (
-        SELECT COUNT(*) AS n_raw, CAST(SUM(n_tokens) AS BIGINT) AS t_raw,
+        SELECT COUNT(*) AS n_raw,
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t_raw,
                COUNT(*) FILTER (ok_len) AS n_len,
                CAST(COALESCE(SUM(n_tokens) FILTER (ok_len), 0) AS BIGINT) AS t_len,
                COUNT(*) FILTER (ok_quality) AS n_q,

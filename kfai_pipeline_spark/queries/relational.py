@@ -249,6 +249,7 @@ def q08(spark, sf_dir):
     SELECT r_name, n_name, COUNT(*) AS cnt
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
+    HAVING COUNT(*) > 0
     ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """,
     doc="ROLLUP grouping sets (A7), pinned NULLS FIRST ordering.",
@@ -711,6 +712,7 @@ def q23(spark, sf_dir):
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
     FROM orders
     GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    HAVING COUNT(*) > 0
     ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
     """,
     doc="CUBE grouping sets (A7 completeness; rollup's sibling, Q09).",
@@ -775,6 +777,7 @@ def q43_cross(spark, sf_dir):
            ROUND(SUM(c_acctbal), 2) AS sum_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    HAVING COUNT(*) > 0
     ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
     """,
     doc="Explicit GROUPING SETS (A7 completeness) — Spark SQL form.",
