@@ -1176,3 +1176,305 @@ def sq8_topk(
             score_col.alias("score"),
         )
     )
+
+
+# ----------------------------- product quantization (IVF-PQ, X43)
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Train ``m`` per-subspace codebooks of ``n_codes`` centroids each
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): split the d dims into m contiguous subspaces of d/m and
+    k-means each independently.
+
+    Deterministic sample-fit: training runs driver-side numpy over a
+    hash-ordered sample of at most ``sample_rows`` vectors (PQ needs
+    representative centroids, not a distributed fit — Faiss trains on
+    samples too), seeded k-means++-lite init (first ``n_codes`` sample
+    rows after hash ordering). Returns a list of m (n_codes x d/m)
+    float lists; the driver holds m*n_codes*d/m = n_codes*d floats —
+    the same footprint as ONE IVF codebook.
+    """
+    import numpy as np
+
+    sample = (
+        vectors.select(_as_double(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        return []
+    X = np.array([list(r["__v"]) for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(Xs))
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if len(Xs) * k * sub < 5e7 else None
+            if d2 is None:
+                # chunked distance for big samples
+                assign = np.empty(len(Xs), dtype=np.int64)
+                step = max(1, int(5e7 / (k * sub)))
+                for s in range(0, len(Xs), step):
+                    blk = Xs[s : s + step]
+                    assign[s : s + step] = (
+                        ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    ).argmin(axis=1)
+            else:
+                assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books.append([list(map(float, row)) for row in C])
+    return books
+
+
+def write_pq_index(
+    vectors: DataFrame,
+    path: str,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode every vector as m uint8 codes (nearest per-subspace
+    centroid) PACKED into one binary column — m bytes per vector, e.g.
+    8 bytes for a 64-dim corpus: 32x smaller than float32. Writes
+    ``<path>/codes`` (id, pq_bytes); codebooks persist via the caller
+    (they are a driver-side list — save with save_pq_index).
+
+    Encoding is one broadcast-numpy kernel per Arrow batch: m argmin
+    matmul passes over (batch x n_codes) distance matrices. NULL
+    vectors are excluded (the degenerate-vector contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    m = len(codebooks)
+    id_type = vectors.schema[id_col].dataType
+    if m == 0:
+        # empty codebooks (trained on an empty corpus): write a
+        # schema-only codes table so readers see the contract schema
+        from pyspark.sql.types import BinaryType as _B
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        vectors.sparkSession.createDataFrame(
+            [], _ST([_SF(id_col, id_type), _SF("pq_bytes", _B())])
+        ).write.mode("overwrite").parquet(f"{path}/codes")
+        return
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        [np.array(b, dtype=np.float64) for b in codebooks]
+    )
+    id_pd = (
+        "int64" if id_type.typeName() in ("long", "integer", "short") else "object"
+    )
+    out_schema = StructType(
+        [StructField(id_col, id_type), StructField("pq_bytes", BinaryType())]
+    )
+    src = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+
+    def encode(batches):
+        books = bc.value
+        sub = books[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype=id_pd),
+                        "pq_bytes": pd.Series(dtype="object"),
+                    }
+                )
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.uint8)
+            for j, C in enumerate(books):
+                Vs = V[:, j * sub : (j + 1) * sub]
+                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin over
+                # c drops the ||v||^2 term
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Vs @ C.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0],
+                    "pq_bytes": [row.tobytes() for row in codes],
+                }
+            )
+
+    src.mapInPandas(encode, schema=out_schema).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def save_pq_index(spark: SparkSession, path: str, codebooks: list) -> None:
+    """Persist the codebooks beside the codes as a tiny parquet."""
+    rows = [
+        (j, c, list(map(float, centroid)))
+        for j, book in enumerate(codebooks)
+        for c, centroid in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark: SparkSession, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not rows:
+        return []
+    m = max(r["subspace"] for r in rows) + 1
+    books: list = [dict() for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    return [[b[c] for c in sorted(b)] for b in books]
+
+
+def pq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    refine: int = 8,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ index:
+    per query precompute an (m x n_codes) lookup table of subspace dot
+    products LUT[j][c] = q_j · centroid_jc, then every corpus vector's
+    approximate dot is m LUT gathers summed — no float vector is ever
+    read. The codes table is m bytes/vector (32x smaller than float32
+    at d=64/m=8), so at 100 TB the candidate scan reads ~3 TB instead.
+    Approximate scores rank by DOT (PQ preserves dot products, not
+    norms); the exact re-rank against the full-precision table
+    re-scores the tiny candidate set with true cosine. Same two-level
+    top-k shape as cosine_topk_blas / sq8_topk."""
+    import numpy as np
+
+    codebooks = load_pq_codebooks(spark, path)
+    codes_df = spark.read.parquet(f"{path}/codes")
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), _as_double(query_vec_col)
+        ).collect()
+        if r[1] is not None
+    ]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not codebooks or not q_rows:
+        fields = [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            codes_df.schema[id_col],
+            StructField("approx_dot", DoubleType()),
+        ]
+        if vectors is not None:
+            fields.append(StructField("score", DoubleType()))
+        return spark.createDataFrame([], StructType(fields))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    # LUTs: (n_queries, m, n_codes)
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    np.array(codebooks[j], dtype=np.float64)
+                    @ q[j * sub : (j + 1) * sub]
+                    for j in range(m)
+                ]
+            )
+            for q in Q
+        ]
+    )
+    n_cand = k * refine
+    bc = spark.sparkContext.broadcast((qids, luts))
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            codes_df.schema[id_col],
+            StructField("__adot", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        qids_b, luts_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.frombuffer(
+                b"".join(pdf["pq_bytes"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf[id_col].to_numpy()
+            kk = min(n_cand, len(ids))
+            out = {"query_id": [], id_col: [], "__adot": []}
+            cols = np.arange(m)
+            for qi in range(len(qids_b)):
+                # gather: sum over subspaces of LUT[j, code_j]
+                dots = luts_b[qi][cols[None, :], C].sum(axis=1)
+                order = np.lexsort((ids, -dots))[:kk]
+                out["query_id"].extend([qids_b[qi]] * len(order))
+                out[id_col].extend(ids[order])
+                out["__adot"].extend(dots[order])
+            yield pd.DataFrame(out)
+
+    local = codes_df.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adot"), F.asc(id_col))
+    cands = (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_cand)
+        .drop("__rn")
+    )
+    adot = F.col("__adot")
+    if round_to is not None:
+        adot = F.round(adot, round_to)
+    if vectors is None:
+        return cands.select("query_id", id_col, adot.alias("approx_dot"))
+    exact_join = F.broadcast(cands).join(
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")),
+        id_col,
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                _as_double(query_vec_col).alias("__q"),
+            )
+        ),
+        "query_id",
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc(id_col))
+    score_col = F.col("__raw")
+    if round_to is not None:
+        score_col = F.round(score_col, round_to)
+    return (
+        exact_join.withColumn("__raw", cosine(F.col("__v"), F.col("__q")))
+        .withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            adot.alias("approx_dot"),
+            score_col.alias("score"),
+        )
+    )

@@ -2543,3 +2543,55 @@ def q111_sq8_index(spark, sf_dir):
     )
     out = sq8_topk(spark, idx, q, k=10, refine=4, vectors=corpus)
     return out.select("vec_id", "approx_score", "score")
+
+
+# --------------------------------------- Q112: PQ (ADC) index roundtrip
+@register(
+    "q112_pq_index",
+    # Rows-only BY DESIGN (the q111 rationale): PQ training is
+    # iterative numpy k-means and the ADC kernel's float reassociation
+    # differs in ulps from any SQL fold — no honest hash oracle exists.
+    # The contracts are test-pinned instead: layout-invariant training
+    # (hash-ordered sample), full-refine output EQUALS brute-force
+    # top-k, empty-corpus schema guard (test_similarity_ivf). What the
+    # driver row adds: the full index lifecycle — train -> encode to
+    # m-byte packed codes -> save/load codebooks -> ADC probe ->
+    # broadcast exact re-rank — executed fresh each round.
+    oracle=None,
+    doc=(
+        "Product-quantization ANN (similarity.pq_topk, X43; Jégou et "
+        "al. 2011): 8 uint8 codes/vector (32x smaller than float32), "
+        "per-query LUT + gather-sum ADC scan, exact re-rank. "
+        "Rows-only; contracts pinned by tests incl. full-refine "
+        "equality with brute force."
+    ),
+)
+def q112_pq_index(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        pq_topk,
+        save_pq_index,
+        train_pq_codebooks,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q112_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "pq")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        books = train_pq_codebooks(corpus, m=8, n_codes=64)
+        write_pq_index(corpus, idx, books)
+        save_pq_index(spark, idx, books)
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    out = pq_topk(spark, idx, q, k=10, refine=8, vectors=corpus)
+    return out.select("vec_id", "approx_dot", "score")

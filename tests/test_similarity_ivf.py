@@ -349,3 +349,75 @@ def test_degenerate_vectors_never_rank_or_assign(spark):
     }
     assert cl[90] is None and cl[91] is None
     assert all(cl[i] is not None for i in range(10))
+
+
+# ------------------------------ product quantization (X43, q112)
+def test_pq_roundtrip_recall_and_determinism(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators import similarity as S
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    books = S.train_pq_codebooks(corpus, m=8, n_codes=32)
+    books2 = S.train_pq_codebooks(corpus.repartition(7), m=8, n_codes=32)
+    assert books == books2  # hash-ordered sample: layout-invariant
+    idx = str(tmp_path / "pq")
+    S.write_pq_index(corpus, idx, books)
+    S.save_pq_index(spark, idx, books)
+    assert S.load_pq_codebooks(spark, idx) == books
+    got = {r.vec_id for r in S.pq_topk(spark, idx, q, k=5, refine=8,
+                                       vectors=corpus).collect()}
+    exact = {r.vec_id for r in S.cosine_topk(corpus, q, k=5).collect()}
+    assert len(got & exact) >= 4  # >=80% recall at refine=8 on sf0.001
+
+
+def test_pq_full_refine_equals_exact(spark, tmp_path):
+    """With the candidate cut covering the whole corpus, the exact
+    re-rank must EQUAL brute-force top-k (ids and scores) — the PQ
+    stage can then only reorder candidates, never drop one."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.catalog import load_table
+    from kfai_pipeline_spark.operators import similarity as S
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    n = corpus.count()
+    books = S.train_pq_codebooks(corpus, m=8, n_codes=32)
+    idx = str(tmp_path / "pq")
+    S.write_pq_index(corpus, idx, books)
+    S.save_pq_index(spark, idx, books)
+    got = [(r.vec_id, r.score) for r in S.pq_topk(
+        spark, idx, q, k=5, refine=n, vectors=corpus).collect()]
+    exact = [(r.vec_id, r.score) for r in S.cosine_topk(
+        corpus, q, k=5, round_to=4).collect()]
+    assert got == exact
+
+
+def test_pq_empty_corpus_returns_contract_schema(spark, tmp_path):
+    from kfai_pipeline_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, embedding array<double>"
+    )
+    books = S.train_pq_codebooks(empty, m=2)
+    assert books == []
+    idx = str(tmp_path / "pq")
+    S.write_pq_index(empty, idx, [[[0.0] * 4] * 4, [[0.0] * 4] * 4])
+    S.save_pq_index(spark, idx, [])
+    out = S.pq_topk(spark, idx, q, k=5, vectors=empty)
+    assert out.collect() == []
+    assert out.columns == ["query_id", "vec_id", "approx_dot", "score"]
