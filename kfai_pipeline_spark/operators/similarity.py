@@ -1194,25 +1194,39 @@ def train_pq_codebooks(
     k-means each independently.
 
     Deterministic sample-fit: training runs driver-side numpy over a
-    hash-ordered sample of at most ``sample_rows`` vectors (PQ needs
+    hash-FILTERED sample of ~``sample_rows`` vectors (PQ needs
     representative centroids, not a distributed fit — Faiss trains on
-    samples too), seeded k-means++-lite init (first ``n_codes`` sample
-    rows after hash ordering). Returns a list of m (n_codes x d/m)
-    float lists; the driver holds m*n_codes*d/m = n_codes*d floats —
-    the same footprint as ONE IVF codebook.
+    samples too). The filter is a pure function of the vector content,
+    so the sample (and therefore the codebooks) is layout-invariant.
+    NOT orderBy(hash).limit(n): a global top-100k "limit" compiles to
+    TakeOrderedAndProject, which driver-merges every partition's local
+    top-100k — O(partitions x sample) rows to the driver; at 10M x 64d
+    that is ~2.4 GB and aborts on spark.driver.maxResultSize (found by
+    scripts/pq_vec_spot.py). The filter ships ~sample_rows, period.
+    Returns a list of m (n_codes x d/m) float lists; the driver holds
+    n_codes*d floats — the same footprint as ONE IVF codebook.
     """
     import numpy as np
 
-    sample = (
-        vectors.select(_as_double(vec_col).alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .orderBy(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)))
-        .limit(sample_rows)
-        .collect()
+    src = vectors.select(_as_double(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull()
     )
+    total = src.count()
+    h = F.pmod(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)), F.lit(1_000_000))
+    if total > sample_rows:
+        keep = int(1_000_000 * sample_rows / total)
+        src = src.where(h < keep)
+    # deterministic fit order regardless of arrival order
+    sample = sorted(src.collect(), key=lambda r: tuple(r["__v"]))
     if not sample:
         return []
     X = np.array([list(r["__v"]) for r in sample], dtype=np.float64)
+    # train in the NORMALIZED space: the ADC scan ranks by dot, and
+    # dot == cosine only on unit vectors — unnormalized norms dominate
+    # the ranking and recall collapses (measured 0.38 at 10M before
+    # normalization). Zero-norm rows are excluded by contract.
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0, None]
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1223,22 +1237,18 @@ def train_pq_codebooks(
         k = min(n_codes, len(Xs))
         C = Xs[:k].copy()
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if len(Xs) * k * sub < 5e7 else None
-            if d2 is None:
-                # chunked distance for big samples
-                assign = np.empty(len(Xs), dtype=np.int64)
-                step = max(1, int(5e7 / (k * sub)))
-                for s in range(0, len(Xs), step):
-                    blk = Xs[s : s + step]
-                    assign[s : s + step] = (
-                        ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    ).argmin(axis=1)
-            else:
-                assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    C[c] = Xs[mask].mean(axis=0)
+            # matmul identity (||c||^2 - 2 v.c; the ||v||^2 term drops
+            # under argmin) — the (x-c)^2 broadcast form materialized a
+            # samples x codes x dims temp and made training ~180 s at a
+            # 100k sample; this is one GEMM (~2 s)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, assign, Xs)
+            np.add.at(counts, assign, 1)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books.append([list(map(float, row)) for row in C])
     return books
 
@@ -1286,7 +1296,7 @@ def write_pq_index(
         [StructField(id_col, id_type), StructField("pq_bytes", BinaryType())]
     )
     src = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")).where(
-        F.col("__v").isNotNull()
+        F.col("__v").isNotNull() & (l2_norm(F.col("__v")) > 0)
     )
 
     def encode(batches):
@@ -1302,6 +1312,7 @@ def write_pq_index(
                 )
                 continue
             V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            V = V / np.sqrt((V * V).sum(axis=1))[:, None]
             codes = np.empty((len(V), m), dtype=np.uint8)
             for j, C in enumerate(books):
                 Vs = V[:, j * sub : (j + 1) * sub]
@@ -1376,7 +1387,7 @@ def pq_topk(
         for r in queries.select(
             F.col(query_id_col), _as_double(query_vec_col)
         ).collect()
-        if r[1] is not None
+        if r[1] is not None and any(x != 0 for x in r[1])
     ]
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1393,6 +1404,7 @@ def pq_topk(
     sub = len(codebooks[0][0])
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Q = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
     # LUTs: (n_queries, m, n_codes)
     luts = np.stack(
         [

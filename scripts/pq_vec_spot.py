@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """PQ (ADC) spot at 10M vectors (round 6, X43) — sibling of
-sq8_vec_spot.py. Trains m=8 x 256-code codebooks on a 100k sample,
-encodes 10M x 64d into 8-byte packed codes, then times the ADC scan
-(approx only) and ADC + exact re-rank vs the float brute scan, with
-recall vs exact. Usage: python scripts/pq_vec_spot.py [dir] [n_q] [k]
+sq8_vec_spot.py. Trains m=16 x 256-code codebooks on a 100k sample
+(the measured operating point for this 64-dim corpus: recall 0.95 at
+refine=32 vs 0.375 at m=8/refine=8 — see BASELINE §5n for the full
+refine/m curve), encodes 10M x 64d into 16-byte packed codes (16x
+smaller than float32), then times the ADC scan and ADC + exact
+re-rank vs the float brute scan, with recall vs exact.
+Usage: python scripts/pq_vec_spot.py [dir] [n_q] [k]
 """
 from __future__ import annotations
 
@@ -42,7 +45,7 @@ def main() -> None:
         queries.cache().count()
 
         t0 = time.perf_counter()
-        books = S.train_pq_codebooks(vectors, m=8, n_codes=256)
+        books = S.train_pq_codebooks(vectors, m=16, n_codes=256)
         out["train_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
         idx = f"{scratch}/pq"
@@ -60,13 +63,13 @@ def main() -> None:
         out["brute_blas_s"] = round(time.perf_counter() - t0, 1)
 
         t0 = time.perf_counter()
-        approx = topk_set(S.pq_topk(spark, idx, queries, k, refine=8))
+        approx = topk_set(S.pq_topk(spark, idx, queries, k, refine=32))
         out["pq_approx_s"] = round(time.perf_counter() - t0, 1)
         out["pq_approx_recall"] = round(len(approx & exact) / max(len(exact), 1), 3)
 
         t0 = time.perf_counter()
         rer = topk_set(
-            S.pq_topk(spark, idx, queries, k, refine=8, vectors=vectors)
+            S.pq_topk(spark, idx, queries, k, refine=32, vectors=vectors)
         )
         out["pq_rerank_s"] = round(time.perf_counter() - t0, 1)
         out["pq_rerank_recall"] = round(len(rer & exact) / max(len(exact), 1), 3)
