@@ -287,6 +287,7 @@ _NESTED_LOOP_OK = {
     "q109_dsir_sample",     # broadcast 1-row bucket-totals cross join
     "q110_quantized_ann",   # broadcast codebook + query cross joins
     "q111_sq8_index",       # 1-row literal query join constant-folds to NLJ
+    "q112_pq_index",        # same 1-row literal query shape as q111
 }
 
 
