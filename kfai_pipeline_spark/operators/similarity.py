@@ -710,9 +710,13 @@ def cosine_topk_blas(
     """
     import numpy as np
 
-    q_rows = queries.select(
-        F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
-    ).collect()
+    q_rows = [
+        r
+        for r in queries.select(
+            F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
+        ).collect()
+        if r[1] is not None  # degenerate queries never rank (contract)
+    ]
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # q x d
 
@@ -1227,6 +1231,8 @@ def train_pq_codebooks(
     # normalization). Zero-norm rows are excluded by contract.
     norms = np.sqrt((X * X).sum(axis=1))
     X = X[norms > 0] / norms[norms > 0, None]
+    if not len(X):
+        return []  # all-degenerate sample: same contract as empty
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1278,12 +1284,10 @@ def write_pq_index(
     if m == 0:
         # empty codebooks (trained on an empty corpus): write a
         # schema-only codes table so readers see the contract schema
-        from pyspark.sql.types import BinaryType as _B
-        from pyspark.sql.types import StructField as _SF
-        from pyspark.sql.types import StructType as _ST
-
         vectors.sparkSession.createDataFrame(
-            [], _ST([_SF(id_col, id_type), _SF("pq_bytes", _B())])
+            [], StructType(
+                [StructField(id_col, id_type), StructField("pq_bytes", BinaryType())]
+            )
         ).write.mode("overwrite").parquet(f"{path}/codes")
         return
     bc = vectors.sparkSession.sparkContext.broadcast(

@@ -124,12 +124,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.when(n_tokens > 0, F.round(stop_hits / n_tokens, 4)).otherwise(0.0)
     # Composite: reward mid-length docs with some stopwords, punish
     # punctuation soup. Clamped linear blend — deterministic, tunable.
+    # coalesce: n_tokens is NULL for NULL text (the q29 oracle contract
+    # keeps it NULL), but F.least SKIPS NULLs, so least(NULL/100, 1.0)
+    # would be 1.0 and a contentless NULL doc would outscore an empty
+    # one (review pass; the NULL-sweep contract says they score alike)
+    nt0 = F.coalesce(n_tokens, F.lit(0))
     score = F.round(
         F.greatest(
             F.lit(0.0),
             F.least(
                 F.lit(1.0),
-                F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+                F.least(nt0 / F.lit(100.0), F.lit(1.0)) * 0.5
                 + stop_ratio * 2.0 * 0.3
                 + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2,
             ),

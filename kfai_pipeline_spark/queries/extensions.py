@@ -199,18 +199,18 @@ def q39_asof(spark, sf_dir):
     # the review pass caught the (?U) edge cases.
     oracle="""
     WITH q AS (
-        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents
+        SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS n_tok FROM documents
     )
     SELECT doc_id,
            CAST(n_tok AS INT) AS n_tokens,
            COALESCE(CASE WHEN length(text) > 0 THEN
                ROUND((length(text) - length(regexp_replace(
                           text,
-                          '[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\x{200C}\\x{200D}]',
+                          '[^\\p{L}\\p{M}\\p{Nd}\\p{Pc}\\p{Z}\\s\\x{000B}\\x{200C}\\x{200D}]',
                           '', 'g'))
                      ) / length(text), 4) END, 0.0) AS punct_ratio,
            COALESCE(CASE WHEN n_tok > 0 THEN
-               ROUND(length(list_filter(string_split_regex(trim(text), '\\s+'),
+               ROUND(length(list_filter(string_split_regex(trim(text), '[\\s\\x0B]+'),
                             w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
                      )) / n_tok, 4) END, 0.0) AS stopword_ratio
     FROM q
@@ -234,7 +234,7 @@ def q40_quality(spark, sf_dir):
     "q29_tokens",
     oracle="""
     SELECT doc_id,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS len_chars
     FROM documents
     ORDER BY doc_id
@@ -260,8 +260,8 @@ def q29_tokens(spark, sf_dir):
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
-           ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END), 2) AS avg_tokens
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '[\\s\\x0B]+')) END) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '[\\s\\x0B]+')) END), 2) AS avg_tokens
     FROM documents
     GROUP BY lang ORDER BY lang
     """,
@@ -285,7 +285,7 @@ def q30_corpus(spark, sf_dir):
     "q31_bigrams",
     oracle="""
     WITH w AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0B]+') AS ws FROM documents
     ),
     b AS (
         SELECT doc_id,
@@ -330,7 +330,7 @@ def _langid_oracle() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, lang, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
+  SELECT doc_id, lang, string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+') AS words FROM documents
 ), s AS (
   SELECT doc_id, lang, greatest(
       {arms}
@@ -563,7 +563,7 @@ def q47_simsearch_ivf(spark, sf_dir):
     "q48_ngram_jaccard",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(coalesce(text, ''), '[\\s\\x0B]+') AS w FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -606,7 +606,7 @@ def q48_ngram_jaccard(spark, sf_dir):
     # between engines, the set itself does not.
     oracle="""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+') AS words FROM documents
 ), kg AS (
   SELECT doc_id,
     list_transform(
@@ -665,7 +665,7 @@ _Q50_SIG = " + ".join(
     # signature is a sum of distinct powers of two (== bitwise OR).
     oracle=f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+') AS words FROM documents
 ), wh AS (
   SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
   FROM w, LATERAL (SELECT unnest(words) AS w) u
@@ -906,7 +906,7 @@ def q57_duration_format_roundtrip(spark, sf_dir):
     # Spark's iterative propagation must converge to the same labels.
     oracle="""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(coalesce(text, ''), '[\\s\\x0B]+') AS w FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -969,7 +969,7 @@ _Q55_MINS = ",\n      ".join(
     # hash-checked arm; q34 remains the production xxhash64 pipeline.
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(coalesce(text, ''), '[\\s\\x0B]+') AS words FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t
@@ -1209,7 +1209,7 @@ def q76_simsearch_blas(spark, sf_dir):
     WITH t AS (
         SELECT lang, n_chars,
                CASE WHEN len(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+                    ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS n_tok
         FROM documents
     )
     SELECT lang,
@@ -2139,7 +2139,7 @@ def q103_bucketed_join(spark, sf_dir):
     # Spark arm's exact-duplicate collapse is invisible in the output.
     oracle=f"""
     WITH RECURSIVE w AS (
-      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+') AS words FROM documents
     ), wh AS (
       SELECT doc_id, ('0x' || substr(md5(u.w), 1, 15))::BIGINT AS h
       FROM w, LATERAL (SELECT unnest(words) AS w) u
@@ -2211,7 +2211,7 @@ _Q105_AGREE = " + ".join(
     # so the score is bit-portable).
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS words FROM documents
+      SELECT doc_id, string_split_regex(coalesce(text, ''), '[\\s\\x0B]+') AS words FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words)-2,1)+1)) AS i) t

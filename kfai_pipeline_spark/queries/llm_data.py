@@ -26,7 +26,7 @@ from kfai_pipeline_spark.queries.base import register
     "q61_decontaminate",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(text, '[\\s\\x0B]+') AS w FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -69,7 +69,7 @@ def q61_decontaminate(spark, sf_dir):
     "q62_repetition",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0B]+') AS w FROM documents
     ),
     wx AS (SELECT doc_id, unnest(w) AS word FROM toks),
     wc AS (SELECT doc_id, word, count(*) AS c FROM wx GROUP BY 1, 2),
@@ -185,7 +185,7 @@ def q64_stratified_sample(spark, sf_dir):
     WITH toks AS (
         SELECT lang,
                CASE WHEN len(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+                    ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS n_tok
         FROM documents
     )
     SELECT lang, COUNT(*) AS n,
@@ -476,8 +476,8 @@ def q70_fixed_chunks(spark, sf_dir):
     WITH feats AS (
         SELECT doc_id, text,
                CASE WHEN len(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS n_tokens,
+               len(list_filter(string_split_regex(trim(text), '[\\s\\x0B]+'),
                    w -> lower(w) IN ('the','and','of','to','a','in','is','that','with','for')
                )) AS stop_hits
         FROM documents
@@ -634,7 +634,7 @@ def q74_semantic_dedup(spark, sf_dir):
     "q75_unigram_logprob",
     oracle="""
     WITH wx AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(trim(text), '[\\s\\x0B]+')) AS w
         FROM documents
     ),
     freq AS (SELECT w, count(*) AS c FROM wx GROUP BY 1),
@@ -804,7 +804,7 @@ def q78_mixture_epochs(spark, sf_dir):
     oracle="""
     WITH w AS (
         SELECT doc_id, lang,
-               unnest(string_split_regex(trim(text), '\\s+')) AS word
+               unnest(string_split_regex(trim(text), '[\\s\\x0B]+')) AS word
         FROM documents
     ),
     wx AS (SELECT * FROM w WHERE word <> ''),
@@ -901,7 +901,7 @@ def q91_training_order(spark, sf_dir):
     "q92_bigram_logprob",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0B]+') AS w
         FROM documents
     ),
     bx AS (
@@ -946,7 +946,7 @@ def q92_bigram_logprob(spark, sf_dir):
     "q94_dup_spans",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(text, '[\\s\\x0B]+') AS w FROM documents
         WHERE length(trim(text)) > 0
     ),
     sp AS (
@@ -996,7 +996,7 @@ def q94_dup_spans(spark, sf_dir):
     # the per-doc sum is <=3 doubles, rounded at 4dp.
     oracle="""
     WITH sized AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0B]+') AS w FROM documents
     ),
     staged AS (SELECT doc_id, len(w) AS dl, w FROM sized),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM staged),
@@ -1045,7 +1045,7 @@ def q96_bm25(spark, sf_dir):
     # the brute-force HAVING despite the approximate candidate phase.
     oracle="""
     WITH wx AS (
-        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+        SELECT unnest(string_split_regex(trim(text), '[\\s\\x0B]+')) AS w FROM documents
     ),
     wf AS (SELECT w, count(*) AS cnt FROM wx WHERE w <> '' GROUP BY w),
     tot AS (SELECT sum(cnt) AS n FROM wf)
@@ -1080,7 +1080,7 @@ def q98_heavy_hitters(spark, sf_dir):
     WITH per_doc AS (
         SELECT source, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+                    ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+')) END AS tok
         FROM documents
     ),
     stats AS (
@@ -1152,7 +1152,7 @@ def q99_source_curation(spark, sf_dir):
     # rrf = sum of two exactly-representable reciprocals, rounded 6dp.
     oracle="""
     WITH sized AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0B]+') AS w
         FROM documents WHERE doc_id <> 0
     ),
     staged AS (SELECT doc_id, len(w) AS dl, w FROM sized),
@@ -1244,8 +1244,8 @@ def q101_hybrid_rrf(spark, sf_dir):
         -- coalesce matches the Spark arm's NULL-totality contract:
         -- unnest of a NULL array would silently DROP the document
         SELECT doc_id,
-               unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS word,
-               generate_subscripts(string_split_regex(trim(coalesce(text, '')), '\\s+'), 1) AS pos
+               unnest(string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+')) AS word,
+               generate_subscripts(string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+'), 1) AS pos
         FROM documents
     ),
     seg AS (
@@ -1308,7 +1308,7 @@ def q108_segment_dedup(spark, sf_dir):
     # weight in both engines so the k-boundary can't flip on rounding.
     oracle="""
     WITH toks AS (
-        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+        SELECT doc_id, lang, string_split_regex(trim(text), '[\\s\\x0B]+') AS w
         FROM documents
     ),
     bg AS (

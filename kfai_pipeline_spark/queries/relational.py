@@ -408,7 +408,7 @@ def q14(spark, sf_dir):
     "q15",
     oracle="""
     SELECT p_partkey,
-           regexp_replace(p_name, '\\s+', ' ', 'g')            AS name_ws,
+           regexp_replace(p_name, '[\\s\\x0B]+', ' ', 'g')            AS name_ws,
            trim(p_name)                                         AS name_trim,
            upper(p_name)                                        AS name_upper,
            substr(p_name, 1, 5)                                 AS name_prefix,

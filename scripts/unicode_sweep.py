@@ -12,11 +12,16 @@ ligatures, fullwidth forms, U+FFFD) plus the standard non-text tables,
 then runs the text-family registry queries through driver_sim
 (Spark vs DuckDB hash compare).
 
-Finding on first run: q40_quality diverged — Spark counts punctuation
-under Java's (?U) Unicode \\w (deliberate, the right multilingual
-semantics) while the oracle's RE2 \\w is ASCII-only; the oracle now
-spells out the Unicode class ([^\\p{L}\\p{M}\\p{N}\\p{Pc}\\p{Z}\\s]).
-All 32 swept queries green after the fix.
+Findings (three rounds of probes, each then pinned here):
+1. q40's punct class: RE2 \\w is ASCII-only vs Java's (?U)\\w — and
+   (?U)\\w itself has Java-only members (gc=No, Other_Alphabetic,
+   NEL, Join_Control), so BOTH engines now spell one explicit class.
+2. U+000B (vertical tab): Java \\s includes it, RE2 \\s does NOT —
+   this diverged the CORE tokenizer (split on whitespace), i.e. every
+   token count / shingle / signature on VT-bearing text (routine in
+   PDF-extracted corpora). Every oracle's split regex is now pinned
+   to '[\\s\\x0B]+' (Java's exact class).
+All 32 swept queries green after the fixes.
 
 Usage: python scripts/unicode_sweep.py  (builds /tmp/uni_fixture, ~2 min)
 """
@@ -63,6 +68,7 @@ TEXTS = [
     (27, "circled Ⓐ letter", "en", "probe"),
     (28, "nelline", "en", "probe"),
     (29, "persian mi‌khaham text", "fa", "probe"),
+    (30, "verticaltab text", "en", "probe"),  # U+000B: Java \s has it, RE2 \s does not
 ]
 
 QUERIES = [

@@ -425,3 +425,28 @@ def test_pq_empty_corpus_returns_contract_schema(spark, tmp_path):
     out = S.pq_topk(spark, idx, q, k=5, vectors=empty)
     assert out.collect() == []
     assert out.columns == ["query_id", "vec_id", "approx_dot", "score"]
+
+
+def test_blas_and_pq_tolerate_degenerate_queries(spark, tmp_path):
+    """Review pass: a NULL/zero-norm QUERY row must be skipped, not
+    crash the driver collect (blas) — and an all-degenerate corpus
+    trains an empty PQ codebook, same contract as empty."""
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [0.0, 0.0, 0.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    out = S.cosine_topk_blas(corpus, qs, k=3).collect()
+    assert {r.query_id for r in out} == {0} and len(out) == 3
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert S.train_pq_codebooks(zeros, m=2) == []
