@@ -143,6 +143,13 @@ def main() -> None:
         f"SELECT * FROM read_parquet('{src}/events.parquet')"
     ).fetchdf()
     ev.loc[ev.index % 19 == 0, "value"] = None
+    # extreme numerics ride along (certified non-divergent): NaN, +/-Inf
+    # and +/-1e308 in value — real metric streams contain all of them
+    ev.loc[3, "value"] = float("nan")
+    ev.loc[7, "value"] = float("inf")
+    ev.loc[11, "value"] = float("-inf")
+    ev.loc[13, "value"] = 1e308
+    ev.loc[17, "value"] = -1e308
     ev.loc[ev.index % 53 == 0, "event_type"] = None
     ev.loc[ev.index % 31 == 0, "props"] = None
     uid = ev["user_id"].astype("object")
