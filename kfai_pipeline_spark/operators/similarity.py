@@ -494,6 +494,10 @@ def kmeans_centroids(
             .agg(F.sum("__x").alias("__sx"), F.sum("__n").alias("__cnt"))
             .collect()
         )
+        # collect() completed the only job that reads this iteration's
+        # broadcast — release it (a looped trainer otherwise accumulates
+        # one block set per iteration on driver AND executors)
+        bc.destroy()
         dim = len(centroids[0])
         new_centroids = list(centroids)  # empty clusters keep their old centroid
         acc: dict[int, list[float]] = {}
@@ -710,13 +714,12 @@ def cosine_topk_blas(
     """
     import numpy as np
 
-    q_rows = [
-        r
-        for r in queries.select(
-            F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
-        ).collect()
-        if r[1] is not None  # degenerate queries never rank (contract)
-    ]
+    q_collected = queries.select(
+        F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
+    ).collect()
+    _warn_large_query_collect(len(q_collected), "cosine_topk_blas")
+    # degenerate queries never rank (contract)
+    q_rows = [r for r in q_collected if r[1] is not None]
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)  # q x d
 
@@ -985,7 +988,13 @@ def write_sq8_index(
             StructField("norm_hat", DoubleType()),
         ]
     )
-    src = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    # NULL embeddings are excluded by the degenerate-vector contract
+    # (matching write_pq_index and the expression arm's NULL-cosine
+    # drop) — and a None in the batch would make np.array(...tolist())
+    # go ragged and crash the pack kernel
+    src = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
 
     def pack(batches):
         for pdf in batches:
@@ -1054,13 +1063,11 @@ def sq8_topk(
     mn = np.array(srow["__mn"], dtype=np.float64)
     mx = np.array(srow["__mx"], dtype=np.float64)
     scale = (mx - mn) / 255.0
-    q_rows = [
-        r
-        for r in queries.select(
-            F.col(query_id_col), _as_double(query_vec_col)
-        ).collect()
-        if r[1] is not None
-    ]
+    q_collected = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col)
+    ).collect()
+    _warn_large_query_collect(len(q_collected), "sq8_topk")
+    q_rows = [r for r in q_collected if r[1] is not None]
     if mn.size == 0 or not q_rows:
         # empty index (built over an empty corpus) or no usable query
         # vectors: an empty result with the contract schema, not a
@@ -1183,6 +1190,88 @@ def sq8_topk(
 
 
 # ----------------------------- product quantization (IVF-PQ, X43)
+_QUERY_COLLECT_WARN_ABOVE = 100_000
+
+
+def _warn_large_query_collect(n: int, fn: str) -> None:
+    """The ANN entry points collect the QUERY side to the driver by
+    design (queries are the broadcast side; tens-to-thousands of rows).
+    A million-query frame is no longer a query batch — warn that the
+    collect is driver-memory-bound and name the large-batch arm
+    (mirrors sources/skip_list.py's control-metadata guard)."""
+    if n > _QUERY_COLLECT_WARN_ABOVE:
+        import warnings
+
+        warnings.warn(
+            f"{fn} collected {n:,} query rows to the driver — beyond the "
+            "query-batch contract (the kernel broadcasts all of them to "
+            "every task). For corpus-scale query sets use the banded "
+            "join arm (cosine_topk_lsh) or split the batch.",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
+
+def _hash_sample_rows(
+    vectors: DataFrame,
+    vec_col: str,
+    sample_rows: int,
+    seed: int,
+) -> list:
+    """Deterministic, layout-invariant ~``sample_rows`` vector sample:
+    hash-FILTER on the vector content (a pure row function), NOT
+    orderBy(hash).limit(n) — a global "limit" compiles to
+    TakeOrderedAndProject, which driver-merges every partition's local
+    top-n: O(partitions x sample) rows to the driver (at 10M x 64d
+    that is ~2.4 GB and aborts on spark.driver.maxResultSize, found by
+    scripts/pq_vec_spot.py). The filter ships ~sample_rows, period.
+    Returns rows sorted by vector content (deterministic fit order)."""
+    src = vectors.select(_as_double(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    total = src.count()
+    if total > sample_rows:
+        h = F.pmod(
+            F.xxhash64(F.col("__v").cast("string"), F.lit(seed)), F.lit(1_000_000)
+        )
+        keep = int(1_000_000 * sample_rows / total)
+        src = src.where(h < keep)
+    return sorted(src.collect(), key=lambda r: tuple(r["__v"]))
+
+
+def _fit_pq_numpy(X, m: int, n_codes: int, iters: int) -> list:
+    """Per-subspace k-means over a driver-side (n x d) numpy sample.
+    ``X`` rows must already be in the space the ADC scan ranks in
+    (unit-normalized vectors, or coarse-centroid residuals for IVFPQ).
+    Returns m (k x d/m) nested float lists."""
+    import numpy as np
+
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        k = min(n_codes, len(Xs))
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            # matmul identity (||c||^2 - 2 v.c; the ||v||^2 term drops
+            # under argmin) — the (x-c)^2 broadcast form materialized a
+            # samples x codes x dims temp and made training ~180 s at a
+            # 100k sample; this is one GEMM (~2 s)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, assign, Xs)
+            np.add.at(counts, assign, 1)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+        books.append([list(map(float, row)) for row in C])
+    return books
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -1212,16 +1301,7 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    src = vectors.select(_as_double(vec_col).alias("__v")).where(
-        F.col("__v").isNotNull()
-    )
-    total = src.count()
-    h = F.pmod(F.xxhash64(F.col("__v").cast("string"), F.lit(seed)), F.lit(1_000_000))
-    if total > sample_rows:
-        keep = int(1_000_000 * sample_rows / total)
-        src = src.where(h < keep)
-    # deterministic fit order regardless of arrival order
-    sample = sorted(src.collect(), key=lambda r: tuple(r["__v"]))
+    sample = _hash_sample_rows(vectors, vec_col, sample_rows, seed)
     if not sample:
         return []
     X = np.array([list(r["__v"]) for r in sample], dtype=np.float64)
@@ -1233,30 +1313,7 @@ def train_pq_codebooks(
     X = X[norms > 0] / norms[norms > 0, None]
     if not len(X):
         return []  # all-degenerate sample: same contract as empty
-    d = X.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    books = []
-    for j in range(m):
-        Xs = X[:, j * sub : (j + 1) * sub]
-        k = min(n_codes, len(Xs))
-        C = Xs[:k].copy()
-        for _ in range(iters):
-            # matmul identity (||c||^2 - 2 v.c; the ||v||^2 term drops
-            # under argmin) — the (x-c)^2 broadcast form materialized a
-            # samples x codes x dims temp and made training ~180 s at a
-            # 100k sample; this is one GEMM (~2 s)
-            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
-            assign = d2.argmin(axis=1)
-            sums = np.zeros_like(C)
-            counts = np.zeros(k, dtype=np.int64)
-            np.add.at(sums, assign, Xs)
-            np.add.at(counts, assign, 1)
-            nz = counts > 0
-            C[nz] = sums[nz] / counts[nz, None]
-        books.append([list(map(float, row)) for row in C])
-    return books
+    return _fit_pq_numpy(X, m, n_codes, iters)
 
 
 def write_pq_index(
@@ -1386,12 +1443,12 @@ def pq_topk(
 
     codebooks = load_pq_codebooks(spark, path)
     codes_df = spark.read.parquet(f"{path}/codes")
+    q_collected = queries.select(
+        F.col(query_id_col), _as_double(query_vec_col)
+    ).collect()
+    _warn_large_query_collect(len(q_collected), "pq_topk")
     q_rows = [
-        r
-        for r in queries.select(
-            F.col(query_id_col), _as_double(query_vec_col)
-        ).collect()
-        if r[1] is not None and any(x != 0 for x in r[1])
+        r for r in q_collected if r[1] is not None and any(x != 0 for x in r[1])
     ]
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1486,6 +1543,345 @@ def pq_topk(
     return (
         exact_join.withColumn("__raw", cosine(F.col("__v"), F.col("__q")))
         .withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            adot.alias("approx_dot"),
+            score_col.alias("score"),
+        )
+    )
+
+
+# ----------------------------- IVF x PQ composition (IVFPQ, X44)
+def train_ivfpq(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 100_000,
+    kmeans_iters: int = 3,
+    pq_iters: int = 10,
+    seed: int = 42,
+) -> tuple[list[list[float]], list]:
+    """Train the full IVFPQ model (Jégou et al. 2011 §V; the Faiss
+    ``IVFx,PQy`` production index): coarse spherical-k-means centroids
+    for routing, then ONE shared PQ codebook set fit on coarse
+    RESIDUALS ``r = v - c(v)`` rather than raw vectors. Residuals
+    matter: within a cluster the vectors share their centroid's
+    direction, so the residual distribution is tighter than the raw
+    one and the same code budget (m bytes) quantizes it with much
+    lower error — this is why IVFPQ beats flat PQ at equal bytes.
+
+    Coarse training is the distributed :func:`kmeans_centroids` pass
+    (O(partitions*k*dim) shuffle bytes); residual PQ training is
+    driver-side numpy over the same hash-filtered, layout-invariant
+    ~``sample_rows`` sample :func:`train_pq_codebooks` uses (Faiss
+    trains on samples too), coarse-assigned and residualized with two
+    matmuls. Returns (centroids, codebooks) — the driver holds
+    (n_clusters + m*n_codes/m) * dim floats total."""
+    import numpy as np
+
+    centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, kmeans_iters)
+    if not centroids:
+        return [], []
+    sample = _hash_sample_rows(vectors, vec_col, sample_rows, seed)
+    X = np.array([list(r["__v"]) for r in sample], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0, None]
+    if not len(X):
+        return centroids, []
+    C = np.array(centroids, dtype=np.float64)
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    return centroids, _fit_pq_numpy(R, m, n_codes, pq_iters)
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    colocate: bool = True,
+) -> None:
+    """Persist the IVFPQ index: ``<path>/codes`` (id, pq_bytes — m
+    packed uint8 residual codes) PARTITIONED BY cluster_id, plus
+    centroid/codebook parquet sidecars. Probe-time cluster filters
+    become parquet partition pruning, so a query touches only its
+    ``nprobe`` clusters' files — the codes table is m bytes/vector
+    (32x smaller than float32 at d=64/m=8) and the probed fraction is
+    ~nprobe/n_clusters of THAT: the 10^10-vector serving shape.
+
+    One broadcast-numpy kernel per Arrow batch does assign + residual
+    + m argmin-GEMM encodes; NULL/zero-norm vectors are excluded (the
+    degenerate-vector contract — no direction, no cluster).
+    ``colocate`` repartitions on cluster_id first: without it a
+    dynamic-partition write from T tasks emits up to T x k small files
+    (save_ivf_index's 10k-file lesson)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = vectors.sparkSession
+    id_type = vectors.schema[id_col].dataType
+    m = len(codebooks)
+    if not centroids or m == 0:
+        # no partitionBy here: a ZERO-row dynamic-partition write emits
+        # no part files at all, and a later read can't infer the schema
+        # — the unpartitioned empty write keeps a schema-bearing footer
+        spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("pq_bytes", BinaryType()),
+                    StructField("cluster_id", IntegerType()),
+                ]
+            ),
+        ).write.mode("overwrite").parquet(f"{path}/codes")
+        _save_ivfpq_meta(spark, path, centroids, codebooks)
+        return
+    bc = spark.sparkContext.broadcast(
+        (
+            np.array(centroids, dtype=np.float64),
+            [np.array(b, dtype=np.float64) for b in codebooks],
+        )
+    )
+    id_pd = (
+        "int64" if id_type.typeName() in ("long", "integer", "short") else "object"
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("pq_bytes", BinaryType()),
+            StructField("cluster_id", IntegerType()),
+        ]
+    )
+    # l2_normalize is NULL for NULL/zero-norm rows; drop map-side so the
+    # numpy batch never goes ragged (the round-6 defect class)
+    src = vectors.select(
+        F.col(id_col), l2_normalize(_as_double(vec_col)).alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    def encode(batches):
+        C, books = bc.value
+        sub = books[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype=id_pd),
+                        "pq_bytes": pd.Series(dtype="object"),
+                        "cluster_id": pd.Series(dtype="int32"),
+                    }
+                )
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            assign = np.argmax(V @ C.T, axis=1)
+            R = V - C[assign]
+            codes = np.empty((len(V), m), dtype=np.uint8)
+            for j, B in enumerate(books):
+                Rs = R[:, j * sub : (j + 1) * sub]
+                d2 = (B * B).sum(axis=1)[None, :] - 2.0 * (Rs @ B.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0],
+                    "pq_bytes": [row.tobytes() for row in codes],
+                    "cluster_id": assign.astype("int32"),
+                }
+            )
+
+    encoded = src.mapInPandas(encode, schema=out_schema)
+    if colocate:
+        encoded = encoded.repartition("cluster_id")
+    encoded.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/codes"
+    )
+    # the write above is an action — the broadcast is done; release the
+    # executor/driver blocks instead of leaking one per index build
+    bc.destroy()
+    _save_ivfpq_meta(spark, path, centroids, codebooks)
+
+
+def _save_ivfpq_meta(
+    spark: SparkSession, path: str, centroids: list, codebooks: list
+) -> None:
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    save_pq_index(spark, path, codebooks)
+
+
+def load_ivfpq_meta(
+    spark: SparkSession, path: str
+) -> tuple[list[list[float]], list]:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        list(r["centroid"])
+        for r in sorted(rows, key=lambda r: r["cluster_id"])
+    ]
+    return centroids, load_pq_codebooks(spark, path)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    refine: int = 8,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Probe a persisted IVFPQ index: route each query to its
+    ``nprobe`` nearest coarse centroids (driver-side numpy — q x k
+    dots), scan ONLY those clusters' packed residual codes with the
+    ADC identity ``dot(q, v̂) = q·c + Σ_j LUT[j][code_j]`` (the LUT is
+    built once per query; the q·c term is per probed cluster), keep
+    top ``k*refine`` per query, then exact-rerank against the
+    full-precision table when ``vectors`` is given.
+
+    Scale shape — this is the 10^10-vector serving plan: the cluster
+    filter prunes at the parquet PARTITION level (only ~nprobe/k_c of
+    the files are opened), the pruned scan reads m bytes/vector, each
+    Arrow batch emits only local top candidates (the two-level top-k
+    shape), and the re-rank joins a broadcast candidate set against
+    the float table. Neither a flat SQ8 scan (linear in corpus bytes)
+    nor IVF-with-float-codes (25x the bandwidth at d=64/m=8) survives
+    at that scale; IVFPQ reads ~(nprobe/k_c) x (m/4d) of the float
+    bytes."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    centroids, codebooks = load_ivfpq_meta(spark, path)
+    codes_df = spark.read.parquet(f"{path}/codes")
+    q_collected = queries.select(
+        F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
+    ).collect()
+    _warn_large_query_collect(len(q_collected), "ivfpq_topk")
+    q_rows = [r for r in q_collected if r[1] is not None]
+    if not centroids or not codebooks or not q_rows:
+        fields = [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            codes_df.schema[id_col],
+            StructField("approx_dot", DoubleType()),
+        ]
+        if vectors is not None:
+            fields.append(StructField("score", DoubleType()))
+        return spark.createDataFrame([], StructType(fields))
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = np.array(centroids, dtype=np.float64)
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    np_ = min(nprobe, len(centroids))
+    qc = Q @ C.T  # q x k_clusters: the per-cluster constant terms
+    # stable argsort matches the assignment argmax's low-id tie-break
+    probes = np.argsort(-qc, axis=1, kind="stable")[:, :np_]  # q x nprobe
+    probed_union = sorted({int(c) for row in probes for c in row})
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    np.array(codebooks[j], dtype=np.float64)
+                    @ q[j * sub : (j + 1) * sub]
+                    for j in range(m)
+                ]
+            )
+            for q in Q
+        ]
+    )  # q x m x n_codes
+    n_cand = k * refine
+    bc = spark.sparkContext.broadcast((qids, luts, qc, probes))
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            codes_df.schema[id_col],
+            StructField("__adot", DoubleType()),
+        ]
+    )
+    # cluster_id is a PARTITION column: this filter prunes to the
+    # probed clusters' files before a byte is read
+    pruned = codes_df.where(F.col("cluster_id").isin(probed_union))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_b, luts_b, qc_b, probes_b = bc.value
+        probe_sets = [np.array(sorted(set(map(int, row)))) for row in probes_b]
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cc = np.frombuffer(
+                b"".join(pdf["pq_bytes"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf[id_col].to_numpy()
+            cl = pdf["cluster_id"].to_numpy()
+            out = {"query_id": [], id_col: [], "__adot": []}
+            for qi in range(len(qids_b)):
+                # colocated layout => a batch is usually ONE cluster;
+                # the mask is exact either way
+                sel = np.nonzero(np.isin(cl, probe_sets[qi]))[0]
+                if not len(sel):
+                    continue
+                dots = (
+                    qc_b[qi, cl[sel]]
+                    + luts_b[qi][cols[None, :], Cc[sel]].sum(axis=1)
+                )
+                kk = min(n_cand, len(sel))
+                order = np.lexsort((ids[sel], -dots))[:kk]
+                out["query_id"].extend([qids_b[qi]] * len(order))
+                out[id_col].extend(ids[sel][order])
+                out["__adot"].extend(dots[order])
+            yield pd.DataFrame(out)
+
+    local = pruned.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adot"), F.asc(id_col))
+    cands = (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_cand)
+        .drop("__rn")
+    )
+    adot = F.col("__adot")
+    if round_to is not None:
+        adot = F.round(adot, round_to)
+    if vectors is None:
+        return cands.select("query_id", id_col, adot.alias("approx_dot"))
+    exact_join = F.broadcast(cands).join(
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")),
+        id_col,
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                _as_double(query_vec_col).alias("__q"),
+            )
+        ),
+        "query_id",
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc(id_col))
+    score_col = F.col("__raw")
+    if round_to is not None:
+        score_col = F.round(score_col, round_to)
+    return (
+        exact_join.withColumn("__raw", cosine(F.col("__v"), F.col("__q")))
+        .withColumn("__rk", F.row_number().over(w3))
         .where(F.col("__rk") <= k)
         .select(
             "query_id",

@@ -34,29 +34,13 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 3 (missed the r5 re-run window)
+    # last official row: round 4 (missed the r6 re-run window)
     frozenset({
-        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
-        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
-    }),
-    # last official row: round 4 (the rotated training-data/retrieval window)
-    frozenset({
-        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
-        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
-        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
-        "q61_decontaminate", "q62_repetition", "q63_hash_sample",
-        "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
-        "q67_shard_pack", "q68_boilerplate_strip", "q70_fixed_chunks",
-        "q71_curation_funnel", "q72_interval_join", "q73_mixture_sample",
-        "q74_semantic_dedup", "q75_unigram_logprob", "q76_simsearch_blas",
-        "q77_context_pack", "q79_stat_aggs", "q80_rolling_range",
-        "q81_tfidf_terms", "q82_merge_records", "q83_llm_clean", "q84_funnel",
-        "q85_retention", "q86_integrity_deadletter", "q87_composite_resume",
-        "q88_skiplist_roundtrip", "q89_asof_tolerance", "q90_cluster_assign",
-        "q91_training_order", "q92_bigram_logprob", "q93_multimodal_video",
-        "q94_dup_spans", "q95_scd2_history", "q96_bm25", "q97_merge_upsert",
-        "q98_heavy_hitters", "q99_source_curation", "q100_rolling_zscore",
-        "q101_hybrid_rrf", "q102_incremental_agg", "q103_bucketed_join",
+        "q70_fixed_chunks", "q71_curation_funnel", "q73_mixture_sample",
+        "q74_semantic_dedup", "q75_unigram_logprob", "q77_context_pack",
+        "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
+        "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
+        "q99_source_curation", "q101_hybrid_rrf",
     }),
     # last official row: round 5 (fresh new-op rows + relational re-confirm)
     frozenset({
@@ -69,6 +53,26 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q53_multimodal_asr", "q57_duration_format_roundtrip",
         "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
         "q104_simhash_dedup", "q105_neardup_index",
+    }),
+    # last official row: round 6 (CORRECTNESS_r06.json's 50-entry window)
+    frozenset({
+        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
+        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
+        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
+        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
+        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
+        "q61_decontaminate", "q62_repetition", "q63_hash_sample",
+        "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
+        "q67_shard_pack", "q68_boilerplate_strip", "q72_interval_join",
+        "q76_simsearch_blas", "q79_stat_aggs", "q80_rolling_range",
+        "q82_merge_records", "q83_llm_clean", "q84_funnel", "q85_retention",
+        "q86_integrity_deadletter", "q87_composite_resume",
+        "q88_skiplist_roundtrip", "q89_asof_tolerance", "q90_cluster_assign",
+        "q93_multimodal_video", "q95_scd2_history", "q97_merge_upsert",
+        "q100_rolling_zscore", "q102_incremental_agg", "q103_bucketed_join",
+        "q106_truncate_longdocs", "q107_zscore_backfill", "q108_segment_dedup",
+        "q109_dsir_sample", "q110_quantized_ann", "q111_sq8_index",
+        "q112_pq_index",
     }),
 )
 

@@ -2595,3 +2595,58 @@ def q112_pq_index(spark, sf_dir):
     )
     out = pq_topk(spark, idx, q, k=10, refine=8, vectors=corpus)
     return out.select("vec_id", "approx_dot", "score")
+
+
+# ---------------------------------- Q113: IVFPQ index lifecycle (X44)
+@register(
+    "q113_ivfpq_index",
+    # Rows-only BY DESIGN (the q112 rationale): coarse + residual-PQ
+    # training is iterative numpy k-means and the ADC kernel's float
+    # reassociation differs in ulps from any SQL fold — no honest hash
+    # oracle exists. Contracts are test-pinned instead
+    # (test_similarity_ivf): full-probe/full-refine output EQUALS
+    # brute-force top-k, partition-level pruning asserted on the plan,
+    # layout-invariant training, degenerate/empty schemas. What the
+    # driver row adds: the full production lifecycle — distributed
+    # coarse k-means -> residual PQ train -> encode to m-byte packed
+    # codes PARTITIONED by cluster -> route -> pruned ADC probe ->
+    # broadcast exact re-rank — executed fresh each round.
+    oracle=None,
+    doc=(
+        "IVFPQ ANN (similarity.ivfpq_topk, X44; Jégou et al. 2011 §V — "
+        "the Faiss IVFx,PQy production index): coarse routing prunes to "
+        "nprobe/n_clusters of the parquet partitions, the scan reads m "
+        "bytes/vector of RESIDUAL codes (32x smaller than float32), "
+        "exact re-rank on a broadcast candidate set. Rows-only; "
+        "hash-checked twin = brute-force equality test."
+    ),
+)
+def q113_ivfpq_index(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivfpq,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q113_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "ivfpq")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        cents, books = train_ivfpq(corpus, n_clusters=8, m=8, n_codes=64)
+        write_ivfpq_index(corpus, idx, cents, books)
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    # nprobe=6/8 with refine=8: the approximate serving regime (the
+    # exhaustive regime is covered by the brute-force equality test)
+    out = ivfpq_topk(spark, idx, q, k=10, nprobe=6, refine=8, vectors=corpus)
+    return out.select("vec_id", "approx_dot", "score")

@@ -305,7 +305,11 @@ def test_sq8_arms_agree_on_string_ids_and_zero_norm_vectors(spark):
     rows = [("d%02d" % i, [float((i * 7 + j) % 5) for j in range(8)])
             for i in range(1, 30)]
     rows.append(("zz_zero", [0.0] * 8))  # zero-norm: must never rank
-    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # NULL embedding: must be EXCLUDED by write_sq8_index (a None in
+    # the pack kernel's batch would go ragged and crash np.array) —
+    # round-7 advice fix
+    rows.append(("zz_null", None))
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
     q = spark.createDataFrame(
         [("q0", [1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0])],
         ["query_id", "embedding"],
@@ -317,7 +321,7 @@ def test_sq8_arms_agree_on_string_ids_and_zero_norm_vectors(spark):
         got_a = [(r.vec_id, r.approx_score, r.score) for r in a.collect()]
         got_b = [(r.vec_id, r.approx_score, r.score) for r in b.collect()]
     assert got_a == got_b and len(got_a) == 5
-    assert all(v != "zz_zero" for v, _, _ in got_a)
+    assert all(v not in ("zz_zero", "zz_null") for v, _, _ in got_a)
 
 
 def test_degenerate_vectors_never_rank_or_assign(spark):
@@ -450,3 +454,172 @@ def test_blas_and_pq_tolerate_degenerate_queries(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     assert S.train_pq_codebooks(zeros, m=2) == []
+
+
+# ------------------------------ IVF x PQ composition (X44, q113)
+def test_ivfpq_full_probe_full_refine_equals_exact(spark, tmp_path):
+    """nprobe == n_clusters and a candidate cut covering the whole
+    corpus: the exact re-rank must EQUAL brute-force top-k (ids AND
+    scores) — routing and ADC can then only reorder candidates, never
+    drop one. This is q113's hash-checked-twin contract."""
+    corpus, queries = _corpus_queries(spark)
+    n = corpus.count()
+    cents, books = S.train_ivfpq(corpus, n_clusters=8, m=8, n_codes=32)
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(corpus, idx, cents, books)
+    got = [
+        (r.query_id, r.vec_id, r.score)
+        for r in S.ivfpq_topk(
+            spark, idx, queries, k=5, nprobe=8, refine=n, vectors=corpus
+        ).collect()
+    ]
+    exact = [
+        (r.query_id, r.vec_id, r.score)
+        for r in S.cosine_topk(corpus, queries, k=5, round_to=4).collect()
+    ]
+    assert sorted(got) == sorted(exact) and len(got) == 25
+
+
+def test_ivfpq_partial_probe_recall_and_pruning(spark, tmp_path):
+    """Partial probe: (a) recall grows with nprobe; (b) the codes scan
+    PRUNES at the parquet partition level (PartitionFilters on
+    cluster_id in the formatted plan); (c) every hit comes from a
+    probed cluster."""
+    import contextlib
+    import io
+
+    corpus, queries = _corpus_queries(spark)
+    cents, books = S.train_ivfpq(corpus, n_clusters=8, m=8, n_codes=32)
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(corpus, idx, cents, books)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(corpus, queries, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.ivfpq_topk(
+                spark, idx, queries, k=10, nprobe=nprobe, refine=8,
+                vectors=corpus,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 <= r8, f"recall not monotone: {r2} {r8}"
+    # near-uniform random fixture vectors are the PQ-hostile case (weak
+    # neighbor structure — same note as test_pq_roundtrip): the smoke
+    # bar is "ADC ranking is informative" (full-probe refine=8 scans 80
+    # of ~495 candidates = 0.16 mass; measured stable recall 0.72).
+    # The HARD contract is the full-refine equality test above.
+    assert r8 >= 0.5, f"full-probe refine=8 recall too low: {r8}"
+    # pruning: the pruned scan's plan must carry a cluster_id
+    # PartitionFilter (partition-level file skip, not a row filter)
+    out = S.ivfpq_topk(spark, idx, queries, k=5, nprobe=2, refine=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # membership: with nprobe=1 each query's hits sit in ONE cluster
+    idx_df = spark.read.parquet(f"{idx}/codes")
+    cluster_of = {r.vec_id: r.cluster_id for r in idx_df.collect()}
+    got1 = S.ivfpq_topk(spark, idx, queries, k=5, nprobe=1, refine=4).collect()
+    by_q: dict = {}
+    for r in got1:
+        by_q.setdefault(r.query_id, set()).add(cluster_of[r.vec_id])
+    for qid, cls in by_q.items():
+        assert len(cls) == 1, f"query {qid} hit clusters {cls}"
+
+
+def test_ivfpq_training_layout_invariant_and_residual(spark):
+    """Training must be layout-invariant (hash-filtered sample), and
+    the codebooks must be RESIDUAL codebooks — centroids of residuals
+    cluster near zero, far smaller in norm than unit vectors."""
+    import math as _m
+
+    import numpy as np
+
+    corpus, _ = _corpus_queries(spark)
+    a = S.train_ivfpq(corpus, n_clusters=4, m=4, n_codes=16)
+    a2 = S.train_ivfpq(corpus, n_clusters=4, m=4, n_codes=16)
+    assert a == a2, "same layout must give bit-identical models (no RNG)"
+    # across layouts the coarse k-means partial-sum fold reassociates
+    # floats (distributed SUM order follows partitioning), so centroids
+    # agree only to ~1e-12 — the PQ sample itself is hash-filtered and
+    # layout-invariant, so the model is numerically (not bit-) stable
+    b = S.train_ivfpq(corpus.repartition(7), n_clusters=4, m=4, n_codes=16)
+    assert np.allclose(np.array(a[0]), np.array(b[0]), atol=1e-9)
+    for ba, bb in zip(a[1], b[1]):
+        assert np.allclose(np.array(ba), np.array(bb), atol=1e-6)
+    cents, books = a
+    # residual codebook centroids must be smaller than raw unit-vector
+    # subvectors (1/sqrt(m) = 0.5 at m=4). Near-uniform fixture data
+    # with only 4 coarse clusters keeps most of the norm in the
+    # residual (measured 0.44) — clustered production data shrinks it
+    # far more; the contract here is "residualization happened at all"
+    mean_norm = sum(
+        _m.sqrt(sum(x * x for x in c)) for book in books for c in book
+    ) / sum(len(book) for book in books)
+    assert mean_norm < 0.5 / _m.sqrt(1.0), f"codebooks look non-residual: {mean_norm}"
+
+
+def test_ivfpq_empty_and_degenerate_contracts(spark, tmp_path):
+    """Empty corpus trains an empty model, writes a schema-bearing
+    empty index, and probes to an empty contract-schema result;
+    NULL / zero-norm corpus and query rows are excluded."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None), (2, [0.0] * 8)],
+        "query_id long, embedding array<double>",
+    )
+    cents, books = S.train_ivfpq(empty, n_clusters=4, m=2)
+    assert cents == [] and books == []
+    idx = str(tmp_path / "ivfpq_empty")
+    S.write_ivfpq_index(empty, idx, cents, books)
+    out = S.ivfpq_topk(spark, idx, q, k=5, vectors=empty)
+    assert out.collect() == []
+    assert out.columns == ["query_id", "vec_id", "approx_dot", "score"]
+    # degenerate corpus rows dropped at encode time
+    rows = [(i, [float((i + j) % 5 + 1) for j in range(8)]) for i in range(20)]
+    rows += [(90, None), (91, [0.0] * 8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, books = S.train_ivfpq(corpus, n_clusters=2, m=4, n_codes=8)
+    idx2 = str(tmp_path / "ivfpq_degen")
+    S.write_ivfpq_index(corpus, idx2, cents, books)
+    stored = {r.vec_id for r in spark.read.parquet(f"{idx2}/codes").collect()}
+    assert 90 not in stored and 91 not in stored and len(stored) == 20
+    got = S.ivfpq_topk(spark, idx2, q, k=25, nprobe=2, refine=20,
+                       vectors=corpus).collect()
+    assert {r.query_id for r in got} == {0}
+    assert all(r.vec_id < 90 for r in got)
+
+
+def test_ann_query_collect_size_guard(spark, monkeypatch):
+    """The ANN entry points warn (ResourceWarning) when the collected
+    query side exceeds the query-batch contract size — mirroring the
+    skip-list control-metadata guard."""
+    import warnings
+
+    from kfai_pipeline_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_QUERY_COLLECT_WARN_ABOVE", 5)
+    corpus = spark.createDataFrame(
+        [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    big_q = spark.createDataFrame(
+        [(i, [1.0, float(i % 3), 0.0, 1.0]) for i in range(9)],
+        "query_id long, embedding array<double>",
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sim.cosine_topk_blas(corpus, big_q, k=2).collect()
+    assert any("query rows" in str(w.message) for w in rec)
+    small_q = big_q.where(F.col("query_id") < 3)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sim.cosine_topk_blas(corpus, small_q, k=2).collect()
+    assert not any("query rows" in str(w.message) for w in rec)
