@@ -196,6 +196,43 @@ def main() -> None:
 
     timings = time_suite()
     total = round(sum(timings.values()), 4)
+
+    # Drift tripwire (round-7 verdict item): per-query rolling median
+    # across prior rounds' official BENCH_r*.json at the same SF, and a
+    # flag for any query >1.3x its trailing median — so a drifting
+    # query is attributed IN-round instead of by a judge diffing
+    # rounds. (r5->r6's unexplained B1 +30% would have tripped this.)
+    def drift_tripwire(repo_dir_: str) -> tuple[dict[str, float], list[str]]:
+        import glob as _glob
+
+        trail: dict[str, list[float]] = {}
+        for p in sorted(_glob.glob(os.path.join(repo_dir_, "BENCH_r*.json"))):
+            try:
+                with open(p) as fh:
+                    d = json.load(fh)
+            except Exception:
+                continue
+            # the grading driver wraps this script's JSON line under
+            # "parsed" (alongside run metadata); accept both shapes
+            d = d.get("parsed", d) or {}
+            if d.get("sf") != sf_num:
+                continue
+            for qn, v in (d.get("queries") or {}).items():
+                if isinstance(v, (int, float)):
+                    trail.setdefault(qn, []).append(float(v))
+        med = {
+            qn: round(sorted(vs)[len(vs) // 2], 4) for qn, vs in trail.items()
+        }
+        flagged = sorted(
+            qn
+            for qn, cur in timings.items()
+            if med.get(qn, 0) > 0 and cur / med[qn] > 1.3
+        )
+        return med, flagged
+
+    median_trail, flagged = drift_tripwire(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     # the DuckDB arm must never discard an already-measured Spark suite
     # (e.g. missing duckdb package, oracle dialect drift)
     try:
@@ -215,6 +252,8 @@ def main() -> None:
         "floor_sec": floor_sec,
         "duckdb": duck,
         "duckdb_total": duck_total,
+        "median_trail": median_trail,
+        "flagged": flagged,
     }
 
     # 10x growth arm (BASELINE.md §3d), regenerated per round

@@ -335,6 +335,21 @@ def connected_components(
     prev_ckpt_dir = sc._jsc.sc().getCheckpointDir()
     prev_ckpt_dir = prev_ckpt_dir.get() if prev_ckpt_dir.isDefined() else None
     if checkpoint_dir is not None:
+        if prev_ckpt_dir is None:
+            # no public unset exists: once set, the context stays
+            # pointed at this job's dir, so LATER unrelated
+            # df.checkpoint() calls land their files here — deleting
+            # this directory while the session lives would break them
+            import warnings
+
+            warnings.warn(
+                "connected_components is setting the SparkContext-global "
+                f"checkpoint dir to {checkpoint_dir!r}; no previous dir was "
+                "set, so the context will stay pointed here after this call. "
+                "Do not delete the directory while the session lives, or set "
+                "one shared session checkpoint dir up front.",
+                stacklevel=2,
+            )
         sc.setCheckpointDir(checkpoint_dir)
 
     try:
@@ -549,7 +564,12 @@ def minhash_dedup(
     make the component iterations fault-tolerant — without it the
     label-propagation lineage cuts live in executor memory
     (localCheckpoint), so an executor loss kills a long dedup job (see
-    :func:`connected_components`).
+    :func:`connected_components`). The directory is a
+    SparkContext-GLOBAL setting: two concurrent dedup jobs in one
+    session with different dirs race on it — give every dedup/
+    components call in a session the SAME dir, and never delete it
+    while the session lives (later unrelated ``df.checkpoint()`` calls
+    may have landed files there).
 
     NOTE: the returned plan is lazy and references a persisted shingle
     cache plus component checkpoints; they stay resident until session
@@ -585,7 +605,8 @@ def minhash_dedup_scoped(
 
     ``checkpoint_dir`` is the reliable-checkpoint option, identical to
     :func:`minhash_dedup`'s — long jobs should pass it from HERE, this
-    being the documented production entry point.
+    being the documented production entry point. Same global-setting
+    caveat: one shared dir per session, kept alive for the session.
     """
     scope = CacheScope()
     try:

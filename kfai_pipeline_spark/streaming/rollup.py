@@ -172,6 +172,13 @@ def maintain_rollup(
     to cover your longest reader (versions are one trigger apart, so
     ``retain_versions`` ~ reader latency / trigger interval, plus
     slack), or run an offline sweep during a read quiesce.
+
+    .. note:: BREAKING (round 6): the default changed from 3 to 0
+       (keep everything). Callers that relied on the old implicit GC
+       now accumulate one snapshot per trigger until they opt in; a
+       one-time warning fires when the default is left in place and
+       the version count passes ``_RETAIN_DEFAULT_WARN_ABOVE`` so the
+       change is visible, not silent.
     """
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
@@ -215,4 +222,32 @@ def apply_batch(
     merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v_{version}")
     _write_latest_version(spark, snapshot_dir, version)
     _prune_old_versions(spark, snapshot_dir, version, retain_versions)
+    if retain_versions == 0:
+        _warn_unbounded_versions_once(spark, snapshot_dir)
     return True
+
+
+# one warning per (process, snapshot_dir): the round-6 default change
+# (retain_versions 3 -> 0, reader-safety rationale in maintain_rollup's
+# docstring) must not silently turn a long-running maintenance loop
+# into unbounded snapshot growth for callers still on the old default
+_RETAIN_DEFAULT_WARN_ABOVE = 50
+_warned_snapshot_dirs: set[str] = set()
+
+
+def _warn_unbounded_versions_once(spark: SparkSession, snapshot_dir: str) -> None:
+    if snapshot_dir in _warned_snapshot_dirs:
+        return
+    versions = _list_committed_versions(spark, snapshot_dir)
+    if len(versions) > _RETAIN_DEFAULT_WARN_ABOVE:
+        import warnings
+
+        _warned_snapshot_dirs.add(snapshot_dir)
+        warnings.warn(
+            f"rollup snapshot {snapshot_dir!r} holds {len(versions)} committed "
+            "versions with retain_versions=0 (the keep-everything default "
+            "since round 6 — it used to be 3). Set retain_versions to a "
+            "window covering your longest reader, or prune offline.",
+            ResourceWarning,
+            stacklevel=3,
+        )

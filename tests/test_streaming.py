@@ -548,6 +548,42 @@ def test_rollup_version_gc_bounds_storage(spark, events_dir, tmp_path_factory):
     assert versions == ["v_0", "v_1", "v_2", "v_3"]
 
 
+def test_rollup_keep_everything_default_warns_once(
+    spark, events_dir, tmp_path_factory, monkeypatch
+):
+    """The round-6 default change (retain_versions 3 -> 0) must be
+    VISIBLE: leaving the default while versions accumulate past the
+    threshold warns once per snapshot dir, never per commit — and an
+    explicit retain_versions stays silent."""
+    import warnings
+
+    from kfai_pipeline_spark.streaming import rollup as R
+
+    monkeypatch.setattr(R, "_RETAIN_DEFAULT_WARN_ABOVE", 2)
+
+    keys = ["user_id"]
+    merge = {"cnt": "sum"}
+
+    def agg(d):
+        return d.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    batch = spark.read.parquet(events_dir)
+    snap = str(tmp_path_factory.mktemp("rollup_warn"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for v in range(5):
+            R.apply_batch(batch, v, agg, keys, merge, snap)
+    hits = [w for w in rec if "retain_versions=0" in str(w.message)]
+    assert len(hits) == 1, [str(w.message) for w in rec]
+
+    bounded = str(tmp_path_factory.mktemp("rollup_warn_bounded"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        for v in range(5):
+            R.apply_batch(batch, v, agg, keys, merge, bounded, retain_versions=3)
+    assert not [w for w in rec if "retain_versions=0" in str(w.message)]
+
+
 def test_streaming_neardup_index_maintenance(spark, tmp_path_factory):
     """Streaming X37 twin: each micro-batch is screened against PRIOR
     batches' signatures only (planted cross-batch copies are found,
