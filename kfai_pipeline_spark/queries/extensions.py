@@ -1711,27 +1711,34 @@ def q89_asof_tolerance(spark, sf_dir):
         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         FROM embeddings WHERE vec_id < 4
     ),
+    corpus AS (
+        -- ROW grain, not vec_id grain: assign_clusters assigns every
+        -- ROW, so a duplicated vec_id must contribute one assignment
+        -- per copy (round-7 dup-id sweep; GROUP BY vec_id silently
+        -- merged the copies' score sets)
+        SELECT row_number() OVER () AS rid, vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 4
+    ),
     scored AS (
         -- zero-norm guard: DuckDB's list_cosine_similarity returns
         -- -1.0 for a zero vector (!); the contract says a zero vector
         -- has no direction and is unassignable (NULL cluster)
-        SELECT e.vec_id, c.cid,
-               CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])) > 0
-                    THEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+        SELECT r.rid, r.vec_id, c.cid,
+               CASE WHEN list_inner_product(r.v, r.v) > 0
+                    THEN list_cosine_similarity(r.v, c.cv)
                END AS cos
-        FROM embeddings e, cents c
-        WHERE e.vec_id >= 4
+        FROM corpus r, cents c
     ),
     best AS (
-        SELECT vec_id,
+        SELECT rid, MIN(vec_id) AS vec_id,
                (SELECT MIN(cid) FROM (
                    SELECT cid, cos FROM scored s2
-                   WHERE s2.vec_id = s.vec_id
-                     AND s2.cos = (SELECT MAX(cos) FROM scored s3 WHERE s3.vec_id = s.vec_id)
+                   WHERE s2.rid = s.rid
+                     AND s2.cos = (SELECT MAX(cos) FROM scored s3 WHERE s3.rid = s.rid)
                )) AS cluster_id
         FROM scored s
-        GROUP BY vec_id
+        GROUP BY rid
     )
     SELECT cluster_id::BIGINT AS cluster_id,
            COUNT(*)::BIGINT AS n,
@@ -2431,8 +2438,13 @@ def q107_zscore_backfill(spark, sf_dir):
     WITH corpus AS (
         -- NULL embeddings are excluded by contract (the Spark arm's
         -- NULL cosine filter); a NULL element would also error
-        -- DuckDB's list_cosine_similarity outright
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        -- DuckDB's list_cosine_similarity outright. ROW grain (rid):
+        -- the Spark arm quantizes every ROW, so a duplicated vec_id
+        -- contributes one code row per copy (round-7 dup-id sweep —
+        -- GROUP BY vec_id merged two copies into one 128-long list
+        -- and errored list_cosine_similarity)
+        SELECT row_number() OVER () AS rid, vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL
     ),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -2441,7 +2453,7 @@ def q107_zscore_backfill(spark, sf_dir):
     ),
     st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos),
     cx AS (
-        SELECT c.vec_id, s.pos,
+        SELECT c.rid, c.vec_id, s.pos,
                CASE WHEN s.mx > s.mn
                     THEN floor((c.v[s.pos] - s.mn) / (s.mx - s.mn) * 255 + 0.5)
                     ELSE 0 END AS code,
@@ -2449,20 +2461,24 @@ def q107_zscore_backfill(spark, sf_dir):
         FROM corpus c CROSS JOIN st s
     ),
     recon AS (
-        SELECT vec_id, list(mn + code * (mx - mn) / 255 ORDER BY pos) AS xhat
-        FROM cx GROUP BY vec_id
+        SELECT rid, MIN(vec_id) AS vec_id,
+               list(mn + code * (mx - mn) / 255 ORDER BY pos) AS xhat
+        FROM cx GROUP BY rid
     ),
     approx AS (
-        SELECT r.vec_id,
+        SELECT r.rid, r.vec_id,
                list_cosine_similarity(r.xhat, q.qv) AS a_raw
         FROM recon r CROSS JOIN q
     ),
     cands AS (
-        SELECT vec_id, a_raw,
+        SELECT rid, vec_id, a_raw,
                ROW_NUMBER() OVER (ORDER BY a_raw DESC, vec_id) AS rn
         FROM approx
     ),
     exact AS (
+        -- join by vec_id (NOT rid), replicating the Spark re-rank's
+        -- id-keyed join: duplicate ids produce the same hybrid
+        -- (candidate x copy) rows in both engines
         SELECT c.vec_id, c.a_raw,
                list_cosine_similarity(co.v, q.qv) AS s_raw
         FROM cands c

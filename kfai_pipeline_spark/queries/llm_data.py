@@ -1240,25 +1240,36 @@ def q101_hybrid_rrf(spark, sf_dir):
     # NULL dedup_md5 = every segment was a repeat (distinguishable from
     # an empty doc).
     oracle="""
-    WITH w AS (
+    WITH src AS (
+        -- ROW grain (rid): the Spark arm segments each physical row's
+        -- own word array, so a duplicated doc_id must chunk per COPY —
+        -- grouping by doc_id here interleaved two copies' words inside
+        -- one segment with a nondeterministic tie order (round-7
+        -- dup-id sweep)
+        SELECT row_number() OVER () AS rid, doc_id, text FROM documents
+    ),
+    w AS (
         -- coalesce matches the Spark arm's NULL-totality contract:
         -- unnest of a NULL array would silently DROP the document
-        SELECT doc_id,
+        SELECT rid, doc_id,
                unnest(string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+')) AS word,
                generate_subscripts(string_split_regex(trim(coalesce(text, '')), '[\\s\\x0B]+'), 1) AS pos
-        FROM documents
+        FROM src
     ),
     seg AS (
-        SELECT doc_id, CAST((pos - 1) // 8 AS INT) AS seg_no,
+        SELECT rid, doc_id, CAST((pos - 1) // 8 AS INT) AS seg_no,
                string_agg(word, ' ' ORDER BY pos) AS seg
-        FROM w GROUP BY 1, 2
+        FROM w GROUP BY 1, 2, 3
     ),
     flagged AS (
+        -- keep = (doc_id, seg_no) EQUALS the hash's min struct, BY
+        -- VALUE — matching the Spark arm's min(struct) election, under
+        -- which two copies sharing (doc_id, seg_no) are BOTH kept
+        -- (row_number()=1 kept only one, engine-dependent)
         SELECT doc_id, seg_no, seg,
                CASE WHEN length(trim(seg)) = 0 THEN TRUE
-                    ELSE ROW_NUMBER() OVER (
-                        PARTITION BY md5(lower(trim(seg)))
-                        ORDER BY doc_id, seg_no) = 1
+                    ELSE (doc_id, seg_no) = MIN((doc_id, seg_no)) OVER (
+                        PARTITION BY md5(lower(trim(seg))))
                END AS keep
         FROM seg
     )
@@ -1266,7 +1277,7 @@ def q101_hybrid_rrf(spark, sf_dir):
            COUNT(*) AS n_segs,
            COUNT(*) FILTER (WHERE keep) AS n_kept,
            CASE WHEN COUNT(*) FILTER (WHERE keep) > 0
-                THEN md5(string_agg(seg, ' ' ORDER BY seg_no)
+                THEN md5(string_agg(seg, ' ' ORDER BY seg_no, seg)
                          FILTER (WHERE keep))
            END AS dedup_md5
     FROM flagged GROUP BY doc_id ORDER BY doc_id

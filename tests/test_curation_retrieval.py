@@ -509,3 +509,57 @@ def test_heavy_hitters_matches_counter(spark, case):
     n = sum(counts.values())
     want = {(w, c) for w, c in counts.items() if c * k > n}
     assert got == want
+
+
+# ------------------------------------------ salt-by-time hot-key arm (§5o)
+def test_rolling_bucketed_arm_equals_single_window(spark):
+    """The bucket_seconds hot-key arm must return EXACTLY the plain
+    single-window results — same counts/sums/z-scores — across a
+    dataset engineered to cross bucket boundaries (frames reaching
+    into the previous bucket, rows ON the boundary, a hot key with
+    most of the rows, several bucket widths)."""
+    import random as _random
+
+    from kfai_pipeline_spark.operators.rolling import (
+        rolling_time_agg,
+        rolling_zscore,
+    )
+
+    rng = _random.Random(7)
+    rows = []
+    eid = 0
+    # hot user 1: 400 events over ~6 hours (dense: frames span buckets)
+    for _ in range(400):
+        eid += 1
+        rows.append((eid, 1, 21600 * rng.random(), round(rng.random() * 10, 2)))
+    # sparse users incl. boundary-exact timestamps
+    for u in (2, 3):
+        for t in (0.0, 3600.0, 3600.0, 7199.999999, 7200.0, 10800.0):
+            eid += 1
+            rows.append((eid, u, t, float(u)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, secs double, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds(F.col("secs")).alias("ts"), "value",
+    )
+
+    def key(df):
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    for dur, bucket in ((3600, 3600), (3600, 5400), (1800, 3600)):
+        plain = rolling_time_agg(ev, "user_id", "ts", "value", dur)
+        salted = rolling_time_agg(
+            ev, "user_id", "ts", "value", dur, bucket_seconds=bucket
+        )
+        assert key(plain) == key(salted), (dur, bucket)
+
+    pz = rolling_zscore(ev, "user_id", "ts", "value", 3600)
+    sz = rolling_zscore(ev, "user_id", "ts", "value", 3600, bucket_seconds=3600)
+    assert key(pz) == key(sz)
+
+    # a bucket narrower than the frame must be rejected, not mis-compute
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_time_agg(ev, "user_id", "ts", "value", 3600, bucket_seconds=1800)
