@@ -138,10 +138,14 @@ def q27(spark, sf_dir):
     doc="Tumbling hourly window, batch form (§2.10, Q28); streaming twin in streaming/windows.py.",
 )
 def q28(spark, sf_dir):
+    from kfai_pipeline_spark.functions.datetime_fns import date_trunc_tzfree
+
     events = load_table(spark, sf_dir, "events")
+    # NOT F.date_trunc: that up-casts NTZ to LTZ via the session zone,
+    # shifting DST-gap wall-clocks an hour (tz_sweep round 7)
     return (
         events.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+            date_trunc_tzfree("hour", "ts").alias("hour"), F.col("event_type")
         )
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("hour", "event_type")

@@ -93,7 +93,11 @@ BENCH_SQL: dict[str, str] = {
         LIMIT 100
     """,
     "q28": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
+        -- make_timestamp_ntz, NOT date_trunc: Spark's date_trunc
+        -- up-casts NTZ through the session zone, shifting DST-gap
+        -- wall-clocks an hour (tz_sweep round 7)
+        SELECT make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)
+                 AS hour, event_type,
                COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY hour, event_type
