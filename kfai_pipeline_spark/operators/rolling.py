@@ -54,12 +54,17 @@ def _bucketed_context(
             "duration — a smaller bucket would cut frames off mid-window"
         )
     bucket = F.floor(F.col("__roll_us") / F.lit(bucket_us))
-    both = ordered.withColumn(
-        "__off", F.explode(F.array(F.lit(0), F.lit(1)))
-    ).select(
-        "*",
-        (bucket + F.col("__off")).alias("__bkt"),
-        (F.col("__off") == 1).alias("__ctx"),
+    both = (
+        ordered.withColumn("__off", F.explode(F.array(F.lit(0), F.lit(1))))
+        # a NULL ts buckets to NULL, so its context copy would land in
+        # the SAME (key, NULL) partition as its own copy and the range
+        # frame would see the row twice — keep only the own copy there
+        .where((F.col("__off") == 0) | F.col("__roll_us").isNotNull())
+        .select(
+            "*",
+            (bucket + F.col("__off")).alias("__bkt"),
+            (F.col("__off") == 1).alias("__ctx"),
+        )
     )
     return both, ["__bkt"]
 

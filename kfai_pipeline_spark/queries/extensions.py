@@ -2670,3 +2670,48 @@ def q113_ivfpq_index(spark, sf_dir):
     # exhaustive regime is covered by the brute-force equality test)
     out = ivfpq_topk(spark, idx, q, k=10, nprobe=6, refine=8, vectors=corpus)
     return out.select("vec_id", "approx_dot", "score")
+
+
+# ------------------------------- Q114: salt-by-time rolling arm (§5o)
+@register(
+    "q114_rolling_bucketed",
+    # EXACTLY q80's oracle: the salt-by-time hot-key arm must be
+    # indistinguishable from the plain single-window RANGE frame — the
+    # oracle-checked proof that the skew defense is semantics-free.
+    # (BASELINE.md §5o: a 50%-hot key costs 41x in one task on the
+    # plain window; this arm splits it across time buckets for 2x rows.)
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc=(
+        "Hot-key salt-by-time arm of the rolling RANGE aggregate "
+        "(rolling.rolling_time_agg bucket_seconds; §5o): rows explode "
+        "into (own bucket, next bucket as frame context), the window "
+        "partitions on (key, time-bucket), context rows drop after "
+        "scoring — one scan, one exchange, exact q80 semantics, and a "
+        "10^8-event bot user parallelizes across its buckets instead "
+        "of serializing into one WindowExec task."
+    ),
+)
+def q114_rolling_bucketed(spark, sf_dir):
+    from kfai_pipeline_spark.operators.rolling import rolling_time_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = rolling_time_agg(
+        ev, "user_id", "ts", "value", duration_seconds=3600,
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("roll_n").alias("n_1h"),
+        F.round("roll_sum", 2).alias("sum_1h"),
+    ).orderBy("user_id", "event_id")

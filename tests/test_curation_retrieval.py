@@ -563,3 +563,38 @@ def test_rolling_bucketed_arm_equals_single_window(spark):
 
     with _pytest.raises(ValueError):
         rolling_time_agg(ev, "user_id", "ts", "value", 3600, bucket_seconds=1800)
+
+
+def test_rolling_bucketed_arm_null_ts_and_key_parity(spark):
+    """NULL ts buckets to NULL — its context copy would land in the
+    same partition as the own copy and double into every NULL-ordered
+    frame; the guard keeps only the own copy. NULL keys group like the
+    plain arm. Parity must hold exactly."""
+    from kfai_pipeline_spark.operators.rolling import rolling_time_agg
+
+    rows = [
+        (1, 1, 100.0, 1.0),
+        (2, 1, 200.0, 2.0),
+        (3, 1, None, 4.0),    # NULL ts
+        (4, None, 150.0, 8.0),  # NULL key
+        (5, None, 160.0, 16.0),
+        (6, 2, None, 32.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, secs double, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds(F.col("secs")).alias("ts"), "value",
+    )
+
+    def key(df):
+        return sorted(
+            map(tuple, df.select(sorted(df.columns)).collect()),
+            key=str,
+        )
+
+    plain = rolling_time_agg(ev, "user_id", "ts", "value", 60)
+    salted = rolling_time_agg(ev, "user_id", "ts", "value", 60,
+                              bucket_seconds=60)
+    assert key(plain) == key(salted)
+    assert salted.count() == 6  # no row lost, none duplicated
