@@ -107,3 +107,182 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned arm (X45): for benchmark sets too large to broadcast exactly
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col, n_bits: int, k_hashes: int):
+    """Array column of ``k_hashes`` bit positions for one key: JVM-side
+    ``pmod(xxhash64(key || NUL-seed_i), n_bits)`` — independent hashes by
+    seed-suffix concat, the same trick :func:`minhash_signatures` uses,
+    so the whole hash family stays in codegen (no Python in the common
+    path; only the final bit test touches a kernel)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(col, F.lit(f"\x00bloom{i}"))), F.lit(n_bits)
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def build_bloom_filter(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 23,
+    k_hashes: int = 5,
+    partial_partitions: int = 32,
+) -> bytes:
+    """Distributed Bloom-filter build over a key column: returns the
+    bitmap as ``n_bits/8`` bytes.
+
+    Scale shape: bit positions are hashed JVM-side, each of
+    ``partial_partitions`` tasks ORs its positions into a LOCAL numpy
+    bitmap and emits ONE row, and the driver ORs those partials — so
+    the driver receives ``partial_partitions x n_bits/8`` bytes, never
+    the keys. A 10^9-key benchmark at 10 bits/key is a 1.2 GB bitmap:
+    broadcastable, where the exact distinct-shingle set (tens of GB of
+    strings) is not. For bitmaps where ``partials x size`` strains the
+    driver, lower ``partial_partitions`` (the OR is associative; tasks
+    just aggregate more rows each).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    n_bytes = (n_bits + 7) // 8
+    pos = (
+        keys.select(
+            F.explode(_bloom_positions(F.col(key_col), n_bits, k_hashes)).alias(
+                "__pos"
+            )
+        )
+        .coalesce(partial_partitions)
+    )
+    out_schema = StructType([StructField("partial", BinaryType())])
+
+    def or_partition(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            p = pdf["__pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bm, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"partial": [bm.tobytes()]})
+
+    rows = pos.mapInPandas(or_partition, schema=out_schema).collect()
+    bm = np.zeros(n_bytes, dtype=np.uint8)
+    for r in rows:
+        bm |= np.frombuffer(r["partial"], dtype=np.uint8)
+    return bm.tobytes()
+
+
+def contamination_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+    n_bits: int = 1 << 23,
+    k_hashes: int = 5,
+    repartition_to: int | str | None = "auto",
+    scope=None,
+) -> DataFrame:
+    """Bloom-pruned EXACT contamination — same output contract as
+    :func:`contamination` (id, n_shingles, n_overlap, ratio,
+    contaminated), for benchmark sets too large to broadcast exactly.
+
+    :func:`contamination` broadcasts the benchmark's distinct shingle
+    SET — right when eval sets are MBs, impossible when the "benchmark"
+    is itself corpus-scale (decontaminating against 10^8-10^9 held-out
+    n-grams: the set is tens of GB of strings). The naive fallback
+    shuffle-joins ALL corpus shingles against the benchmark — at 100 TB
+    that shuffle is the job. This arm:
+
+    1. builds a Bloom bitmap over the benchmark shingles
+       (:func:`build_bloom_filter` — 10 bits/key ~ 1% fp), broadcast
+       once per executor;
+    2. tests every corpus shingle MAP-SIDE (positions hashed in
+       codegen, one vectorized numpy bit-test kernel) — ~99% of
+       non-overlapping shingles never reach a shuffle;
+    3. EXACT-verifies only the survivors (true hits + ~1% fp) with a
+       shuffle semi join against the benchmark shingles — so false
+       positives are eliminated and the result is bit-identical to the
+       exact arm (that's what makes this oracle-checkable rather than
+       approximately-right).
+
+    Cost note: per-doc totals and the overlap branch each evaluate the
+    shingle pipeline (Spark shares no subplans), so the corpus text is
+    shingled twice — deliberate: at scale a second narrow scan+explode
+    is cheap next to shuffling |corpus shingles| bytes, which is what
+    the prune avoids. Pass ``scope`` (CacheScope) to persist the
+    shingle frame instead when the corpus fits executor storage, and to
+    register the bitmap broadcast for deterministic release.
+    """
+    doc_sh = word_shingles(
+        corpus.select(id_col, text_col), text_col, id_col, n=n,
+        repartition_to=repartition_to,
+    )
+    if scope is not None:
+        doc_sh = scope.add(doc_sh.persist())
+    bench_sh = word_shingles(
+        bench.select(F.lit(0).alias("__one"), text_col), text_col, "__one", n=n,
+    ).select("shingle").distinct()
+
+    bitmap = build_bloom_filter(bench_sh, "shingle", n_bits, k_hashes)
+    bc = corpus.sparkSession.sparkContext.broadcast(bitmap)
+    if scope is not None:
+        scope.add_broadcast(bc)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = corpus.schema[id_col].dataType
+    probe_in = doc_sh.withColumn(
+        "__pos", _bloom_positions(F.col("shingle"), n_bits, k_hashes)
+    )
+    cand_schema = StructType(
+        [StructField(id_col, id_type), probe_in.schema["shingle"]]
+    )
+
+    def bloom_test(batches):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            p = np.array(pdf["__pos"].tolist(), dtype=np.int64)
+            hits = (bm[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+            keep = hits.all(axis=1)
+            if keep.any():
+                yield pdf.loc[keep, [id_col, "shingle"]]
+
+    candidates = probe_in.mapInPandas(bloom_test, schema=cand_schema)
+    # exact verify: survivors only — both sides are now prune-sized, so
+    # a plain shuffle semi join is the right plan (NOT broadcast: the
+    # premise of this arm is that bench_sh doesn't fit a broadcast)
+    verified = candidates.join(bench_sh, "shingle", "left_semi")
+    overlap = verified.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+
+    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    joined = totals.join(overlap, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return joined.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 4).alias("ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
+    )

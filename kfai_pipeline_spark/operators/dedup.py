@@ -271,22 +271,46 @@ class CacheScope:
 
     Used via :func:`minhash_dedup_scoped`; also composable directly:
     ``scope.add(df.persist())`` then ``scope.release()`` when done.
+
+    Also tracks SparkContext **broadcast variables** (``add_broadcast``):
+    the numpy-kernel operators (LSH planes, IVF centroids, PQ LUTs)
+    broadcast their small side and, because the returned DataFrame is
+    lazy, can't destroy it themselves — a loop calling them without a
+    scope accretes one executor-resident broadcast block per call.
+    Pass a scope to those operators and ``release()`` destroys the
+    broadcasts after the frames are unpersisted (same lifetime rule:
+    derived DataFrames must not be re-evaluated after release).
     """
 
     def __init__(self) -> None:
         self._dfs: list[DataFrame] = []
+        self._bcs: list = []
 
     def add(self, df: DataFrame) -> DataFrame:
         self._dfs.append(df)
         return df
 
+    def add_broadcast(self, bc):
+        """Track a ``sparkContext.broadcast`` handle for destruction at
+        :meth:`release` time. Returns the handle for chaining."""
+        self._bcs.append(bc)
+        return bc
+
     def release(self) -> None:
-        """Blocking-unpersist every tracked frame (idempotent). After
-        this, DataFrames derived from the scope are no longer usable —
-        localCheckpoint cuts lineage, so dropped blocks can't recompute."""
+        """Blocking-unpersist every tracked frame, then destroy tracked
+        broadcasts (idempotent). After this, DataFrames derived from the
+        scope are no longer usable — localCheckpoint cuts lineage, so
+        dropped blocks can't recompute, and kernels that captured a
+        destroyed broadcast fail on re-evaluation."""
         for d in self._dfs:
             _release_blocks(d)
         self._dfs.clear()
+        for b in self._bcs:
+            try:
+                b.destroy()
+            except Exception:  # already destroyed / context gone
+                pass
+        self._bcs.clear()
 
 
 class ConvergenceError(RuntimeError):

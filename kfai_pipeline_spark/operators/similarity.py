@@ -199,6 +199,7 @@ def _band_rows(
     rows_per_band: int,
     out_id: str,
     probe_flips: int = 0,
+    scope=None,
 ) -> DataFrame:
     """Exploded (id, band signature) rows via one broadcast-numpy matmul
     per Arrow batch — the plan holds ZERO plane literals.
@@ -230,6 +231,8 @@ def _band_rows(
     bc = df.sparkSession.sparkContext.broadcast(
         np.array(planes, dtype=np.float64)
     )
+    if scope is not None:
+        scope.add_broadcast(bc)
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField(out_id, id_type), StructField("__sig", LongType())])
     weights_shape = (bands, rows_per_band)
@@ -291,6 +294,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     round_to: int | None = 4,
     multiprobe: int = 0,
+    scope=None,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH banding for candidates, exact re-rank.
 
@@ -315,16 +319,27 @@ def cosine_topk_lsh(
     corpus-side pinned ``hint("merge")`` (the fabricated-estimate rule:
     a corpus-derived frame must never ride the auto-broadcast
     threshold), query side broadcast.
+
+    ``scope`` (a :class:`~kfai_pipeline_spark.operators.dedup.CacheScope`):
+    each call creates TWO SparkContext broadcasts (the hyperplane matrix,
+    once per side); the returned frame is lazy so they can't be destroyed
+    here. A loop running many LSH passes in one session should pass a
+    scope and ``release()`` between iterations, or the executor-resident
+    broadcast blocks accrete one pair per call. Same option on
+    assign_clusters / ivf_probe_topk / pq_topk / ivfpq_topk.
     """
     planes = random_hyperplanes(dim, bands * rows_per_band, seed)
 
     # Sign-LSH band signatures are scale-invariant, so they're computed
     # on the raw vectors (numpy kernel — see _band_rows for why not the
     # expression arm); scoring uses unit-normalized copies.
-    v_slim = _band_rows(vectors, vec_col, id_col, planes, bands, rows_per_band, id_col)
+    v_slim = _band_rows(
+        vectors, vec_col, id_col, planes, bands, rows_per_band, id_col,
+        scope=scope,
+    )
     q_slim = _band_rows(
         queries, query_vec_col, query_id_col, planes, bands, rows_per_band, "__qid",
-        probe_flips=multiprobe,
+        probe_flips=multiprobe, scope=scope,
     )
     cands = (
         v_slim.join(F.broadcast(q_slim), "__sig")
@@ -364,6 +379,7 @@ def assign_clusters(
     centroids: list[list[float]],
     vec_col: str,
     out_col: str = "cluster_id",
+    scope=None,
 ) -> DataFrame:
     """Append the 0-based nearest-centroid id (max dot; first wins on
     ties — for unit vectors max dot == max cosine, i.e. spherical
@@ -389,6 +405,8 @@ def assign_clusters(
     bc = df.sparkSession.sparkContext.broadcast(
         np.array(centroids, dtype=np.float64)
     )
+    if scope is not None:
+        scope.add_broadcast(bc)
     # copy the field list — df.schema is a cached object and
     # StructType.add mutates in place, which would corrupt the input df
     out_schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
@@ -581,6 +599,7 @@ def ivf_probe_topk(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int | None = 4,
+    scope=None,
 ) -> DataFrame:
     """Probe a prebuilt inverted file (``ivf_index`` output, in-memory
     or loaded via :func:`load_ivf_index`). Each query scores only its
@@ -603,6 +622,8 @@ def ivf_probe_topk(
     bc = queries.sparkSession.sparkContext.broadcast(
         np.array(centroids, dtype=np.float64)
     )
+    if scope is not None:
+        scope.add_broadcast(bc)
     probe_schema = StructType(
         qn.schema.fields + [StructField("cluster_id", IntegerType())]
     )
@@ -1391,6 +1412,10 @@ def write_pq_index(
     src.mapInPandas(encode, schema=out_schema).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
+    # the write is the action — the codebook broadcast is dead weight on
+    # the executors after it completes (looped index builds would
+    # otherwise accrete one block per call)
+    bc.destroy()
 
 
 def save_pq_index(spark: SparkSession, path: str, codebooks: list) -> None:
@@ -1428,6 +1453,7 @@ def pq_topk(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int | None = 4,
+    scope=None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over the PQ index:
     per query precompute an (m x n_codes) lookup table of subspace dot
@@ -1481,6 +1507,8 @@ def pq_topk(
     )
     n_cand = k * refine
     bc = spark.sparkContext.broadcast((qids, luts))
+    if scope is not None:
+        scope.add_broadcast(bc)
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[query_id_col].dataType),
@@ -1746,6 +1774,7 @@ def ivfpq_topk(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int | None = 4,
+    scope=None,
 ) -> DataFrame:
     """Probe a persisted IVFPQ index: route each query to its
     ``nprobe`` nearest coarse centroids (driver-side numpy — q x k
@@ -1808,6 +1837,8 @@ def ivfpq_topk(
     )  # q x m x n_codes
     n_cand = k * refine
     bc = spark.sparkContext.broadcast((qids, luts, qc, probes))
+    if scope is not None:
+        scope.add_broadcast(bc)
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[query_id_col].dataType),

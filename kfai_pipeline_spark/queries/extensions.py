@@ -2715,3 +2715,56 @@ def q114_rolling_bucketed(spark, sf_dir):
         F.col("roll_n").alias("n_1h"),
         F.round("roll_sum", 2).alias("sum_1h"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------- Q115: Bloom-pruned decontamination (X45)
+@register(
+    "q115_bloom_decontam",
+    # EXACTLY q61's oracle (same split, n, threshold): the Bloom prune
+    # only narrows what reaches the exact verify join, so the arm must
+    # be bit-identical to the broadcast-exact arm — the oracle-checked
+    # proof that the prune is semantics-free (the q114/q80 pattern).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '[\\s\\x0B]+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-2,1)+1)) AS i) t
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    ov AS (
+        SELECT c.doc_id, count(*) AS n_overlap
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(o.n_overlap, 0) * 1.0 / t.n_shingles, 4) AS ratio,
+           COALESCE(o.n_overlap, 0) * 1.0 / t.n_shingles >= 0.2 AS contaminated
+    FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=(
+        "Bloom-pruned exact decontamination (decontaminate."
+        "contamination_bloom, X45): for benchmark n-gram sets too large "
+        "to broadcast exactly, a broadcast Bloom bitmap (JVM-side "
+        "xxhash64 positions, vectorized numpy bit test) drops ~99% of "
+        "corpus shingles map-side; only survivors take the exact "
+        "shuffle semi join, so false positives are eliminated and the "
+        "result is bit-identical to q61's broadcast-exact arm."
+    ),
+)
+def q115_bloom_decontam(spark, sf_dir):
+    from kfai_pipeline_spark.operators import decontaminate as DC2
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return DC2.contamination_bloom(
+        corpus, bench, text_col="text", id_col="doc_id", n=3, threshold=0.2,
+        n_bits=1 << 20, k_hashes=5,
+    ).orderBy("doc_id")

@@ -110,6 +110,97 @@ def test_decontaminate_drops_flagged_docs(spark):
     assert [r.doc_id for r in kept.collect()] == [2]
 
 
+def _contam_rows(df):
+    return sorted(
+        (r.doc_id, r.n_shingles, r.n_overlap, r.ratio, r.contaminated)
+        for r in df.collect()
+    )
+
+
+def test_contamination_bloom_equals_exact_arm(spark):
+    from kfai_pipeline_spark.operators.decontaminate import (
+        contamination,
+        contamination_bloom,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (9, "over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),
+            (2, "completely different words entirely here now"),
+            (3, "over the lazy dog sleeps"),
+            (4, "short"),  # < n words: whole text is the one shingle
+        ],
+        ["doc_id", "text"],
+    )
+    exact = _contam_rows(contamination(corpus, bench, threshold=0.2))
+    bloom = _contam_rows(
+        contamination_bloom(corpus, bench, threshold=0.2, n_bits=1 << 16)
+    )
+    assert bloom == exact
+
+
+def test_contamination_bloom_exact_even_when_bitmap_saturated(spark):
+    # n_bits=8 -> every probe is a false positive -> the prune passes
+    # everything and the exact verify join must carry the semantics
+    from kfai_pipeline_spark.operators.decontaminate import (
+        contamination,
+        contamination_bloom,
+    )
+
+    bench = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "p q r s t")], ["doc_id", "text"]
+    )
+    exact = _contam_rows(contamination(corpus, bench, threshold=0.2))
+    bloom = _contam_rows(
+        contamination_bloom(corpus, bench, threshold=0.2, n_bits=8, k_hashes=2)
+    )
+    assert bloom == exact
+
+
+def test_contamination_bloom_empty_bench_and_scope(spark):
+    from kfai_pipeline_spark.operators.decontaminate import contamination_bloom
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "some words here"), (2, "other words there")], ["doc_id", "text"]
+    )
+    scope = CacheScope()
+    out = contamination_bloom(corpus, bench, threshold=0.2, scope=scope).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert all(r.n_overlap == 0 and not r.contaminated for r in out)
+    # the bitmap broadcast was registered; release is idempotent
+    assert len(scope._bcs) == 1
+    scope.release()
+    assert not scope._bcs
+    scope.release()
+
+
+def test_bloom_build_sets_at_most_k_bits_per_key(spark):
+    import numpy as np
+
+    from kfai_pipeline_spark.operators.decontaminate import build_bloom_filter
+
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(50)], ["shingle"])
+    bm = np.frombuffer(
+        build_bloom_filter(keys, "shingle", n_bits=1 << 12, k_hashes=4),
+        dtype=np.uint8,
+    )
+    popcount = int(np.unpackbits(bm).sum())
+    assert 0 < popcount <= 50 * 4
+    # determinism: same keys -> same bitmap
+    bm2 = np.frombuffer(
+        build_bloom_filter(keys, "shingle", n_bits=1 << 12, k_hashes=4),
+        dtype=np.uint8,
+    )
+    assert np.array_equal(bm, bm2)
+
+
 def test_mixture_sample_shares_and_cap(spark):
     from kfai_pipeline_spark.operators.sampling import mixture_sample
 

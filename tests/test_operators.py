@@ -205,6 +205,28 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls  # 16x2 bands: decent recall
 
 
+def test_lsh_topk_scope_releases_plane_broadcasts(spark):
+    # each cosine_topk_lsh call creates two hyperplane broadcasts (one
+    # per side); a scope must capture them for deterministic release so
+    # looped callers don't accrete executor-resident blocks
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 2)
+    scope = CacheScope()
+    out = S.cosine_topk_lsh(
+        corpus, queries, k=5, dim=64, bands=8, rows_per_band=2, scope=scope
+    )
+    assert out.count() >= 0  # materialize before release
+    assert len(scope._bcs) == 2
+    scope.release()
+    assert not scope._bcs
+    scope.release()  # idempotent
+
+
 # ---------------------------------------------------------------- API connector
 def test_fetch_batched_batches_and_status_routing(spark):
     # fetch_fn runs on executors — observe behavior via returned payloads
