@@ -38,7 +38,11 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # multi-file (Spark-style directory) layout — glob the parts
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only:

@@ -262,6 +262,19 @@ SECTIONS = [
         "rollup (tiny) plus today's delta partition are the only "
         "inputs — history is never rescanned.",
     ),
+    (
+        "q115_bloom_decontam",
+        "Bloom-pruned exact decontamination (X45)",
+        "The arm for benchmark n-gram sets too large to broadcast "
+        "exactly: bit positions are hashed JVM-side (xxhash64 codegen), "
+        "the mapInPandas bit-test sits BETWEEN the shingle explode and "
+        "the verify join, so ~99% of corpus shingles (at 10 bits/key) "
+        "die map-side and only survivors reach the exchange; the exact "
+        "semi join then eliminates every false positive — output "
+        "bit-identical to q61's broadcast-exact arm (same oracle). The "
+        "totals branch aggregates the shingle frame with map-side "
+        "partials on doc_id and never touches the benchmark.",
+    ),
 ]
 
 
