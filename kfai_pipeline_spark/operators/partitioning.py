@@ -94,3 +94,113 @@ def write_bucketed(
 def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str) -> DataFrame:
     """Join two same-bucketed tables on their bucket key (shuffle-free)."""
     return spark.table(table_a).join(spark.table(table_b), key)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (X46): multi-column scan pruning via Morton layout
+# ---------------------------------------------------------------------------
+
+
+def zvalue(bucket_cols: list, bits: int = 16):
+    """Morton (Z-curve) interleave of per-column bucket ids: column j's
+    bit i lands at position ``i*n + (n-1-j)``, so all columns' high
+    bits dominate jointly and rows close in EVERY dimension get close
+    z-values. Pure codegen — ``bits * n_cols`` shift/and/or terms, no
+    UDF, plan size O(bits x cols).
+
+    Inputs must already be non-negative bucket ids < 2**bits
+    (see :func:`zorder_frame` for the min/max bucketing). ``bits *
+    len(bucket_cols)`` must fit a signed long (<= 62).
+    """
+    from functools import reduce
+
+    n = len(bucket_cols)
+    if n == 0:
+        raise ValueError("zvalue needs at least one column")
+    if bits * n > 62:
+        raise ValueError(
+            f"bits*cols = {bits * n} overflows a signed long; lower bits"
+        )
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            pos = i * n + (n - 1 - j)
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), pos)
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rows re-clustered along a Z-curve over ``cols`` — the layout
+    optimization behind lakehouse ``OPTIMIZE ZORDER BY``: after
+    writing, parquet min/max stats prune scans that filter on ANY
+    subset of the z columns, where a plain sort prunes only its prefix
+    column. Content-preserving by construction: every input row
+    appears exactly once (NULL values cluster at bucket 0), only
+    order and partition boundaries change.
+
+    Scale shape: per-column min/max is ONE tiny aggregate (2 values x
+    cols to the driver, broadcast back as literals); bucket ids and the
+    Morton interleave are whole-stage codegen; the final
+    ``repartitionByRange`` on the z-value is Spark's own sampled range
+    partitioner, so even a skewed z distribution yields balanced
+    output files. Linear min/max bucketing is outlier-sensitive (one
+    huge value squashes everyone else into few buckets — the classic
+    z-order caveat); for heavy-tailed columns pre-transform (log) or
+    bucket by sampled quantiles before calling.
+    """
+    if not cols:
+        raise ValueError("zorder_frame needs at least one column")
+    # one global aggregate: 2 doubles per column to the driver (an agg
+    # over an empty frame still yields the one all-NULL row, which the
+    # NULL-min branch below turns into constant-0 buckets)
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn)) / F.lit(
+            mx - mn
+        )
+        buckets.append(
+            F.least(F.floor(frac * F.lit(float(top + 1))), F.lit(top)).cast("long")
+        )
+    z = df.withColumn("__z", zvalue(buckets, bits))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        z.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write ``df`` z-ordered by ``cols``. ``row_group_bytes`` caps the
+    parquet row-group size — pruning granularity is the row group, so
+    at a fixed file size smaller groups mean finer min/max pruning
+    (at the cost of more footer metadata; lakehouse defaults are
+    64-128 MB, the local spot uses 256 KB to make pruning visible at
+    fixture scale)."""
+    writer = zorder_frame(df, cols, bits, num_partitions).write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)

@@ -2768,3 +2768,68 @@ def q115_bloom_decontam(spark, sf_dir):
         corpus, bench, text_col="text", id_col="doc_id", n=3, threshold=0.2,
         n_bits=1 << 20, k_hashes=5,
     ).orderBy("doc_id")
+
+
+# ------------------------------------ Q116: z-order layout roundtrip (X46)
+@register(
+    "q116_zorder_scan",
+    # The oracle runs on the ORIGINAL events table: z-ordering is a
+    # pure layout transform (every row exactly once, only order and
+    # file boundaries change), so a 2-predicate aggregate over the
+    # rewritten copy must hash-match the same SQL over the source —
+    # the oracle-checked proof that the clustering is content-free.
+    # The pruning benefit itself is measured in BASELINE §5t
+    # (scripts/zorder_spot.py); at fixture scale this row verifies the
+    # lifecycle: stats agg -> Morton interleave -> range-repartition ->
+    # sorted write with small row groups -> filtered read-back.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 200.0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "Z-order clustering lifecycle (partitioning.zorder_write, X46 — "
+        "the lakehouse OPTIMIZE ZORDER layout): per-column min/max "
+        "bucketing + codegen Morton bit-interleave + sampled "
+        "range-repartition on the z-value, written with small parquet "
+        "row groups so min/max stats prune scans filtering on ANY z "
+        "column (a plain sort prunes only its prefix). Read back and "
+        "aggregated under a 2-dimension predicate; hash-checked "
+        "against the same SQL on the unrewritten table."
+    ),
+)
+def q116_zorder_scan(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import zorder_write
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        _scratch_root(), f"kfai_q116_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "zorder")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        zorder_write(
+            ev, idx, ["user_id", "value"], bits=12,
+            row_group_bytes=256 * 1024,
+        )
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    zdf = spark.read.parquet(idx)
+    return (
+        zdf.where(
+            F.col("user_id").between(3, 9) & F.col("value").between(50.0, 200.0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
