@@ -119,6 +119,72 @@ def cosine_topk(
     )
 
 
+def mine_hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_label_col: str = "label",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (X47):
+    for each anchor, the ``k`` most-similar corpus vectors with a
+    DIFFERENT label — the examples a contrastive loss learns most from
+    (similar in embedding space, known to be semantically distinct).
+
+    Returns (anchor_id, id, score), score = cosine rounded to
+    ``round_to`` (ranking happens on the rounded value with an id
+    tie-break, the cross-engine-stable convention of
+    :func:`cosine_topk`).
+
+    Scale shape — identical to :func:`cosine_topk`: the anchor set
+    broadcasts (small by contract: you mine negatives for a training
+    batch, not the whole corpus), the corpus streams through ONE
+    codegen stage (normalize → dot → label-mismatch filter → per-anchor
+    window top-k), and only k x |anchors| rows survive to the final
+    exchange. The label filter runs MAP-SIDE before the window, so
+    same-label rows (including the anchor itself) never enter the
+    ranking. Degenerate-vector contract: NULL/zero-norm vectors have no
+    direction and are excluded from both sides; NULL-label rows are
+    never negatives (an unknown label could be the same class —
+    three-valued logic drops them in SQL too).
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(anchor_id_col).alias("__aid"),
+            l2_normalize(_as_double(anchor_vec_col)).alias("__av"),
+            F.col(anchor_label_col).alias("__albl"),
+        ).where(F.col("__av").isNotNull() & F.col("__albl").isNotNull())
+    )
+    normed = vectors.select(
+        F.col(id_col),
+        l2_normalize(_as_double(vec_col)).alias("__v"),
+        F.col(label_col).alias("__lbl"),
+    ).where(F.col("__v").isNotNull() & F.col("__lbl").isNotNull())
+    score = dot(F.col("__v"), F.col("__av"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        normed.crossJoin(a)
+        .where(F.col("__lbl") != F.col("__albl"))
+        .select(
+            F.col("__aid").alias(anchor_id_col),
+            F.col(id_col),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_radius(
     vectors: DataFrame,
     queries: DataFrame,

@@ -2833,3 +2833,64 @@ def q116_zorder_scan(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ----------------------------------- Q117: hard-negative mining (X47)
+@register(
+    "q117_hard_negatives",
+    # Ranking is on the ROUNDED cosine with a vec_id tie-break — the
+    # q27 cross-engine convention; zero-norm/NULL vectors are excluded
+    # on both sides per the degenerate-vector contract (DuckDB's
+    # list_cosine_similarity returns -1.0 for a zero vector), and
+    # NULL-label rows drop out of `label <> al` in both engines.
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+               label AS al
+        FROM embeddings
+        WHERE vec_id < 10 AND embedding IS NOT NULL AND label IS NOT NULL
+          AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+    ),
+    scored AS (
+        SELECT a.anchor_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, a.av), 4) AS score
+        FROM a JOIN c ON c.label <> a.al
+    ),
+    ranked AS (
+        SELECT anchor_id, vec_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id ORDER BY score DESC, vec_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT anchor_id, vec_id, score FROM ranked
+    WHERE rk <= 5
+    ORDER BY anchor_id, vec_id
+    """,
+    doc=(
+        "Hard-negative mining for contrastive training (similarity."
+        "mine_hard_negatives, X47): per anchor, the top-5 most-similar "
+        "corpus vectors with a DIFFERENT label. Anchors broadcast, the "
+        "corpus streams through one codegen stage (normalize -> dot -> "
+        "map-side label-mismatch filter -> per-anchor window top-k) — "
+        "the q27 scan shape with the negative-pair semantics a "
+        "contrastive loss needs."
+    ),
+)
+def q117_hard_negatives(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = S.mine_hard_negatives(emb, anchors, k=5)
+    return out.select("anchor_id", "vec_id", "score").orderBy(
+        "anchor_id", "vec_id"
+    )

@@ -746,3 +746,49 @@ def test_asof_join_null_keys_match_nothing(spark):
         left, right, "user_id", "lts", "rts", value_cols=["val"]
     ).collect()}
     assert out == {"l1": 100.0, "l2": None}
+
+
+# ---------------------------------------------------------------- hard negatives
+def test_mine_hard_negatives_hand_computed(spark):
+    # anchor 0 (label A) at [1,0]; corpus: same-label near-twin must be
+    # excluded, different-label vectors rank by cosine
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),    # same label: never a negative
+        (2, [1.0, 0.05], "B"),    # closest different-label
+        (3, [0.5, 0.5], "B"),
+        (4, [-1.0, 0.0], "C"),    # most distant
+        (5, None, "B"),           # NULL vector: excluded
+        (6, [0.0, 0.0], "B"),     # zero norm: no direction, excluded
+        (7, [0.9, 0.1], None),    # NULL label: unknown class, excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = S.mine_hard_negatives(emb, anchors, k=2).collect()
+    assert [(r.anchor_id, r.vec_id) for r in got] == [(0, 2), (0, 3)]
+    assert all(-1.0 <= r.score <= 1.0 for r in got)
+
+
+def test_mine_hard_negatives_k_cap_and_degenerate_anchor(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 0.0], 1),   # zero-norm anchor: mines nothing
+        (10, [0.8, 0.2], 1),
+        (11, [0.7, 0.3], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = emb.where(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = S.mine_hard_negatives(emb, anchors, k=10).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r.vec_id)
+    assert sorted(by_anchor[0]) == [10, 11]   # k caps above available
+    assert 1 not in by_anchor                 # degenerate anchor dropped

@@ -289,6 +289,7 @@ _NESTED_LOOP_OK = {
     "q111_sq8_index",       # 1-row literal query join constant-folds to NLJ
     "q112_pq_index",        # same 1-row literal query shape as q111
     "q113_ivfpq_index",     # same 1-row literal query shape as q111/q112
+    "q117_hard_negatives",  # broadcast anchor NLJ (the q27 scan shape)
 }
 
 
