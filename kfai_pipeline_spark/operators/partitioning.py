@@ -136,6 +136,7 @@ def zorder_frame(
     cols: list[str],
     bits: int = 16,
     num_partitions: int | None = None,
+    bucketing: str = "linear",
 ) -> DataFrame:
     """Rows re-clustered along a Z-curve over ``cols`` — the layout
     optimization behind lakehouse ``OPTIMIZE ZORDER BY``: after
@@ -150,33 +151,64 @@ def zorder_frame(
     Morton interleave are whole-stage codegen; the final
     ``repartitionByRange`` on the z-value is Spark's own sampled range
     partitioner, so even a skewed z distribution yields balanced
-    output files. Linear min/max bucketing is outlier-sensitive (one
-    huge value squashes everyone else into few buckets — the classic
-    z-order caveat); for heavy-tailed columns pre-transform (log) or
-    bucket by sampled quantiles before calling.
+    output files.
+
+    ``bucketing``: ``"linear"`` (default) buckets on min/max — O(1)
+    stats, right for roughly-uniform columns, but outlier-sensitive
+    (one huge value squashes everyone else into bucket 0, the classic
+    z-order caveat). ``"quantile"`` buckets on approxQuantile
+    boundaries (capped at 8 effective bits = 255 boundaries): rank-like
+    ids that are skew-immune, at the cost of one sampled-quantile pass
+    and an O(boundaries) interpreted filter per row at write time —
+    write-time only, never query-time.
     """
     if not cols:
         raise ValueError("zorder_frame needs at least one column")
-    # one global aggregate: 2 doubles per column to the driver (an agg
-    # over an empty frame still yields the one all-NULL row, which the
-    # NULL-min branch below turns into constant-0 buckets)
-    row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-    ).collect()[0]
+    if bucketing not in ("linear", "quantile"):
+        raise ValueError(f"unknown bucketing {bucketing!r}")
     top = (1 << bits) - 1
     buckets = []
-    for c in cols:
-        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
-        if mn is None or mx is None or mx <= mn:
-            buckets.append(F.lit(0).cast("long"))
-            continue
-        frac = (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn)) / F.lit(
-            mx - mn
+    if bucketing == "quantile":
+        q_bits = min(bits, 8)  # 255 boundaries is plenty of z locality
+        n_bounds = (1 << q_bits) - 1
+        probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+        # one sampled pass for every column's boundary list (NULLs are
+        # ignored by approxQuantile; NULL rows land in bucket 0 below)
+        all_bounds = df.stat.approxQuantile(
+            [c for c in cols], probs, 0.001
         )
-        buckets.append(
-            F.least(F.floor(frac * F.lit(float(top + 1))), F.lit(top)).cast("long")
-        )
+        for c, bounds in zip(cols, all_bounds):
+            if not bounds:  # empty/all-NULL column
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            v = F.col(c).cast("double")
+            buckets.append(
+                F.when(
+                    v.isNull(), F.lit(0)
+                ).otherwise(F.size(F.filter(barr, lambda b: v >= b))).cast("long")
+            )
+    else:
+        # one global aggregate: 2 doubles per column to the driver (an
+        # agg over an empty frame still yields the one all-NULL row,
+        # which the NULL-min branch below turns into constant-0 buckets)
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+        ).collect()[0]
+        for c in cols:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            frac = (
+                F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn)
+            ) / F.lit(mx - mn)
+            buckets.append(
+                F.least(
+                    F.floor(frac * F.lit(float(top + 1))), F.lit(top)
+                ).cast("long")
+            )
     z = df.withColumn("__z", zvalue(buckets, bits))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
@@ -193,6 +225,7 @@ def zorder_write(
     bits: int = 16,
     num_partitions: int | None = None,
     row_group_bytes: int | None = None,
+    bucketing: str = "linear",
 ) -> None:
     """Write ``df`` z-ordered by ``cols``. ``row_group_bytes`` caps the
     parquet row-group size — pruning granularity is the row group, so
@@ -200,7 +233,9 @@ def zorder_write(
     (at the cost of more footer metadata; lakehouse defaults are
     64-128 MB, the local spot uses 256 KB to make pruning visible at
     fixture scale)."""
-    writer = zorder_frame(df, cols, bits, num_partitions).write.mode("overwrite")
+    writer = zorder_frame(
+        df, cols, bits, num_partitions, bucketing
+    ).write.mode("overwrite")
     if row_group_bytes:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)

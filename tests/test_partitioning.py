@@ -245,3 +245,49 @@ def test_zorder_write_roundtrip_and_row_groups(spark, tmp_path_factory):
     groups = sum(pq.ParquetFile(_os.path.join(path, f)).metadata.num_row_groups
                  for f in parts)
     assert groups >= len(parts)  # sanity: metadata readable, >=1 group/file
+
+
+def test_zorder_quantile_bucketing_resists_outliers(spark):
+    from kfai_pipeline_spark.operators.partitioning import zorder_frame
+
+    # 1000 uniform values + one 1e12 outlier: linear min/max squashes
+    # the whole uniform bulk into bucket 0 (no clustering at all);
+    # quantile bucketing assigns rank-like ids so the bulk still
+    # clusters by value
+    rows = [(i, float(i % 100)) for i in range(1000)] + [(1000, 1e12)]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    lin = zorder_frame(df, ["v"], bits=8, bucketing="linear", num_partitions=8)
+    qnt = zorder_frame(df, ["v"], bits=8, bucketing="quantile", num_partitions=8)
+    # content preserved by both
+    assert sorted(map(tuple, lin.collect())) == sorted(rows)
+    assert sorted(map(tuple, qnt.collect())) == sorted(rows)
+
+    def bulk_spans(out) -> list[float]:
+        """Per-partition value span of the uniform bulk (outlier
+        excluded — it legitimately shares a partition with the top
+        ranks and would dominate any span it touches)."""
+        parts = out.where(F.col("v") < 1000).select("v").rdd.glom().collect()
+        return [
+            max(r["v"] for r in p) - min(r["v"] for r in p)
+            for p in parts
+            if len(p) > 1
+        ]
+
+    spans_lin = bulk_spans(lin)
+    spans_qnt = bulk_spans(qnt)
+    # linear: the bulk is one constant-0 bucket -> at least one
+    # partition mixes (nearly) the full 0-99 range
+    assert max(spans_lin) > 90.0, spans_lin
+    # quantile: every partition of the bulk is a tight value range
+    assert max(spans_qnt) < 40.0, spans_qnt
+
+
+def test_zorder_bucketing_guard(spark):
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.partitioning import zorder_frame
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with _pytest.raises(ValueError):
+        zorder_frame(df, ["v"], bucketing="nope")
