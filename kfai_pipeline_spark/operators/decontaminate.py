@@ -26,11 +26,18 @@ from pyspark.sql import DataFrame, functions as F
 from kfai_pipeline_spark.operators.dedup import word_shingles
 
 
-def benchmark_shingle_set(bench: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def benchmark_shingle_set(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    repartition_to: int | str | None = None,
+) -> DataFrame:
     """Distinct shingle set of the benchmark frame: one column ``shingle``.
 
-    Deduplicated across the whole benchmark (set semantics), small enough
-    to broadcast by construction.
+    Deduplicated across the whole benchmark (set semantics). The default
+    ``repartition_to=None`` skips the widening probe (an eval-set bench
+    is tiny by construction); the Bloom arm passes ``"auto"`` because
+    ITS benchmark side is corpus-scale by premise.
     """
     return (
         word_shingles(
@@ -38,7 +45,7 @@ def benchmark_shingle_set(bench: DataFrame, text_col: str = "text", n: int = 3) 
             text_col,
             "__one",
             n=n,
-            repartition_to=None,  # tiny by construction — skip the widening probe
+            repartition_to=repartition_to,
         )
         .select("shingle")
         .distinct()
@@ -233,9 +240,13 @@ def contamination_bloom(
     )
     if scope is not None:
         doc_sh = scope.add(doc_sh.persist())
-    bench_sh = word_shingles(
-        bench.select(F.lit(0).alias("__one"), text_col), text_col, "__one", n=n,
-    ).select("shingle").distinct()
+    # the shared helper, widened: this arm's benchmark side is
+    # corpus-scale by premise, so it gets the same narrow-scan probe as
+    # the corpus side (keeping tokenization single-sourced with the
+    # broadcast-exact arm)
+    bench_sh = benchmark_shingle_set(
+        bench, text_col=text_col, n=n, repartition_to="auto"
+    )
 
     bitmap = build_bloom_filter(bench_sh, "shingle", n_bits, k_hashes)
     bc = corpus.sparkSession.sparkContext.broadcast(bitmap)

@@ -169,7 +169,11 @@ def zorder_frame(
     top = (1 << bits) - 1
     buckets = []
     if bucketing == "quantile":
-        q_bits = min(bits, 8)  # 255 boundaries is plenty of z locality
+        # quantile ids only occupy q_bits, so the interleave (and its
+        # bits*cols <= 62 overflow guard) must use q_bits too — passing
+        # the caller's `bits` would reject valid wide-column configs
+        # and emit dead always-zero interleave terms
+        bits = q_bits = min(bits, 8)  # 255 boundaries is plenty of z locality
         n_bounds = (1 << q_bits) - 1
         probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
         # one sampled pass for every column's boundary list (NULLs are

@@ -38,11 +38,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SRC = os.environ.get("SPARK_GRAFT_LAYOUT_SRC", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
+
+from kfai_pipeline_spark.catalog import TABLES  # noqa: E402  (single source)
 
 
 def build(fixture: str, n_files: int) -> None:

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Z-order scan-pruning spot (X46, BASELINE §5t).
 
-Builds a 5M-row synthetic table (user_id uniform in [0, 100k), value
-uniform in [0, 1000)) and writes it three ways with 256 KB parquet row
-groups (pruning granularity = row group, so small groups make the
-effect visible at fixture scale):
+Builds a 20M-row synthetic table (user_id uniform in [0, 100k), value
+uniform in [0, 1000), ~96 B high-entropy payload) and writes it three
+ways with 1 MB parquet row groups (pruning granularity = row group, so
+small groups make the effect visible at fixture scale; override via
+ZORDER_SPOT_N):
 
   linear   — range-partitioned + sorted by user_id (the classic
              single-column sort layout)

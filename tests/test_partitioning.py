@@ -291,3 +291,23 @@ def test_zorder_bucketing_guard(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, v double")
     with _pytest.raises(ValueError):
         zorder_frame(df, ["v"], bucketing="nope")
+
+
+def test_zorder_quantile_wide_column_set_fits_interleave(spark):
+    # quantile buckets occupy at most 8 bits, so 5 columns at the
+    # default bits=16 must NOT trip the bits*cols<=62 overflow guard
+    # (5 x 8 = 40); linear at 16 bits correctly would (5 x 16 = 80)
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.partitioning import zorder_frame
+
+    cols = ["a", "b", "c", "d", "e"]
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 3), float(i % 5), float(i % 7))
+         for i in range(50)],
+        "a double, b double, c double, d double, e double",
+    )
+    out = zorder_frame(df, cols, bits=16, bucketing="quantile")
+    assert out.count() == 50
+    with _pytest.raises(ValueError):
+        zorder_frame(df, cols, bits=16, bucketing="linear")
