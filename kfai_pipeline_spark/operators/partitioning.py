@@ -222,6 +222,77 @@ def zorder_frame(
     )
 
 
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path`` (recursive),
+    skipping committer/marker files (_SUCCESS, .crc, dotfiles) — via
+    the Hadoop FS API so HDFS/S3A paths work like local ones."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    out = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((f.getPath().toString(), int(f.getLen())))
+    return out
+
+
+def compact_to(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (X48): rewrite the parquet table at
+    ``src`` into ``dest`` with ~``target_bytes`` files — the standard
+    lakehouse maintenance op (OPTIMIZE / rewrite_data_files). A
+    streaming sink or a T-task dynamic-partition write leaves
+    thousands of KB-sized files; at 100 TB the per-file open/footer
+    cost dominates the scan and the driver's file index bloats, so
+    periodic compaction IS part of the table's lifecycle.
+
+    Content-preserving by construction (a plain read -> repartition ->
+    write; no sort — compose with :func:`zorder_frame` first when the
+    table should also be re-clustered). Writes to a fresh ``dest``
+    under Spark's committer, so readers see the new table only behind
+    its ``_SUCCESS`` (the committed-read protocol the minhash index
+    uses); swapping a serving path to ``dest`` is the caller's pointer
+    flip (streaming/rollup.py's version-pointer pattern), NOT an
+    in-place rename — two renames are not atomic on any real FS.
+
+    ``partition_cols``: compact WITHIN hive partitions — rows
+    repartition BY the partition columns first (the T x k small-file
+    lesson: without it every task writes into every partition), so
+    each partition's rows land in one-ish task. Caveat: a partition
+    bigger than ``target_bytes`` still becomes one file per task that
+    holds it; split hot partitions upstream if that matters.
+
+    Returns stats {files_before, bytes, files_after, n_target}.
+    """
+    files = _list_data_files(spark, src)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
+    df = spark.read.parquet(src)
+    if partition_cols:
+        out = df.repartition(n_out, *partition_cols)
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        out = df.repartition(n_out)
+        writer = out.write.mode("overwrite")
+    writer.parquet(dest)
+    after = _list_data_files(spark, dest)
+    return {
+        "files_before": len(files),
+        "bytes": total,
+        "files_after": len(after),
+        "n_target": n_out,
+    }
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -2894,3 +2894,72 @@ def q117_hard_negatives(spark, sf_dir):
     return out.select("anchor_id", "vec_id", "score").orderBy(
         "anchor_id", "vec_id"
     )
+
+
+# --------------------------------- Q118: small-file compaction (X48)
+@register(
+    "q118_compact_roundtrip",
+    # Oracle on the ORIGINAL events table: compaction is a pure layout
+    # rewrite (read -> repartition -> committed write), so an aggregate
+    # over the fragmented copy COMPACTED back down must hash-match the
+    # source — plus the lifecycle asserts the file count actually
+    # dropped (guarded in the builder: a no-op rewrite would still
+    # hash-match, so the row alone can't certify compaction happened).
+    # Checksum columns are fold-order-free on purpose: the null sweep's
+    # extreme-numerics arm killed a grouped ROUND(SUM(value),2) here —
+    # with +/-1e308 in one group, reassociation across a changed layout
+    # flips the sum catastrophically (1e308 + x - 1e308 == 0 one order,
+    # x the other). Exact-integer id sums and MIN/MAX carry the same
+    # row-membership evidence with zero float folds.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Small-file compaction lifecycle (partitioning.compact_to, "
+        "X48 — the lakehouse OPTIMIZE/rewrite_data_files maintenance "
+        "op): a deliberately fragmented 64-file copy of events is "
+        "compacted to ~target-size files under Spark's committer "
+        "(_SUCCESS-gated, the committed-read protocol; pointer flip is "
+        "the caller's, never an in-place rename), then read back and "
+        "aggregated — hash-checked against the unfragmented source."
+    ),
+)
+def q118_compact_roundtrip(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import compact_to
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        _scratch_root(), f"kfai_q118_{_scratch_tag(spark, sf_dir)}"
+    )
+    frag, comp = os.path.join(root, "frag"), os.path.join(root, "compact")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        # fragment: 64 tasks x tiny rows = the streaming-sink disease
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        stats = compact_to(spark, frag, comp, target_bytes=8 * 1024 * 1024)
+        assert stats["files_after"] < stats["files_before"], stats
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -51,7 +51,7 @@ VEC_QUERIES = [
 EVENT_QUERIES = [
     "q17", "q24", "q25", "q39_asof", "q80_rolling_range", "q84_funnel",
     "q85_retention", "q87_composite_resume", "q100_rolling_zscore",
-    "q102_incremental_agg", "q116_zorder_scan",
+    "q102_incremental_agg", "q116_zorder_scan", "q118_compact_roundtrip",
 ]
 
 

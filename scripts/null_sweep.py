@@ -46,7 +46,7 @@ EVENT_QUERIES = [
     "q16", "q17", "q24", "q25", "q28", "q39_asof",
     "q54_sessionize_terminator", "q58_sliding_window", "q72_interval_join",
     "q80_rolling_range", "q84_funnel", "q85_retention",
-    "q100_rolling_zscore", "q102_incremental_agg", "q107_zscore_backfill", "q116_zorder_scan",
+    "q100_rolling_zscore", "q102_incremental_agg", "q107_zscore_backfill", "q116_zorder_scan", "q118_compact_roundtrip",
 ]
 
 QUERIES = [

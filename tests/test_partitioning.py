@@ -311,3 +311,66 @@ def test_zorder_quantile_wide_column_set_fits_interleave(spark):
     assert out.count() == 50
     with _pytest.raises(ValueError):
         zorder_frame(df, cols, bits=16, bucketing="linear")
+
+
+# ------------------------------------------------------------------ compaction
+
+
+def test_compact_to_reduces_files_and_preserves_content(spark, tmp_path_factory):
+    from kfai_pipeline_spark.operators.partitioning import compact_to
+
+    root = tmp_path_factory.mktemp("compact")
+    src, dest = str(root / "frag"), str(root / "out")
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(24).write.parquet(src)
+    stats = compact_to(spark, src, dest, target_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["n_target"] == 1  # everything fits one target file
+    back = spark.read.parquet(dest)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_to_partitioned_compacts_within_partitions(
+    spark, tmp_path_factory
+):
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import compact_to
+
+    root = tmp_path_factory.mktemp("compactp")
+    src, dest = str(root / "frag"), str(root / "out")
+    df = spark.range(6_000).select(
+        "id", (F.col("id") % 3).alias("part"), (F.col("id") % 11).alias("v")
+    )
+    # the T x k disease: 16 tasks each write into all 3 partitions
+    df.repartition(16).write.partitionBy("part").parquet(src)
+    n_frag = sum(
+        1 for dp, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_frag >= 3 * 8  # genuinely fragmented fixture
+    stats = compact_to(
+        spark, src, dest, target_bytes=64 * 1024 * 1024,
+        partition_cols=["part"],
+    )
+    assert stats["files_after"] <= 3  # one-ish file per partition
+    assert {d for d in os.listdir(dest) if d.startswith("part=")} == {
+        "part=0", "part=1", "part=2"
+    }
+    back = spark.read.parquet(dest).select("id", "part", "v")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_list_data_files_skips_markers(spark, tmp_path_factory):
+    from kfai_pipeline_spark.operators.partitioning import _list_data_files
+
+    root = tmp_path_factory.mktemp("listing")
+    p = str(root / "t")
+    spark.range(10).write.parquet(p)
+    files = _list_data_files(spark, p)
+    assert files and all(f.endswith(".parquet") for f, _ in files)
+    assert all(b > 0 for _, b in files)
