@@ -2947,7 +2947,11 @@ def q118_compact_roundtrip(spark, sf_dir):
         # fragment: 64 tasks x tiny rows = the streaming-sink disease
         ev.repartition(64).write.mode("overwrite").parquet(frag)
         stats = compact_to(spark, frag, comp, target_bytes=8 * 1024 * 1024)
-        assert stats["files_after"] < stats["files_before"], stats
+        # contract: the target file count was achieved and the rewrite
+        # never fragments further (== is legitimate on a zero-row/
+        # single-file input, where both sides are one footer-only file)
+        assert stats["files_after"] <= stats["n_target"], stats
+        assert stats["files_after"] <= stats["files_before"], stats
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
             fh.write("ok")
