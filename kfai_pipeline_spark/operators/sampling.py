@@ -46,6 +46,44 @@ def hash_sample(
     return df.where(F.pmod(h, F.lit(denom)) < int(rate * denom))
 
 
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_frac: float = 0.1,
+    hash_fn: Callable[[Column], Column] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Leakage-safe train/validation split (X49): the unit of
+    assignment is ``group_col`` — a dedup component, embedding
+    cluster, or source domain — never the individual row.
+
+    Splitting training data by row hash leaks: two near-duplicate
+    documents land on opposite sides and the validation loss measures
+    memorization, not generalization. Assigning by the DEDUP GROUP
+    (connected_components output, coalesced to the row id for
+    singletons) guarantees every near-duplicate cluster sits entirely
+    in one split — this operator is the reason the dedup family
+    computes group labels at all.
+
+    Same determinism contract as :func:`hash_sample`: the decision is
+    a pure function of (group, salt), independent of layout, cluster
+    size, and run order; hash(salt || group) mod denom < val_frac*denom
+    -> 'val', else 'train'. Pure map-side filter logic — no shuffle
+    beyond whatever produced the group column.
+    """
+    h = (hash_fn or _DEFAULT_HASH)(
+        F.concat(F.lit(salt), F.col(group_col).cast("string"))
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.pmod(h, F.lit(denom)) < int(val_frac * denom), F.lit("val")
+        ).otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2967,3 +2967,83 @@ def q118_compact_roundtrip(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------- Q119: leakage-safe train/val split (X49)
+@register(
+    "q119_leakage_split",
+    # q56's recursive-CTE components extended: singletons coalesce to
+    # their own id, then the split is the q63 md5-prefix hash of the
+    # GROUP label — so a near-dup cluster lands entirely in one split.
+    # The oracle proves both the grouping and the assignment.
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(coalesce(text, ''), '[\\s\\x0B]+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w)-2,1)+1)) AS i) t
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+    ),
+    labels AS (SELECT id AS doc_id, MIN(comp) AS component FROM cc GROUP BY id),
+    grouped AS (
+        SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                     % 10000 < 1000
+                THEN 'val' ELSE 'train' END AS split
+    FROM grouped
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Leakage-safe train/val split (sampling.split_by_group, X49): "
+        "assignment unit = the near-dup COMPONENT (q56's labels, "
+        "singletons coalesced to their own id), hashed with the q63 "
+        "md5-prefix arm — a near-duplicate cluster can never straddle "
+        "train and validation, which is the point of computing dedup "
+        "groups in the first place. Map-side beyond the component join."
+    ),
+)
+def q119_leakage_split(spark, sf_dir):
+    from kfai_pipeline_spark.operators.sampling import split_by_group
+    from kfai_pipeline_spark.operators.text_analysis import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    comp = D.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    grouped = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    out = split_by_group(
+        grouped, "component", val_frac=0.10, hash_fn=md5_long
+    )
+    return out.select("doc_id", "component", "split").orderBy("doc_id")

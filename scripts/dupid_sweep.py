@@ -37,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOC_QUERIES = [
     "q26", "q29_tokens", "q40_quality", "q48_ngram_jaccard",
     "q49_fingerprint_md5", "q50_simhash_md5", "q55_minhash_md5",
-    "q56_connected_components", "q61_decontaminate", "q115_bloom_decontam", "q63_hash_sample",
+    "q56_connected_components", "q119_leakage_split", "q61_decontaminate", "q115_bloom_decontam", "q63_hash_sample",
     "q64_stratified_sample", "q67_shard_pack", "q91_training_order",
     "q94_dup_spans", "q96_bm25", "q104_simhash_dedup",
     "q105_neardup_index", "q106_truncate_longdocs", "q108_segment_dedup",

@@ -52,7 +52,7 @@ EVENT_QUERIES = [
 QUERIES = [
     "q26", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
     "q40_quality", "q48_ngram_jaccard", "q49_fingerprint_md5",
-    "q50_simhash_md5", "q55_minhash_md5", "q56_connected_components",
+    "q50_simhash_md5", "q55_minhash_md5", "q56_connected_components", "q119_leakage_split",
     "q61_decontaminate", "q115_bloom_decontam", "q62_repetition", "q63_hash_sample",
     "q64_stratified_sample", "q66_pii_redact", "q67_shard_pack",
     "q68_boilerplate_strip", "q71_curation_funnel", "q73_mixture_sample",

@@ -629,3 +629,32 @@ def test_dedup_segments_text_matches_python_reference(spark):
         assert got == ref_dedup(docs, 2)
 
     check()
+
+
+def test_split_by_group_leakage_and_determinism(spark):
+    from kfai_pipeline_spark.operators.sampling import split_by_group
+
+    # 500 groups x 4 rows: every row of a group must get the SAME split
+    df = spark.createDataFrame(
+        [(i, i // 4) for i in range(2000)], "row_id long, grp long"
+    )
+    out = split_by_group(df, "grp", val_frac=0.2)
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert per_group == 0, "a group straddled train/val — leakage"
+    val_groups = (
+        out.where(F.col("split") == "val").select("grp").distinct().count()
+    )
+    assert 50 <= val_groups <= 150  # ~20% of 500, generous band
+    # determinism: identical assignment regardless of physical layout
+    out2 = split_by_group(df.repartition(13), "grp", val_frac=0.2)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out2.collect()))
+    assert a == b
+    # salt decorrelates
+    out3 = split_by_group(df, "grp", val_frac=0.2, salt="other")
+    assert sorted(map(tuple, out3.collect())) != a
