@@ -864,6 +864,96 @@ def cosine_topk_blas(
     )
 
 
+def mine_hard_negatives_blas(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_label_col: str = "label",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Arrow/BLAS arm of :func:`mine_hard_negatives` — the scale path
+    when mining negatives for a whole training batch against a large
+    corpus: the expression arm pays an interpreted HOF dot per
+    (corpus row x anchor) pair, this arm computes every batch's scores
+    with ONE ``V @ Q.T`` matmul, masks same-label pairs in the numpy
+    kernel, and emits only local top-k rows per anchor (the
+    :func:`cosine_topk_blas` two-level top-k shape: the global window
+    shuffles O(k x anchors x batches) rows, never
+    |corpus| x |anchors|).
+
+    Contract-identical to the expression arm (equality test-pinned):
+    ranking on the ROUNDED score with id tie-break, NULL/zero-norm
+    vectors and NULL labels excluded on both sides, same-label rows
+    (including the anchor itself) never enter the ranking.
+    """
+    import numpy as np
+
+    a_collected = anchors.select(
+        F.col(anchor_id_col),
+        l2_normalize(_as_double(anchor_vec_col)),
+        F.col(anchor_label_col),
+    ).collect()
+    _warn_large_query_collect(len(a_collected), "mine_hard_negatives_blas")
+    a_rows = [r for r in a_collected if r[1] is not None and r[2] is not None]
+    aids = np.array([r[0] for r in a_rows])
+    albl = np.array([r[2] for r in a_rows], dtype=object)
+    Q = np.array([list(r[1]) for r in a_rows], dtype=np.float64)
+
+    normed = vectors.select(
+        F.col(id_col),
+        l2_normalize(_as_double(vec_col)).alias("__v"),
+        F.col(label_col).alias("__lbl"),
+    ).where(F.col("__v").isNotNull() & F.col("__lbl").isNotNull())
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(anchor_id_col, anchors.schema[anchor_id_col].dataType),
+            StructField(id_col, vectors.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(aids):
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            ids = pdf.iloc[:, 0].to_numpy()
+            lbl = pdf["__lbl"].to_numpy()
+            S = V @ Q.T  # b x q
+            if round_to is not None:
+                S = np.round(S, round_to)
+            out = {anchor_id_col: [], id_col: [], "score": []}
+            for j in range(len(aids)):
+                valid = lbl != albl[j]  # same-label rows never rank
+                if not valid.any():
+                    continue
+                idv, colv = ids[valid], S[valid, j]
+                kk = min(k, len(idv))
+                order = np.lexsort((idv, -colv))[:kk]
+                out[anchor_id_col].extend([aids[j]] * len(order))
+                out[id_col].extend(idv[order])
+                out["score"].extend(colv[order])
+            if out[id_col]:
+                yield pd.DataFrame(out)
+
+    local = normed.mapInPandas(score_batches, schema=out_schema)
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ------------------------------ int8 scalar quantization + re-rank (X42)
 def quantization_stats(
     vectors: DataFrame, vec_col: str = "embedding"

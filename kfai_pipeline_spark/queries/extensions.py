@@ -3047,3 +3047,63 @@ def q119_leakage_split(spark, sf_dir):
         grouped, "component", val_frac=0.10, hash_fn=md5_long
     )
     return out.select("doc_id", "component", "split").orderBy("doc_id")
+
+
+# ------------------------- Q120: hard-negative mining, BLAS arm (X47b)
+@register(
+    "q120_hard_negatives_blas",
+    # EXACTLY q117's oracle (the q76/q27 twin pattern): the BLAS arm's
+    # batch matmul + same-label mask + two-level top-k must be
+    # indistinguishable from the expression arm — measured 5.4x at 10M
+    # vectors (BASELINE §5u) with identical output.
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+               label AS al
+        FROM embeddings
+        WHERE vec_id < 10 AND embedding IS NOT NULL AND label IS NOT NULL
+          AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+    ),
+    scored AS (
+        SELECT a.anchor_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, a.av), 4) AS score
+        FROM a JOIN c ON c.label <> a.al
+    ),
+    ranked AS (
+        SELECT anchor_id, vec_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id ORDER BY score DESC, vec_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT anchor_id, vec_id, score FROM ranked
+    WHERE rk <= 5
+    ORDER BY anchor_id, vec_id
+    """,
+    doc=(
+        "BLAS arm of hard-negative mining (similarity."
+        "mine_hard_negatives_blas, X47b — the q76-style Arrow/numpy "
+        "twin): one V @ Q.T matmul per corpus batch, same-label pairs "
+        "masked in the kernel, local top-k per anchor before the "
+        "global window (shuffles O(k x anchors x batches), never "
+        "|corpus| x |anchors|). 5.4x the expression arm at 10M vectors "
+        "with bit-identical output (BASELINE §5u)."
+    ),
+)
+def q120_hard_negatives_blas(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = S.mine_hard_negatives_blas(emb, anchors, k=5)
+    return out.select("anchor_id", "vec_id", "score").orderBy(
+        "anchor_id", "vec_id"
+    )

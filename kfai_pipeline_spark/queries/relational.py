@@ -181,39 +181,69 @@ def q06(spark, sf_dir):
 # ---------------------------------------------------------------- Q07: TPC-H Q1-shape agg
 @register(
     "q07",
+    # Exact-integer aggregation domain (the bit-identical-before-ROUND
+    # float rule, aggregate-shaped): the source values are 2dp by
+    # construction, so cents-scaled BIGINT sums are EXACT and
+    # fold-order-free — a double SUM here flaked ONCE in ~30 layout-
+    # sweep runs when partial-agg merge order shifted under load and a
+    # group's sum crossed a ROUND(x, 2) knife-edge (BASELINE §5s
+    # addendum 2). One final division per group converts back; no
+    # per-row float fold survives.
     oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_quantity      * 100) AS BIGINT) AS qty_c,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(ROUND(l_discount      * 100) AS BIGINT) AS disc_c,
+               CAST(ROUND(l_tax           * 100) AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT
         l_returnflag,
         l_linestatus,
-        ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-        ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-        ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-        ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-        ROUND(AVG(l_discount), 2)                                        AS avg_disc,
-        COUNT(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        ROUND(CAST(SUM(qty_c)   AS BIGINT) / 100.0, 2)       AS sum_qty,
+        ROUND(CAST(SUM(price_c) AS BIGINT) / 100.0, 2)       AS sum_base_price,
+        ROUND(CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0, 2)
+                                                             AS sum_disc_price,
+        ROUND(CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+              / 1000000.0, 2)                                AS sum_charge,
+        ROUND(CAST(SUM(qty_c)   AS BIGINT) / 100.0 / COUNT(*), 2) AS avg_qty,
+        ROUND(CAST(SUM(price_c) AS BIGINT) / 100.0 / COUNT(*), 2) AS avg_price,
+        ROUND(CAST(SUM(disc_c)  AS BIGINT) / 100.0 / COUNT(*), 2) AS avg_disc,
+        COUNT(*)                                             AS count_order
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="Hash agg partial+final, TPC-H Q1 shape (A7). Map-side combine is automatic.",
+    doc=(
+        "Hash agg partial+final, TPC-H Q1 shape (A7). Map-side combine is "
+        "automatic. Aggregates run in the exact cents-integer domain "
+        "(2dp source values), so the sums are reassociation-proof."
+    ),
 )
 def q07(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
+            ).alias("sum_charge"),
+            F.round(F.sum(qty_c) / 100.0 / cnt, 2).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / cnt, 2).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / cnt, 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

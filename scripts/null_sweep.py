@@ -39,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VECTOR_QUERIES = [
     "q27", "q36_neardup_emb", "q46_sketch", "q47_simsearch_ivf",
     "q69_radius_search", "q74_semantic_dedup", "q76_simsearch_blas",
-    "q90_cluster_assign", "q101_hybrid_rrf", "q110_quantized_ann", "q117_hard_negatives",
+    "q90_cluster_assign", "q101_hybrid_rrf", "q110_quantized_ann", "q117_hard_negatives", "q120_hard_negatives_blas",
 ]
 
 EVENT_QUERIES = [

@@ -792,3 +792,37 @@ def test_mine_hard_negatives_k_cap_and_degenerate_anchor(spark):
         by_anchor.setdefault(r.anchor_id, []).append(r.vec_id)
     assert sorted(by_anchor[0]) == [10, 11]   # k caps above available
     assert 1 not in by_anchor                 # degenerate anchor dropped
+
+
+def test_mine_hard_negatives_blas_equals_expression_arm(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    expr_arm = sorted(
+        map(tuple, S.mine_hard_negatives(emb, anchors, k=7).collect())
+    )
+    blas_arm = sorted(
+        map(tuple, S.mine_hard_negatives_blas(emb, anchors, k=7).collect())
+    )
+    assert blas_arm == expr_arm
+
+
+def test_mine_hard_negatives_blas_exclusions(spark):
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.1], "A"),
+        (2, [1.0, 0.05], "B"),
+        (3, [0.5, 0.5], "B"),
+        (5, None, "B"),
+        (6, [0.0, 0.0], "B"),
+        (7, [0.9, 0.1], None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = S.mine_hard_negatives_blas(emb, anchors, k=2).collect()
+    assert [(r.anchor_id, r.vec_id) for r in got] == [(0, 2), (0, 3)]
