@@ -130,7 +130,9 @@ def q27(spark, sf_dir):
     "q28",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS cnt,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
     FROM events
     GROUP BY hour, event_type
     ORDER BY hour, event_type
@@ -147,7 +149,12 @@ def q28(spark, sf_dir):
         events.groupBy(
             date_trunc_tzfree("hour", "ts").alias("hour"), F.col("event_type")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
+        )
         .orderBy("hour", "event_type")
     )
 
@@ -709,7 +716,8 @@ def q50_simhash_md5(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
     FROM events
     WHERE year(ts) = 2024 AND month(ts) = 1
     GROUP BY event_type ORDER BY event_type
@@ -748,7 +756,7 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     return (
         back.where((F.col("year") == 2024) & (F.col("month") == 1))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias("sum_value"))
         .orderBy("event_type")
     )
 
@@ -806,7 +814,8 @@ def q58_sliding_window(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -832,7 +841,7 @@ def q59_salted_join(spark, sf_dir):
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1298,7 +1307,8 @@ def q80_rolling_range(spark, sf_dir):
     # merge cannot hash-match.
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
-           ROUND(SUM(l.l_extendedprice), 2) AS o_totalprice,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS o_totalprice,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_custkey, o.o_orderstatus
@@ -1320,7 +1330,7 @@ def q82_merge_records(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("o_totalprice"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("o_totalprice"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2033,7 +2043,8 @@ def q100_rolling_zscore(spark, sf_dir):
     oracle="""
     SELECT user_id, event_type,
            COUNT(*) AS cnt,
-           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value,
            MAX(ts) AS max_ts
     FROM events
     GROUP BY user_id, event_type
@@ -2059,7 +2070,9 @@ def q102_incremental_agg(spark, sf_dir):
     def rollup(d):
         return d.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sum_value"),
+            # cents-LONG partials: the snapshot merge re-sums these, so
+            # exactness must survive BOTH fold layers (the q07 rule)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value"),
             F.max("ts").alias("max_ts"),
         )
 
@@ -2073,7 +2086,7 @@ def q102_incremental_agg(spark, sf_dir):
         "user_id",
         "event_type",
         "cnt",
-        F.round("sum_value", 2).alias("sum_value"),
+        F.round(F.col("sum_value") / 100.0, 2).alias("sum_value"),
         "max_ts",
     ).orderBy("user_id", "event_type")
 
@@ -2089,7 +2102,8 @@ def q102_incremental_agg(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
@@ -2132,7 +2146,11 @@ def q103_bucketed_join(spark, sf_dir):
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2785,7 +2803,8 @@ def q115_bloom_decontam(spark, sf_dir):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
     FROM events
     WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 200.0
     GROUP BY user_id
@@ -2829,7 +2848,9 @@ def q116_zorder_scan(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
         )
         .orderBy("user_id")
     )

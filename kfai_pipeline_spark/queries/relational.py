@@ -660,8 +660,15 @@ def q21_dedup(spark, sf_dir):
 # ---------------------------------------------------------------- Q22: multi-join revenue (flagship)
 @register(
     "q22",
+    # cents-integer revenue sum (the q07 rule): the grouped double SUM
+    # reassociates with partial-agg merge order; exact BIGINT sums of
+    # 2dp-scaled operands are order-free, and the DESC ordering on
+    # revenue stops being a latent coin-flip too
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0, 2) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -673,7 +680,8 @@ def q21_dedup(spark, sf_dir):
     """,
     doc=(
         "Flagship: 5-table join + agg, TPC-H Q5 shape (J1/A7/Q22). Dims broadcast; "
-        "fact-fact join shuffles on the key; AQE coalesces post-shuffle partitions."
+        "fact-fact join shuffles on the key; AQE coalesces post-shuffle partitions. "
+        "Revenue aggregates in the exact cents-integer domain (reassociation-proof)."
     ),
 )
 def q22(spark, sf_dir):
@@ -696,9 +704,14 @@ def q22(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -804,7 +817,8 @@ def q43_cross(spark, sf_dir):
     "q44_grouping_sets",
     oracle="""
     SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     HAVING COUNT(*) > 0
@@ -817,7 +831,8 @@ def q44_grouping_sets(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
-               ROUND(SUM(c_acctbal), 2) AS sum_bal
+               ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0D, 2)
+                 AS sum_bal
         FROM __q44_customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
@@ -884,7 +899,8 @@ def q45_stats(spark, sf_dir):
     # semantics-preserving.
     oracle="""
     SELECT l_partkey,
-           ROUND(SUM(l_extendedprice), 2) AS small_order_revenue,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS small_order_revenue,
            COUNT(*) AS n
     FROM lineitem l
     WHERE l_quantity < (
@@ -910,7 +926,11 @@ def q60_correlated_subquery(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("__thr"))
         .groupBy("l_partkey")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("small_order_revenue"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("small_order_revenue"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_partkey")

@@ -30,20 +30,33 @@ from __future__ import annotations
 # Keyed by registry query name; all run over the temp views registered
 # by catalog.register_views.
 BENCH_SQL: dict[str, str] = {
+    # Exact cents-integer aggregation domain, matching the canonical
+    # builder (relational.py q07): grouped double SUMs reassociate with
+    # partial-agg merge order, which shifts under load — BIGINT sums of
+    # 2dp-scaled values are order-free (BASELINE §5s addendum 2).
     "q07": """
+        WITH c AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_quantity      * 100) AS BIGINT) AS qty_c,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(ROUND(l_discount      * 100) AS BIGINT) AS disc_c,
+                   CAST(ROUND(l_tax           * 100) AS BIGINT) AS tax_c
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        )
         SELECT
             l_returnflag,
             l_linestatus,
-            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-            ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-            ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-            ROUND(AVG(l_discount), 2)                                        AS avg_disc,
-            COUNT(*)                                                         AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ROUND(SUM(qty_c)   / 100.0D, 2)                       AS sum_qty,
+            ROUND(SUM(price_c) / 100.0D, 2)                       AS sum_base_price,
+            ROUND(SUM(price_c * (100 - disc_c)) / 10000.0D, 2)    AS sum_disc_price,
+            ROUND(SUM(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0D, 2)
+                                                                 AS sum_charge,
+            ROUND(SUM(qty_c)   / 100.0D / COUNT(*), 2)            AS avg_qty,
+            ROUND(SUM(price_c) / 100.0D / COUNT(*), 2)            AS avg_price,
+            ROUND(SUM(disc_c)  / 100.0D / COUNT(*), 2)            AS avg_disc,
+            COUNT(*)                                             AS count_order
+        FROM c
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
@@ -54,7 +67,10 @@ BENCH_SQL: dict[str, str] = {
     # threshold) — measured 0.80 s vs 0.59 s at sf0.1. The fact must be
     # the probe side at every join; declared order is how SQL says so.
     "q22": """
-        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0D, 2) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey  = o_orderkey
         JOIN customer ON o_custkey   = c_custkey
@@ -98,7 +114,9 @@ BENCH_SQL: dict[str, str] = {
         -- wall-clocks an hour (tz_sweep round 7)
         SELECT make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)
                  AS hour, event_type,
-               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS cnt,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0D, 2)
+                 AS sum_value
         FROM events
         GROUP BY hour, event_type
         ORDER BY hour, event_type
