@@ -204,9 +204,26 @@ def main() -> None:
     # rounds. (r5->r6's unexplained B1 +30% would have tripped this.)
     def drift_tripwire(repo_dir_: str) -> tuple[dict[str, float], list[str]]:
         import glob as _glob
+        import re as _re
 
+        # exclude the HIGHEST-numbered BENCH_r{N}.json: on a re-run the
+        # current round's own file already exists in the worktree, and a
+        # drifting query would drag its measurement into the median it
+        # is compared against, muting the 1.3x flag (round-8 advice).
+        # Cost: on the driver's FIRST run of a round (no current file
+        # yet) this lags the median by one round — acceptable, and it
+        # keeps a freshly-flagged outlier (r7's B1) out of its own
+        # baseline, which is the point of a tripwire.
+        paths = sorted(_glob.glob(os.path.join(repo_dir_, "BENCH_r*.json")))
+
+        def _rnum(p: str) -> int:
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        if len(paths) > 1:
+            paths = [p for p in paths if _rnum(p) != max(map(_rnum, paths))]
         trail: dict[str, list[float]] = {}
-        for p in sorted(_glob.glob(os.path.join(repo_dir_, "BENCH_r*.json"))):
+        for p in paths:
             try:
                 with open(p) as fh:
                     d = json.load(fh)

@@ -358,6 +358,37 @@ def curate(
     return {k: int(counts[k]) for k in ("raw", "len_ok", "quality_ok", "deduped", "sampled")}
 
 
+def optimize(
+    spark: SparkSession,
+    workdir: str,
+    table: str = "store",
+    zorder_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Stage 9: table maintenance over a workdir table — the composed
+    X46+X48 lifecycle as a pipeline stage (operators/partitioning.py
+    ``optimize_table``). Compacts ``<workdir>/<table>/`` into
+    ``<workdir>/<table>_opt/`` (z-ordered when ``zorder_cols`` is
+    given), committed behind ``_SUCCESS``; the caller flips its serving
+    pointer to the optimized copy (the rollup.py version protocol) —
+    this stage never renames in place. Default clusters the vector
+    store on its chunk key (video_id, start_time): the RAG serving
+    path's post-probe join and the citation semi-join both filter on
+    exactly those columns.
+    """
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    if zorder_cols is None:
+        zorder_cols = ["video_id", "start_time"]
+    return optimize_table(
+        spark,
+        _dir(workdir, table),
+        _dir(workdir, f"{table}_opt"),
+        zorder_cols=zorder_cols,
+        target_bytes=target_bytes,
+    )
+
+
 STAGES = {
     "1": ("extract", extract),
     "3": ("transcribe_failed", transcribe_failed),
@@ -366,6 +397,7 @@ STAGES = {
     "6": ("interact", interact),
     "7": ("curate", curate),
     "8": ("interact_gui", interact_gui),
+    "9": ("optimize", optimize),
 }
 
 # stages that take the source catalog (1 diffs it, 3 joins metadata back)

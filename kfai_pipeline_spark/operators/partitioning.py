@@ -293,6 +293,85 @@ def compact_to(
     }
 
 
+def optimize_table(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    zorder_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+    bucketing: str = "linear",
+    row_group_bytes: int | None = None,
+) -> dict:
+    """One-call table maintenance (X50b): the lakehouse ``OPTIMIZE``
+    composed from the pieces this engine already ships — compaction
+    sizing (X48: output file count = ceil(bytes / target_bytes)),
+    optional z-order clustering (X46: cluster + prune on ANY of
+    ``zorder_cols``, not just a sort prefix), and table stats — written
+    to a fresh ``dest`` under Spark's committer so readers only see the
+    optimized copy behind its ``_SUCCESS`` marker. Swapping a serving
+    path to ``dest`` is the caller's pointer flip (the
+    streaming/rollup.py version-pointer protocol), never an in-place
+    rename.
+
+    A real 100 TB lake runs these as ONE periodic operation per table:
+    the streaming sink fragments it, ad-hoc writes de-cluster it, and
+    scans pay for both until the next OPTIMIZE; doing compaction and
+    re-clustering in separate passes reads the table twice for no
+    reason. Content-preserving by construction (read -> cluster/
+    repartition -> write; both component ops carry their own
+    content-equality oracle rows, q116/q118).
+
+    Returns {files_before, bytes_before, files_after, bytes_after,
+    n_target, n_rows, col_stats} where col_stats maps each zorder_col
+    to its (min, max, n_nulls) — the pruning-relevant metadata a table
+    catalog would record.
+    """
+    files = _list_data_files(spark, src)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
+    df = spark.read.parquet(src)
+    if zorder_cols:
+        out = zorder_frame(
+            df, zorder_cols, bits=bits, num_partitions=n_out,
+            bucketing=bucketing,
+        )
+    else:
+        out = df.repartition(n_out)
+    writer = out.write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(dest)
+    after = _list_data_files(spark, dest)
+    # stats over the COMMITTED copy (one aggregate job): what a catalog
+    # would record next to the new version's pointer
+    written = spark.read.parquet(dest)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in zorder_cols or []:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+        ]
+    row = written.agg(*aggs).collect()[0]
+    return {
+        "files_before": len(files),
+        "bytes_before": total,
+        "files_after": len(after),
+        "bytes_after": sum(b for _, b in after),
+        "n_target": n_out,
+        "n_rows": int(row["__n"]),
+        "col_stats": {
+            c: {
+                "min": row[f"__mn_{c}"],
+                "max": row[f"__mx_{c}"],
+                "n_nulls": int(row[f"__nl_{c}"]),
+            }
+            for c in zorder_cols or []
+        },
+    }
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

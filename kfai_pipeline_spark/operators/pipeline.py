@@ -9,7 +9,7 @@ mutable state; every operator here shuffles at most once on its key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,22 @@ def split_dead_letter(
     two filters share the upstream plan; persist upstream if both sides
     are consumed."""
     return df.where(F.col(ok_col)), df.where(~F.col(ok_col) | F.col(ok_col).isNull())
+
+
+def json_ok(col: str | Column) -> Column:
+    """Boolean validity of a JSON string column: True iff the value
+    parses as JSON at all (``try_parse_json`` non-null — never throws),
+    NULL input counts as invalid. This is the I3 routing predicate for
+    corrupted upstream payloads: malformed rows go to the dead-letter
+    side via :func:`split_dead_letter` instead of poisoning the parse
+    stage or crashing a 1000-executor job on one truncated record.
+
+    Total by construction (the corrupted-input sweep's contract): any
+    bytes — truncated JSON, empty string, non-JSON garbage — yield
+    False, not an exception. JSON ``null`` is VALID JSON and routes
+    clean, matching DuckDB's ``json_valid``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.try_parse_json(c).isNotNull(), F.lit(False))
 
 
 def merge_agg_snapshots(

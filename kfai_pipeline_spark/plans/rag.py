@@ -158,19 +158,161 @@ def retrieve(
     return _dedup_cap_resort(scored, k)
 
 
-def _dedup_cap_resort(scored: DataFrame, k: int) -> DataFrame:
+def _dedup_cap_resort(
+    scored: DataFrame, k: int, deterministic: bool = False
+) -> DataFrame:
     """Stages 4-5 post-processing shared by both retrieval forms:
     first-seen dedup on (video_id, start_time) by score desc (W1), cap
-    k, chronological re-sort (W2; ref query_agent.py:285-306)."""
-    w = Window.partitionBy("video_id", "start_time").orderBy(F.desc("score"))
+    k, chronological re-sort (W2; ref query_agent.py:285-306).
+
+    ``deterministic`` adds (video_id, start_time) tie-breaks to both
+    the dedup window and the cap sort — score ties at the k boundary
+    otherwise resolve by task order, which is fine for the reference's
+    serving semantics (any of the tied chunks is a valid context row)
+    but not for a hash-checked parity row. The tiered arm always passes
+    True so brute and ANN tiers agree row-for-row."""
+    order = [F.desc("score")]
+    if deterministic:
+        order += [F.asc("video_id"), F.asc("start_time")]
+    w = Window.partitionBy("video_id", "start_time").orderBy(*order)
     top = (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
-        .orderBy(F.desc("score"))
+        .orderBy(*order)
         .limit(k)
     )
     return top.orderBy("published_at", "video_id", "start_time")
+
+
+def build_retrieval_index(
+    docs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the serving-tier ANN index for :func:`retrieve_tiered`:
+    an SQ8 scalar-quantized codes table (operators/similarity.py
+    ``write_sq8_index`` — 1 byte/dim packed BINARY + stored norms,
+    partitionable and bandwidth-optimal). Built over the UNFILTERED
+    corpus: the index serves every query; metadata predicates apply
+    post-probe (see retrieve_tiered's filter-ordering note)."""
+    from kfai_pipeline_spark.operators.similarity import write_sq8_index
+
+    write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+
+
+def retrieve_tiered(
+    docs: DataFrame,
+    query_vec: list[float],
+    parsed: ParsedQuery,
+    k: int = CONTEXT_COUNT,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    tier: str = "auto",
+    ann_threshold: int = 2_000_000,
+    index_path: str | None = None,
+    refine: int = 8,
+    topup_factor: int = 4,
+    max_rounds: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Stage-3 retrieval with a serving tier (the reference's stage 4
+    IS ANN serving — pgvector, ref query_agent.py:234-283): brute
+    cosine over the filtered slice below ``ann_threshold`` corpus rows
+    (exact, one narrow scan — right when the slice is small or the
+    corpus fits a scan budget), a persisted SQ8 index probe + exact
+    re-rank above it (``index_path``; the 10^10-vector posture: the
+    corpus-scale read is 1 byte/dim of codes, never the float table).
+
+    Filter ordering: the metadata/topic predicate applies POST-probe —
+    the index is built once over the whole corpus, so a per-predicate
+    index can't exist; probing k then filtering under-fills when the
+    predicate is selective, so the probe TOPS UP (k x topup_factor per
+    round, ``max_rounds`` rounds) until k survivors or the index is
+    exhausted (probe returned fewer rows than asked: nothing left).
+    Pre-filtering instead (brute over the filtered slice) wins when the
+    predicate is very selective — that is exactly the brute tier, so
+    callers with a known-selective predicate pass ``tier="brute"``.
+
+    Output matches :func:`retrieve` (doc rows + ``score``), with
+    deterministic rounded-score ranking: both tiers rank on
+    ``round(cosine, round_to)`` with (video_id, start_time) tie-breaks,
+    so in the exhaustive-probe regime (refine covering the corpus) the
+    ANN tier is row-identical to brute — the oracle-checked parity
+    contract (q121).
+    """
+    if tier not in ("auto", "brute", "ann"):
+        raise ValueError(f"unknown retrieval tier: {tier!r}")
+    if tier == "auto":
+        # parquet row-count is metadata-only (footer counts); at serving
+        # time the corpus size is known at index-build and callers pass
+        # an explicit tier — auto is the notebook-ergonomics path
+        use_ann = index_path is not None and docs.count() >= ann_threshold
+    elif tier == "ann":
+        if index_path is None:
+            raise ValueError("tier='ann' needs index_path")
+        use_ann = True
+    else:
+        use_ann = False
+
+    pred = metadata_predicate(parsed) & topic_predicate(parsed.topics)
+    qv = F.lit(query_vec).cast("array<double>")
+    score = F.round(cosine(_as_double(vec_col), qv), round_to)
+
+    if not use_ann:
+        scored = docs.where(pred).withColumn("score", score)
+        return _dedup_cap_resort(scored, k, deterministic=True)
+
+    from kfai_pipeline_spark.operators.similarity import sq8_topk
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, list(map(float, query_vec)))],
+        "query_id int, embedding array<double>",
+    )
+    vectors = docs.select(id_col, vec_col)
+    k_probe = k
+    while True:
+        cand_out = sq8_topk(
+            spark, index_path, qdf, k=k_probe, refine=refine,
+            vectors=vectors, vec_col=vec_col, id_col=id_col,
+            round_to=round_to,
+        )
+        # probe ids -> doc rows (tiny candidate set, broadcast by
+        # construction), THEN the metadata predicate
+        hits = docs.join(
+            F.broadcast(cand_out.select(id_col)), id_col
+        ).where(pred).withColumn("score", score)
+        stats = cand_out.agg(
+            F.count(F.lit(1)).alias("n"), F.min("score").alias("cutoff")
+        ).first()
+        if stats["n"] < k_probe or max_rounds <= 1:
+            # index exhausted (the probe returned fewer rows than
+            # asked: nothing left to top up) or round budget spent
+            break
+        # certificate-gated early exit: break only when k survivors
+        # score STRICTLY above the probe's weakest returned candidate
+        # (rounded domain, same expression both sides) — an unfetched
+        # row scores <= the cutoff, so it can neither beat nor TIE any
+        # of the k; rounded-tie knife-edges at the boundary (the q07
+        # lesson) can't displace the result. Top-k is exact relative to
+        # the probe's candidate pool in BOTH exit paths; pool recall is
+        # the SQ8 operating curve (BASELINE §5n), and = 1.0 whenever
+        # k_probe*refine covers the corpus. DISTINCT (video_id,
+        # start_time): the dedup stage collapses same-chunk survivors,
+        # so k raw rows above the cutoff may dedup below k.
+        n_safe = (
+            hits.where(F.col("score") > F.lit(stats["cutoff"]))
+            .select("video_id", "start_time")
+            .distinct()
+            .count()
+        )
+        if n_safe >= k:
+            break
+        k_probe *= topup_factor
+        max_rounds -= 1
+    return _dedup_cap_resort(hits, k, deterministic=True)
 
 
 def retrieve_multi_topic(

@@ -34,21 +34,10 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 4 (missed the r6 re-run window)
+    # last official row: round 5 (missed the r6 and r7 re-run windows)
     frozenset({
-        "q70_fixed_chunks", "q71_curation_funnel", "q73_mixture_sample",
-        "q74_semantic_dedup", "q75_unigram_logprob", "q77_context_pack",
-        "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
-        "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
-        "q99_source_curation", "q101_hybrid_rrf",
-    }),
-    # last official row: round 5 (fresh new-op rows + relational re-confirm)
-    frozenset({
-        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
-        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-        "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25", "q26",
-        "q27", "q28", "q29_tokens", "q30_corpus", "q31_bigrams", "q32_langid",
-        "q39_asof", "q40_quality", "q41_cube", "q42_fullouter", "q43_cross",
+        "q24", "q25", "q26", "q27", "q28", "q29_tokens", "q30_corpus",
+        "q31_bigrams", "q32_langid", "q39_asof", "q40_quality",
         "q44_grouping_sets", "q45_stats", "q46_sketch", "q48_ngram_jaccard",
         "q53_multimodal_asr", "q57_duration_format_roundtrip",
         "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
@@ -73,6 +62,21 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q106_truncate_longdocs", "q107_zscore_backfill", "q108_segment_dedup",
         "q109_dsir_sample", "q110_quantized_ann", "q111_sq8_index",
         "q112_pq_index",
+    }),
+    # last official row: round 7 (CORRECTNESS_r07.json's 50-entry window)
+    frozenset({
+        "q113_ivfpq_index", "q114_rolling_bucketed", "q115_bloom_decontam",
+        "q116_zorder_scan", "q117_hard_negatives", "q118_compact_roundtrip",
+        "q119_leakage_split", "q120_hard_negatives_blas",
+        "q70_fixed_chunks", "q71_curation_funnel", "q73_mixture_sample",
+        "q74_semantic_dedup", "q75_unigram_logprob", "q77_context_pack",
+        "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
+        "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
+        "q99_source_curation", "q101_hybrid_rrf",
+        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
+        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+        "q19", "q20", "q21", "q21_dedup", "q22", "q23",
+        "q41_cube", "q42_fullouter", "q43_cross",
     }),
 )
 

@@ -3128,3 +3128,266 @@ def q120_hard_negatives_blas(spark, sf_dir):
     return out.select("anchor_id", "vec_id", "score").orderBy(
         "anchor_id", "vec_id"
     )
+
+
+# ------------------------- Q121: tiered ANN retrieval in the RAG plan (X50)
+@register(
+    "q121_rag_tiered",
+    # The serving-composition parity row (round-8 verdict item #1): the
+    # ANN tier (persisted SQ8 probe -> certificate-gated top-up ->
+    # exact re-score) must be ROW-IDENTICAL to brute retrieval over the
+    # filtered slice. The oracle IS the brute semantics: metadata
+    # filter, rounded cosine, (video_id,start_time) dedup, top-10 on
+    # (score DESC, video_id, start_time) — a total order because the
+    # fixture's (video_id, start_time) pairs are unique per doc.
+    oracle="""
+    WITH fixture AS (
+        SELECT d.doc_id,
+               'v' || CAST(d.doc_id % 40 AS VARCHAR) AS video_id,
+               CAST((d.doc_id // 40) * 30 AS DOUBLE) AS start_time,
+               d.source AS show_name,
+               CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id <> 0 AND e.embedding IS NOT NULL
+          AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) > 0
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT f.doc_id, f.video_id, f.start_time,
+               ROUND(list_cosine_similarity(f.v, q.qv), 4) AS score
+        FROM fixture f, q
+        WHERE f.show_name IN ('src1', 'src3', 'src5', 'src7')
+    ),
+    dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY video_id, start_time
+            ORDER BY score DESC, video_id, start_time) AS rn
+        FROM scored
+    )
+    SELECT doc_id, video_id, start_time, score
+    FROM dedup WHERE rn = 1
+    ORDER BY score DESC, video_id, start_time
+    LIMIT 10
+    """,
+    doc=(
+        "Tiered ANN retrieval wired into the RAG serving plan "
+        "(plans/rag.py retrieve_tiered, X50 — the reference's stage-4 "
+        "retrieval IS ANN serving, ref query_agent.py:234-283): a "
+        "persisted SQ8 index probe with the metadata predicate applied "
+        "POST-probe and a certificate-gated top-up loop (grow the probe "
+        "until k survivors score strictly above the probe's weakest "
+        "candidate, or the index is exhausted), then the uniform exact "
+        "re-score + dedup/cap/resort. Hash-checked against brute "
+        "retrieval — the proof the tier routing is semantics-free."
+    ),
+)
+def q121_rag_tiered(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.plans.rag import (
+        ParsedQuery,
+        build_retrieval_index,
+        retrieve_tiered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # degenerate-vector contract (the q117 convention): NULL and
+    # zero-norm embeddings are excluded on BOTH engines — DuckDB scores
+    # a zero vector -1.0 while the index/probe drop it
+    fixture = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .where(
+            (F.col("doc_id") != 0)
+            & F.col("embedding").isNotNull()
+            & (S.dot(S._as_double("embedding"), S._as_double("embedding")) > 0)
+        )
+        .select(
+            "doc_id",
+            F.concat(F.lit("v"), (F.col("doc_id") % 40).cast("string")).alias(
+                "video_id"
+            ),
+            ((F.col("doc_id") / 40).cast("long") * 30).cast("double").alias(
+                "start_time"
+            ),
+            F.col("source").alias("show_name"),
+            (F.lit(1577836800) + (F.col("doc_id") % 1000) * 86400).alias(
+                "published_at"
+            ),
+            F.col("source").alias("title"),
+            "text",
+            "embedding",
+        )
+    )
+    root = os.path.join(
+        _scratch_root(), f"kfai_q121_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "sq8")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        build_retrieval_index(fixture, idx, id_col="doc_id")
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    out = retrieve_tiered(
+        fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
+        index_path=idx, refine=64,
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )
+
+
+# --------------------------- Q122: optimize_table maintenance lifecycle (X50b)
+@register(
+    "q122_optimize_table",
+    # Oracle on the ORIGINAL events table (the q116/q118 pattern
+    # composed): optimize = compact + z-order is a pure layout rewrite,
+    # so a 2-dimension-predicate aggregate over the optimized copy of a
+    # deliberately fragmented events table must hash-match the same SQL
+    # over the unrewritten source. Checksums follow the fold-order-free
+    # discipline (exact cents-integer SUM; COUNT/MIN/MAX otherwise).
+    # The builder additionally asserts the maintenance CONTRACT (file
+    # count dropped to target, stats row count == source) — a no-op
+    # rewrite would hash-match, so the row alone can't certify it.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 2 AND 11 AND value BETWEEN 25.0 AND 250.0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "One-call table maintenance (partitioning.optimize_table, X50b "
+        "— the lakehouse OPTIMIZE): compaction sizing (X48) + z-order "
+        "clustering (X46) + catalog stats in a single committed "
+        "rewrite. A 64-file fragmented copy of events is optimized "
+        "(z-ordered on user_id/value, small row groups), read back "
+        "through the _SUCCESS gate, and aggregated under a 2-dimension "
+        "predicate — hash-checked against the unrewritten source."
+    ),
+)
+def q122_optimize_table(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        _scratch_root(), f"kfai_q122_{_scratch_tag(spark, sf_dir)}"
+    )
+    frag, opt = os.path.join(root, "frag"), os.path.join(root, "opt")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        stats = optimize_table(
+            spark, frag, opt, zorder_cols=["user_id", "value"],
+            target_bytes=8 * 1024 * 1024, bits=12,
+            row_group_bytes=256 * 1024,
+        )
+        assert stats["files_after"] <= stats["n_target"], stats
+        assert stats["files_after"] <= stats["files_before"], stats
+        # stats are part of the contract: the committed copy holds
+        # every source row and the recorded min/max really bound it
+        assert stats["n_rows"] == ev.count(), stats
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(opt)
+        .where(
+            F.col("user_id").between(2, 11) & F.col("value").between(25.0, 250.0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ----------------------- Q123: corrupted-JSON dead-letter routing (I3/§2.10)
+@register(
+    "q123_json_deadletter",
+    # Both engines corrupt IDENTICALLY in-flight (truncate the last two
+    # chars of events.props when event_id % 7 = 3 — read-only testdata
+    # stays untouched), then route on the SAME validity contract:
+    # Spark try_parse_json IS NOT NULL == DuckDB json_valid, NULL input
+    # counts invalid on both. Checksums are exact-integer (counts,
+    # SUM of parsed k, SUM of dead event_ids) so the hash pins the
+    # routing decision row-for-row, not just the counts.
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 3
+                    THEN substr(props, 1, len(props) - 2)
+                    ELSE props END AS props
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, event_type, props,
+               COALESCE(json_valid(props), FALSE) AS ok
+        FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead,
+           CAST(SUM(CASE WHEN ok
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END) AS BIGINT) AS k_sum,
+           CAST(SUM(CASE WHEN NOT ok THEN event_id END) AS BIGINT) AS dead_id_sum
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Corrupted-input dead-letter routing (pipeline.json_ok + "
+        "split_dead_letter, I3): deterministically truncated JSON "
+        "payloads route to the dead-letter side by a TOTAL validity "
+        "predicate (try_parse_json never throws) while clean rows "
+        "parse and aggregate — one malformed record on a 1000-executor "
+        "job is a dead-letter row, never a crash. Hash-checked against "
+        "DuckDB's json_valid on the identically corrupted stream."
+    ),
+)
+def q123_json_deadletter(spark, sf_dir):
+    from kfai_pipeline_spark.operators.pipeline import json_ok
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    flagged = ev.withColumn("ok", json_ok("props"))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum(F.col("ok").cast("long")).alias("n_clean"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_dead"),
+            F.sum(
+                F.when(
+                    F.col("ok"),
+                    F.get_json_object("props", "$.k").cast("long"),
+                )
+            ).alias("k_sum"),
+            F.sum(F.when(~F.col("ok"), F.col("event_id"))).alias("dead_id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -40,6 +40,7 @@ VECTOR_QUERIES = [
     "q27", "q36_neardup_emb", "q46_sketch", "q47_simsearch_ivf",
     "q69_radius_search", "q74_semantic_dedup", "q76_simsearch_blas",
     "q90_cluster_assign", "q101_hybrid_rrf", "q110_quantized_ann", "q117_hard_negatives", "q120_hard_negatives_blas",
+    "q121_rag_tiered",
 ]
 
 EVENT_QUERIES = [
@@ -47,6 +48,7 @@ EVENT_QUERIES = [
     "q54_sessionize_terminator", "q58_sliding_window", "q72_interval_join",
     "q80_rolling_range", "q84_funnel", "q85_retention",
     "q100_rolling_zscore", "q102_incremental_agg", "q107_zscore_backfill", "q116_zorder_scan", "q118_compact_roundtrip",
+    "q122_optimize_table", "q123_json_deadletter",
 ]
 
 QUERIES = [

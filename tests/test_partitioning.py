@@ -374,3 +374,56 @@ def test_list_data_files_skips_markers(spark, tmp_path_factory):
     files = _list_data_files(spark, p)
     assert files and all(f.endswith(".parquet") for f, _ in files)
     assert all(b > 0 for _, b in files)
+
+
+def test_optimize_table_compacts_clusters_and_reports_stats(
+    spark, tmp_path_factory
+):
+    """X50b: one call = compaction sizing + z-order + catalog stats,
+    content-preserving, committed behind _SUCCESS."""
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    root = str(tmp_path_factory.mktemp("optimize"))
+    src, dest = os.path.join(root, "src"), os.path.join(root, "dest")
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+    )
+    df.repartition(32).write.parquet(src)
+    stats = optimize_table(
+        spark, src, dest, zorder_cols=["a", "b"], target_bytes=64 * 1024 * 1024,
+        bits=8,
+    )
+    assert stats["files_before"] == 32
+    assert stats["files_after"] <= stats["n_target"] <= stats["files_before"]
+    assert stats["n_rows"] == 5000
+    assert stats["col_stats"]["a"] == {"min": 0, "max": 36, "n_nulls": 0}
+    assert stats["col_stats"]["b"]["min"] == 0.0
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    # content equality: same multiset of rows
+    back = spark.read.parquet(dest)
+    assert back.count() == 5000
+    assert (
+        back.agg(F.sum("id"), F.sum("a"), F.sum("b")).collect()
+        == df.agg(F.sum("id"), F.sum("a"), F.sum("b")).collect()
+    )
+
+
+def test_optimize_table_plain_compaction_arm(spark, tmp_path_factory):
+    """zorder_cols=None degrades to pure X48 compaction (no sort, no
+    stats beyond the row count)."""
+    import os
+
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    root = str(tmp_path_factory.mktemp("optimize_plain"))
+    src, dest = os.path.join(root, "src"), os.path.join(root, "dest")
+    spark.range(100).repartition(16).write.parquet(src)
+    stats = optimize_table(spark, src, dest, target_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert stats["n_rows"] == 100
+    assert stats["col_stats"] == {}
+    assert spark.read.parquet(dest).count() == 100

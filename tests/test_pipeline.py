@@ -186,3 +186,28 @@ def test_merge_records_right_bias(spark):
     row = merged.first()
     assert row["title"] == "new title" and row["duration"] == 100 and row["id"] == 1
     assert merged.count() == 1  # inner join like the reference's dict lookup
+
+
+def test_json_ok_total_validity_and_deadletter_routing(spark):
+    """I3b: json_ok is TOTAL (never throws) and routes exactly like
+    DuckDB's json_valid — truncated/garbage/empty/NULL are dead, valid
+    objects and JSON null are clean."""
+    from kfai_pipeline_spark.operators.pipeline import json_ok, split_dead_letter
+
+    rows = [
+        (1, '{"k": 7}'),        # valid object -> clean
+        (2, '{"k": 7'),         # truncated -> dead
+        (3, ""),                # empty string -> dead
+        (4, "not json at all"), # garbage -> dead
+        (5, None),              # NULL input -> dead (coalesce(False))
+        (6, "null"),            # JSON null IS valid JSON -> clean
+        (7, "[1, 2, 3]"),       # arrays are JSON too -> clean
+    ]
+    df = spark.createDataFrame(rows, "id long, props string").withColumn(
+        "ok", json_ok("props")
+    )
+    got = {r["id"]: r["ok"] for r in df.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False, 6: True, 7: True}
+    clean, dead = split_dead_letter(df)
+    assert {r["id"] for r in clean.collect()} == {1, 6, 7}
+    assert {r["id"] for r in dead.collect()} == {2, 3, 4, 5}

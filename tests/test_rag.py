@@ -288,3 +288,100 @@ def test_answer_query_rrf_all_punctuation_falls_back(chunk_docs):
     )
     assert answer == "fallback answer"
     assert sources.count() == 0
+
+
+# ------------------------------------------------ tiered retrieval (X50)
+@pytest.fixture(scope="module")
+def tiered_docs(spark, tmp_path_factory):
+    """A doc-grain corpus with a unique id + persisted SQ8 index: 90
+    docs across 6 shows, deterministic hash embeddings."""
+    import os
+
+    from kfai_pipeline_spark.plans.rag import build_retrieval_index
+
+    texts = [f"doc {i} about topic {i % 7} and theme {i % 5}" for i in range(90)]
+    vecs = hash_embed(texts)
+    rows = [
+        (
+            i,
+            f"v{i % 12}",
+            float((i // 12) * 30),
+            f"Show {i % 6}",
+            1_600_000_000 + i * 3600,
+            f"Title {i}",
+            texts[i],
+            [float(x) for x in vecs[i]],
+        )
+        for i in range(90)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, video_id string, start_time double, show_name string, "
+        "published_at long, title string, text string, embedding array<double>",
+    ).cache()
+    idx = os.path.join(str(tmp_path_factory.mktemp("tiered")), "sq8")
+    build_retrieval_index(docs, idx, id_col="doc_id")
+    return docs, idx
+
+
+def test_retrieve_tiered_ann_matches_brute_exhaustive(tiered_docs):
+    """Parity contract (the q121 oracle, locally): with refine covering
+    the corpus, the ANN tier's rows == the brute tier's rows."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["topic 3 theme 2"])[0]]
+    parsed = ParsedQuery(shows=["Show 1", "Show 4"])
+    cols = ["doc_id", "video_id", "start_time", "score"]
+    brute = retrieve_tiered(docs, qv, parsed, k=10, tier="brute")
+    ann = retrieve_tiered(
+        docs, qv, parsed, k=10, tier="ann", index_path=idx, refine=16
+    )
+    b = sorted(tuple(r) for r in brute.select(*cols).collect())
+    a = sorted(tuple(r) for r in ann.select(*cols).collect())
+    assert a == b and len(a) == 10
+
+
+def test_retrieve_tiered_topup_exhausts_on_selective_filter(tiered_docs):
+    """A predicate keeping fewer rows than k forces the top-up loop to
+    exhaust the index — the result is then ALL filtered rows, exactly
+    the brute answer (set equality, not just top-k)."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["theme 0"])[0]]
+    parsed = ParsedQuery(shows=["Show 2"])  # 15 docs < k=20
+    cols = ["doc_id", "score"]
+    brute = retrieve_tiered(docs, qv, parsed, k=20, tier="brute")
+    ann = retrieve_tiered(
+        docs, qv, parsed, k=20, tier="ann", index_path=idx, refine=4,
+        topup_factor=3,
+    )
+    b = sorted(tuple(r) for r in brute.select(*cols).collect())
+    a = sorted(tuple(r) for r in ann.select(*cols).collect())
+    assert a == b and len(a) == 15
+
+
+def test_retrieve_tiered_routing(tiered_docs):
+    """tier='auto' routes by corpus size vs threshold; tier='ann'
+    without an index is an error."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["route me"])[0]]
+    with pytest.raises(ValueError, match="index_path"):
+        retrieve_tiered(docs, qv, ParsedQuery(), k=5, tier="ann")
+    with pytest.raises(ValueError, match="tier"):
+        retrieve_tiered(docs, qv, ParsedQuery(), k=5, tier="warp")
+    # auto + tiny threshold MUST take the ANN path: a bogus index path
+    # fails loudly, proving the route; a huge threshold never touches it
+    with pytest.raises(Exception):
+        retrieve_tiered(
+            docs, qv, ParsedQuery(), k=5, tier="auto", ann_threshold=1,
+            index_path="/nonexistent/sq8/index",
+        ).collect()
+    ok = retrieve_tiered(
+        docs, qv, ParsedQuery(), k=5, tier="auto", ann_threshold=10**9,
+        index_path="/nonexistent/sq8/index",
+    )
+    assert ok.count() == 5
