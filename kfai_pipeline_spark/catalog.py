@@ -34,15 +34,58 @@ TABLES = (
 # Dimensions small enough to broadcast at any realistic scale factor.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
+# Catalog schema pins: (sf_dir, table) -> StructType/DDL. The metastore
+# stand-in for evolving tables — load_table reads through the pinned
+# schema when the caller didn't pass one, so REGISTRY queries (which
+# load by name) survive multi-vintage directories once the catalog
+# knows the table's current schema. Single-vintage fixtures need none.
+_SCHEMA_PINS: dict[tuple[str, str], object] = {}
+
+
+def pin_table_schema(sf_dir: str, name: str, schema) -> None:
+    """Register (or clear, with ``schema=None``) the catalog schema for
+    one table path. See scripts/schema_evolution_sweep.py for the
+    posture this exists to pin: footer inference on a multi-vintage
+    directory is listing-order-dependent and fails outright on
+    int->long widened vintages, while an explicit schema reads every
+    vintage via Spark 4's scan-side type widening."""
+    key = (sf_dir.rstrip("/"), name)
+    if schema is None:
+        _SCHEMA_PINS.pop(key, None)
+    else:
+        _SCHEMA_PINS[key] = schema
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, schema=None
+) -> DataFrame:
+    """Load one fixture table.
+
+    ``schema`` (StructType or DDL string) pins the read schema — the
+    evolving-lake posture (scripts/schema_evolution_sweep.py): a 100 TB
+    table's partitions disagree over time (added columns, int->long
+    widening), footer INFERENCE on such a directory resolves to
+    whichever file lists first (order-dependent, and a narrower-than-
+    data schema fails the scan), and parquet mergeSchema refuses
+    int/long conflicts outright — so readers of multi-vintage tables
+    pass the CATALOG schema explicitly (the metastore's job on a real
+    lake; Spark 4's scan-side type widening then reads every vintage
+    through it). The single-vintage driver fixtures default to
+    inference.
+    """
+    if schema is None:
+        schema = _SCHEMA_PINS.get((sf_dir.rstrip("/"), name))
     # applicationId is unique per SparkContext, so a stopped/restarted
     # session never serves stale plans from a dead context.
-    memo_key = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    memo_key = (
+        spark.sparkContext.applicationId,
+        table_path(sf_dir, name),
+        str(schema),
+    )
     cached = _DF_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -61,7 +104,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass  # conf locked down (e.g. Spark Connect policy) — reads of
         # nanos parquet will fail as before; non-events tables unaffected.
-    df = spark.read.parquet(table_path(sf_dir, name))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(table_path(sf_dir, name))
     # Legacy nanos fixtures only: nanosAsLong surfaces ts as long;
     # convert to TimestampType by integer nanos->micros division — `div`
     # stays in long arithmetic (a double division would lose precision

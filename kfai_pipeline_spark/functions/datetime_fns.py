@@ -44,7 +44,7 @@ def epoch_seconds_fn(df, ts_col: str):
     return lambda c: c.cast("double")
 
 
-def date_trunc_tzfree(unit: str, col: str | Column) -> Column:
+def date_trunc_tzfree(unit: str, col: str | Column, df) -> Column:
     """Timezone-FREE timestamp truncation for naive (TIMESTAMP_NTZ)
     columns, returning TIMESTAMP_NTZ.
 
@@ -57,8 +57,25 @@ def date_trunc_tzfree(unit: str, col: str | Column) -> Column:
     from the naive DuckDB oracle only under TZ=America/New_York).
     ``make_timestamp_ntz`` over calendar-field extractions is pure
     calendar math — no zone anywhere in the plan.
+
+    ``df`` (the frame ``col`` resolves against) is REQUIRED so the NTZ
+    contract is enforced, mirroring ``epoch_seconds_fn``'s type
+    dispatch: on a TIMESTAMP (LTZ) input the year()/hour() extractions
+    below would run in the session zone and silently reintroduce
+    exactly the zone dependence this helper exists to eliminate
+    (round-8 advice) — so an LTZ input raises instead.
     """
+    from pyspark.sql.types import TimestampNTZType
+
     c = _c(col)
+    dt = df.select(c).schema[0].dataType
+    if not isinstance(dt, TimestampNTZType):
+        raise TypeError(
+            f"date_trunc_tzfree needs a TIMESTAMP_NTZ input, got {dt}: "
+            "calendar extraction on a zone-aware timestamp is "
+            "session-zone-dependent — cast upstream deliberately or use "
+            "F.date_trunc if zone-local truncation is actually wanted"
+        )
     zero = F.lit(0)
     if unit == "hour":
         return F.make_timestamp_ntz(
@@ -110,8 +127,20 @@ def iso_duration_to_seconds(col: str | Column) -> Column:
     hours = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)H", 1).try_cast("long"), F.lit(0))
     mins = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)M", 1).try_cast("long"), F.lit(0))
     secs = F.coalesce(F.regexp_extract(c, r"T.*?(\d+)S", 1).try_cast("long"), F.lit(0))
-    total = days * 86400 + hours * 3600 + mins * 60 + secs
-    return F.when(c.isNull() | (c == ""), F.lit(0)).otherwise(total).cast("long")
+    # try_* arithmetic keeps the function TOTAL under Spark 4's
+    # default ANSI mode: 'PT999999999999999999H' parses to a long whose
+    # multiply overflows, and plain `*` would abort the whole job
+    # (round-8 corruption sweep). Overflow -> NULL -> the invalid-input
+    # contract (0), same as any other unparseable duration.
+    total = F.try_add(
+        F.try_add(F.try_multiply(days, F.lit(86400)), F.try_multiply(hours, F.lit(3600))),
+        F.try_add(F.try_multiply(mins, F.lit(60)), secs),
+    )
+    return (
+        F.when(c.isNull() | (c == ""), F.lit(0))
+        .otherwise(F.coalesce(total, F.lit(0)))
+        .cast("long")
+    )
 
 
 def epoch_to_year_month(col: str | Column) -> tuple[Column, Column]:

@@ -122,19 +122,38 @@ def decontaminate(
 
 
 def _bloom_positions(col, n_bits: int, k_hashes: int):
-    """Array column of ``k_hashes`` bit positions for one key: JVM-side
-    ``pmod(xxhash64(key || NUL-seed_i), n_bits)`` — independent hashes by
-    seed-suffix concat, the same trick :func:`minhash_signatures` uses,
-    so the whole hash family stays in codegen (no Python in the common
-    path; only the final bit test touches a kernel)."""
+    """Array column of ``k_hashes`` bit positions for one key, derived
+    from ONE ``xxhash64`` via Kirsch-Mitzenmacher double hashing:
+    ``pos_i = (h1 + i*h2) pmod n_bits`` with ``h1 = h``,
+    ``h2 = (h >> 32) | 1`` (odd, so the stride never degenerates).
+    K-M preserves the Bloom filter's asymptotic fp rate with a single
+    base hash (Kirsch & Mitzenmacher 2006), which buys two things at
+    corpus scale: the build hashes each key ONCE instead of k times
+    (all codegen), and the PROBE can ship just the 8-byte hash across
+    Arrow and re-derive positions vectorized in numpy — both sides
+    computing the identical two's-complement long arithmetic (Java and
+    int64 numpy wrap the same), pinned by a parity test."""
+    h1 = F.xxhash64(col)
+    h2 = F.shiftright(h1, 32).bitwiseOR(F.lit(1))
     return F.array(
-        *[
-            F.pmod(
-                F.xxhash64(F.concat(col, F.lit(f"\x00bloom{i}"))), F.lit(n_bits)
-            )
-            for i in range(k_hashes)
-        ]
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k_hashes)]
     )
+
+
+def _km_positions_numpy(h, n_bits: int, k_hashes: int):
+    """The numpy twin of :func:`_bloom_positions` for probe kernels:
+    ``h`` is an int64 array of xxhash64 values; returns an
+    (n, k_hashes) int64 array of bit positions. Arithmetic wraps in
+    int64 exactly like the JVM longs the build side used."""
+    import numpy as np
+
+    h = h.astype(np.int64, copy=False)
+    h2 = (h >> np.int64(32)) | np.int64(1)
+    i = np.arange(k_hashes, dtype=np.int64)[None, :]
+    with np.errstate(over="ignore"):
+        raw = h[:, None] + i * h2[:, None]
+    # pmod: numpy % already returns non-negative for a positive modulus
+    return raw % np.int64(n_bits)
 
 
 def build_bloom_filter(
@@ -147,32 +166,44 @@ def build_bloom_filter(
     """Distributed Bloom-filter build over a key column: returns the
     bitmap as ``n_bits/8`` bytes.
 
-    Scale shape: bit positions are hashed JVM-side, each of
-    ``partial_partitions`` tasks ORs its positions into a LOCAL numpy
-    bitmap and emits ONE row, and the driver ORs those partials — so
-    the driver receives ``partial_partitions x n_bits/8`` bytes, never
-    the keys. A 10^9-key benchmark at 10 bits/key is a 1.2 GB bitmap:
-    broadcastable, where the exact distinct-shingle set (tens of GB of
-    strings) is not. For bitmaps where ``partials x size`` strains the
-    driver, lower ``partial_partitions`` (the OR is associative; tasks
-    just aggregate more rows each).
+    Scale shape (two-level OR, round-8 advice — a ``coalesce`` before
+    the first OR used to collapse the upstream explode+hash to
+    ``partial_partitions`` tasks, defeating the build's parallelism):
+
+    1. every NATURAL partition hashes its keys and ORs its positions
+       into a local numpy bitmap — full upstream parallelism, one
+       ``n_bits/8``-byte row out per non-empty task;
+    2. those already-tiny partial rows cross a SHUFFLE boundary
+       (``repartition`` — a plain coalesce would propagate upstream
+       through the narrow chain and collapse the hashing stage right
+       back to ``partial_partitions`` tasks) into a second OR pass;
+       the shuffle moves only ``n_tasks x n_bits/8`` bitmap bytes,
+       never keys;
+    3. the driver ORs the ≤ ``partial_partitions`` survivors.
+
+    So the driver receives ``partial_partitions x n_bits/8`` bytes,
+    never the keys, and no hashing task waits on the fold. A 10^9-key
+    benchmark at 10 bits/key is a 1.2 GB bitmap: broadcastable, where
+    the exact distinct-shingle set (tens of GB of strings) is not. For
+    bitmaps where ``partials x size`` strains the level-2 tasks, lower
+    ``partial_partitions`` (the OR is associative).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     n_bytes = (n_bits + 7) // 8
-    pos = (
-        keys.select(
-            F.explode(_bloom_positions(F.col(key_col), n_bits, k_hashes)).alias(
-                "__pos"
-            )
+    # NATURAL partitioning: the explode + xxhash64 keep every upstream
+    # task; the fold narrows only after each task has reduced itself
+    # to one bitmap row
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), n_bits, k_hashes)).alias(
+            "__pos"
         )
-        .coalesce(partial_partitions)
     )
     out_schema = StructType([StructField("partial", BinaryType())])
 
-    def or_partition(batches):
+    def or_positions(batches):
         bm = np.zeros(n_bytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
@@ -184,7 +215,21 @@ def build_bloom_filter(
         if seen:
             yield pd.DataFrame({"partial": [bm.tobytes()]})
 
-    rows = pos.mapInPandas(or_partition, schema=out_schema).collect()
+    def or_partials(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for raw in pdf["partial"]:
+                seen = True
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        if seen:
+            yield pd.DataFrame({"partial": [bm.tobytes()]})
+
+    partials = pos.mapInPandas(or_positions, schema=out_schema)
+    reduced = partials.repartition(partial_partitions).mapInPandas(
+        or_partials, schema=out_schema
+    )
+    rows = reduced.collect()
     bm = np.zeros(n_bytes, dtype=np.uint8)
     for r in rows:
         bm |= np.frombuffer(r["partial"], dtype=np.uint8)
@@ -226,7 +271,7 @@ def contamination_bloom(
        exact arm (that's what makes this oracle-checkable rather than
        approximately-right).
 
-    Cost note: per-doc totals and the overlap branch each evaluate the
+    Cost note: per-doc totals and the probe branch each evaluate the
     shingle pipeline (Spark shares no subplans), so the corpus text is
     shingled twice — deliberate: at scale a second narrow scan+explode
     is cheap next to shuffling |corpus shingles| bytes, which is what
@@ -257,10 +302,14 @@ def contamination_bloom(
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
+    # The Arrow crossing carries (id, shingle, ONE 8-byte hash) and the
+    # kernel re-derives the k bit positions from the hash vectorized —
+    # vs the previous (id, shingle, k x 8-byte position ARRAY) this cuts
+    # the crossing ~40% at k=5 (round-8 advice; §5r addendum 2), and
+    # survivors come straight out of the kernel with their (id,
+    # shingle), so no recovery join and no third pipeline pass.
     id_type = corpus.schema[id_col].dataType
-    probe_in = doc_sh.withColumn(
-        "__pos", _bloom_positions(F.col("shingle"), n_bits, k_hashes)
-    )
+    probe_in = doc_sh.withColumn("__h", F.xxhash64("shingle"))
     cand_schema = StructType(
         [StructField(id_col, id_type), probe_in.schema["shingle"]]
     )
@@ -270,7 +319,9 @@ def contamination_bloom(
         for pdf in batches:
             if not len(pdf):
                 continue
-            p = np.array(pdf["__pos"].tolist(), dtype=np.int64)
+            p = _km_positions_numpy(
+                pdf["__h"].to_numpy(), n_bits, k_hashes
+            )
             hits = (bm[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
             keep = hits.all(axis=1)
             if keep.any():

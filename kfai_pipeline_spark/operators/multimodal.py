@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     FloatType,
     LongType,
@@ -137,6 +138,7 @@ def image_features(
     path_col: str = "path",
     decoder: str = "stub",
     feature_dim: int = 16,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract images (X5).
 
@@ -147,6 +149,11 @@ def image_features(
     exercised by the skip-marked integration tests). ``stub`` derives
     deterministic dimensions/features from sha256 — all three run the
     exact mapInPandas batch shape an opencv kernel would use.
+
+    ``on_error="route"`` appends (ok, error) columns and turns each
+    malformed payload into a null-feature ok=false row instead of a
+    task-aborting exception — see ``decode_audio_meta`` for the I3
+    dead-letter rationale.
     """
     if decoder == "pillow":
         _require("PIL", "pillow", "image decode")
@@ -155,6 +162,8 @@ def image_features(
             "unknown image decoder; use 'stub', 'ppm', or 'pillow' "
             "(pillow requires the optional PIL dependency)"
         )
+    _check_on_error(on_error)
+    route = on_error == "route"
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,35 +173,53 @@ def image_features(
             if not len(pdf):
                 continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {"path": [], "width": [], "height": [], "feature": []}
+            if route:
+                out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content)
-                if decoder in ("ppm", "pillow"):
-                    if decoder == "ppm":
-                        arr = _parse_ppm(data)
+                data = bytes(content) if content is not None else b""
+                try:
+                    if decoder in ("ppm", "pillow"):
+                        if decoder == "ppm":
+                            arr = _parse_ppm(data)
+                        else:
+                            import io
+
+                            from PIL import Image
+
+                            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                        hh, ww = arr.shape[:2]
+                        gray = arr.astype(np.float64).mean(axis=2)
+                        hist, _ = np.histogram(gray, bins=feature_dim, range=(0, 256))
+                        width, height = ww, hh
+                        feat = (hist / gray.size).astype(float).tolist()
                     else:
-                        import io
-
-                        from PIL import Image
-
-                        arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-                    hh, ww = arr.shape[:2]
-                    gray = arr.astype(np.float64).mean(axis=2)
-                    hist, _ = np.histogram(gray, bins=feature_dim, range=(0, 256))
-                    feat = (hist / gray.size).astype(float).tolist()
-                    out["width"].append(ww)
-                    out["height"].append(hh)
-                    out["feature"].append(feat)
-                else:
-                    h = hashlib.sha256(data).digest()
-                    out["width"].append(64 + h[0] % 64)
-                    out["height"].append(64 + h[1] % 64)
-                    out["feature"].append(
-                        [int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(feature_dim)]
-                    )
+                        h = hashlib.sha256(data).digest()
+                        width, height = 64 + h[0] % 64, 64 + h[1] % 64
+                        feat = [
+                            int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0
+                            for i in range(feature_dim)
+                        ]
+                except Exception as exc:
+                    if not route:
+                        raise
+                    out["path"].append(path)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["feature"].append(None)
+                    out["ok"].append(False)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
                 out["path"].append(path)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["feature"].append(feat)
+                if route:
+                    out["ok"].append(True)
+                    out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+    schema = _routed_schema(IMAGE_FEATURE_SCHEMA) if route else IMAGE_FEATURE_SCHEMA
+    return df.mapInPandas(run, schema=schema)
 
 
 AUDIO_META_SCHEMA = StructType(
@@ -207,11 +234,27 @@ AUDIO_META_SCHEMA = StructType(
 )
 
 
+def _routed_schema(base: StructType) -> StructType:
+    """``on_error="route"`` output: the base schema + (ok BOOLEAN,
+    error STRING) — the I3 dead-letter flag pair, compatible with
+    ``pipeline.split_dead_letter``."""
+    return StructType(
+        list(base.fields)
+        + [StructField("ok", BooleanType()), StructField("error", StringType())]
+    )
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "route"):
+        raise ValueError(f"on_error must be 'raise' or 'route', got {on_error!r}")
+
+
 def decode_audio_meta(
     df: DataFrame,
     content_col: str = "content",
     path_col: str = "path",
     decoder: str = "stub",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio header decode -> typed metadata rows (X5).
 
@@ -221,6 +264,15 @@ def decode_audio_meta(
     default stays ``"stub"`` (deterministic fake metadata from sha256)
     so pipelines without real media keep running; any other value names
     the dependency a production kernel would plug in.
+
+    ``on_error`` (round-8 corruption sweep, the §2.10-I3 contract): a
+    crawl's binary payloads ARRIVE truncated and mislabeled, and one
+    bad row must never abort a 1000-executor job. ``"route"`` appends
+    (ok, error) columns — malformed payloads yield a null-metadata row
+    with ok=false carrying the decoder message, for
+    ``pipeline.split_dead_letter`` routing. ``"raise"`` (default,
+    schema-compatible with existing callers) keeps decode errors fatal
+    for curated inputs where corruption means a pipeline bug.
     """
     import pandas as pd
 
@@ -229,6 +281,9 @@ def decode_audio_meta(
             "real non-WAV audio decode needs ffprobe/soundfile (not in this "
             "container); plug a decoder via this interface"
         )
+    _check_on_error(on_error)
+    route = on_error == "route"
+    meta_cols = ("n_channels", "sample_width", "framerate", "n_frames", "duration_s")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -237,30 +292,46 @@ def decode_audio_meta(
         for pdf in batches:
             if not len(pdf):
                 continue  # empty batch: dict-of-empty-lists would mistype array cols
-            out = {k: [] for k in ("path", "n_channels", "sample_width", "framerate", "n_frames", "duration_s")}
+            out = {k: [] for k in ("path",) + meta_cols}
+            if route:
+                out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content)
-                if decoder == "wav":
-                    with wave.open(io.BytesIO(data)) as w:
-                        nch, width, rate, nfr = (
-                            w.getnchannels(),
-                            w.getsampwidth(),
-                            w.getframerate(),
-                            w.getnframes(),
-                        )
-                else:
-                    h = hashlib.sha256(data).digest()
-                    nch, width = 1 + h[0] % 2, 2
-                    rate, nfr = 16000, len(data)
+                data = bytes(content) if content is not None else b""
+                try:
+                    if decoder == "wav":
+                        with wave.open(io.BytesIO(data)) as w:
+                            nch, width, rate, nfr = (
+                                w.getnchannels(),
+                                w.getsampwidth(),
+                                w.getframerate(),
+                                w.getnframes(),
+                            )
+                    else:
+                        h = hashlib.sha256(data).digest()
+                        nch, width = 1 + h[0] % 2, 2
+                        rate, nfr = 16000, len(data)
+                except Exception as exc:  # wave.Error, EOFError, struct...
+                    if not route:
+                        raise
+                    out["path"].append(path)
+                    for k in meta_cols:
+                        out[k].append(None)
+                    out["ok"].append(False)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
                 out["path"].append(path)
                 out["n_channels"].append(nch)
                 out["sample_width"].append(width)
                 out["framerate"].append(rate)
                 out["n_frames"].append(nfr)
                 out["duration_s"].append(round(nfr / rate, 4) if rate else 0.0)
+                if route:
+                    out["ok"].append(True)
+                    out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+    schema = _routed_schema(AUDIO_META_SCHEMA) if route else AUDIO_META_SCHEMA
+    return df.mapInPandas(run, schema=schema)
 
 
 AUDIO_SEGMENT_SCHEMA = StructType(
@@ -602,6 +673,7 @@ def decode_video_meta(
     content_col: str = "content",
     path_col: str = "path",
     decoder: str = "stub",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Video container metadata -> typed rows (X5, video dimension).
 
@@ -609,12 +681,18 @@ def decode_video_meta(
     above runs inside ``mapInPandas`` — no external dependency, the
     same batch shape an ffprobe kernel would use. ``stub`` derives
     deterministic fake metadata from sha256 so pipelines without real
-    media keep running."""
+    media keep running.
+
+    ``on_error="route"`` appends (ok, error) columns and dead-letters
+    malformed payloads instead of aborting the task — see
+    ``decode_audio_meta`` for the I3 rationale."""
     if decoder not in ("stub", "mp4"):
         raise NotImplementedError(
             "unknown video decoder; use 'stub' or 'mp4' (full stream "
             "inspection needs ffprobe — plug it via this interface)"
         )
+    _check_on_error(on_error)
+    route = on_error == "route"
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -622,21 +700,37 @@ def decode_video_meta(
             if not len(pdf):
                 continue  # empty batch: dict-of-empty-lists would mistype array cols
             out = {k: [] for k in ("path", "major_brand", "timescale", "duration_s", "n_tracks")}
+            if route:
+                out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content)
-                if decoder == "mp4":
-                    meta = _parse_mp4_meta(data)
-                else:
-                    h = hashlib.sha256(data).digest()
-                    meta = {
-                        "major_brand": "stub",
-                        "timescale": 1000,
-                        "duration_s": round((h[0] * 256 + h[1]) / 10.0, 4),
-                        "n_tracks": 1 + h[2] % 3,
-                    }
+                data = bytes(content) if content is not None else b""
+                try:
+                    if decoder == "mp4":
+                        meta = _parse_mp4_meta(data)
+                    else:
+                        h = hashlib.sha256(data).digest()
+                        meta = {
+                            "major_brand": "stub",
+                            "timescale": 1000,
+                            "duration_s": round((h[0] * 256 + h[1]) / 10.0, 4),
+                            "n_tracks": 1 + h[2] % 3,
+                        }
+                except Exception as exc:
+                    if not route:
+                        raise
+                    out["path"].append(path)
+                    for k in ("major_brand", "timescale", "duration_s", "n_tracks"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+                    continue
                 out["path"].append(path)
                 for k in ("major_brand", "timescale", "duration_s", "n_tracks"):
                     out[k].append(meta[k])
+                if route:
+                    out["ok"].append(True)
+                    out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+    schema = _routed_schema(VIDEO_META_SCHEMA) if route else VIDEO_META_SCHEMA
+    return df.mapInPandas(run, schema=schema)

@@ -90,7 +90,11 @@ def json_ok(col: str | Column) -> Column:
     Total by construction (the corrupted-input sweep's contract): any
     bytes — truncated JSON, empty string, non-JSON garbage — yield
     False, not an exception. JSON ``null`` is VALID JSON and routes
-    clean, matching DuckDB's ``json_valid``."""
+    clean, matching DuckDB's ``json_valid``. Pinned leniency
+    divergence (scripts/corruption_sweep.py): Spark's variant parser
+    ACCEPTS trailing content after a complete value ('{"a":1}}' ->
+    True) where strict validators reject it — truncation, the real
+    corruption mode, never produces that shape."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(F.try_parse_json(c).isNotNull(), F.lit(False))
 

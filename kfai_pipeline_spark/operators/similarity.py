@@ -796,8 +796,11 @@ def cosine_topk_blas(
     |corpus| x |queries| — the same two-level top-k shape as the shard
     packer's prefix sum.
 
-    Tie-break matches the JVM arm exactly: score desc, id asc, applied
-    both locally (so no qualifying row is pruned) and globally.
+    Tie-break and ROUNDING match the JVM arm exactly: the kernel emits
+    raw doubles with a one-quantum local margin, ``F.round`` (half-away
+    -from-zero, like DuckDB) applies at the DataFrame layer, and the
+    global window ranks (score desc, id asc) — so no qualifying row is
+    pruned batch-side and np.round's half-even ties never leak in.
     """
     import numpy as np
 
@@ -832,6 +835,14 @@ def cosine_topk_blas(
         ]
     )
 
+    # the kernel emits RAW doubles and the rounding happens HERE with
+    # F.round (half-away-from-zero, matching the JVM arm and DuckDB) —
+    # np.round is half-EVEN, so an in-kernel round left a knife-edge at
+    # exact 5e-5 score boundaries (round-8 advice). The local top-k
+    # keeps a one-quantum margin so no row that could round into a
+    # global tie is pruned batch-side.
+    quantum = 10.0 ** (-round_to) if round_to is not None else 0.0
+
     def score_batches(batches):
         import pandas as pd
 
@@ -841,21 +852,27 @@ def cosine_topk_blas(
             V = np.array(pdf["__v"].tolist(), dtype=np.float64)  # b x d
             ids = pdf.iloc[:, 0].to_numpy()
             S = V @ Q.T  # b x q
-            if round_to is not None:
-                S = np.round(S, round_to)
             kk = min(k, len(ids))
             out = {query_id_col: [], id_col: [], "score": []}
             for j in range(len(qids)):
                 col = S[:, j]
-                # local top-k by (score desc, id asc): lexsort keys are
-                # last-key-primary, ascending — use (-score, id)
-                order = np.lexsort((ids, -col))[:kk]
-                out[query_id_col].extend([qids[j]] * len(order))
-                out[id_col].extend(ids[order])
-                out["score"].extend(col[order])
+                # local top-k on the RAW score with a one-quantum
+                # margin: anything below (kth raw - quantum) rounds
+                # strictly below the kth rounded value, so pruning it
+                # cannot change the global rounded ranking
+                if kk < len(col):
+                    kth = col[np.argpartition(-col, kk - 1)[kk - 1]]
+                    keep = np.flatnonzero(col >= kth - quantum)
+                else:
+                    keep = np.arange(len(col))
+                out[query_id_col].extend([qids[j]] * len(keep))
+                out[id_col].extend(ids[keep])
+                out["score"].extend(col[keep])
             yield pd.DataFrame(out)
 
     local = normed.mapInPandas(score_batches, schema=out_schema)
+    if round_to is not None:
+        local = local.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         local.withColumn("__rn", F.row_number().over(w))
@@ -919,6 +936,13 @@ def mine_hard_negatives_blas(
         ]
     )
 
+    # raw doubles out of the kernel, F.round at the DataFrame layer —
+    # the cosine_topk_blas fix (round-8 advice): np.round's half-even
+    # ties diverge from Spark/DuckDB ROUND at exact 5e-5 boundaries.
+    # One-quantum local margin keeps every row that could round into a
+    # global tie.
+    quantum = 10.0 ** (-round_to) if round_to is not None else 0.0
+
     def score_batches(batches):
         import pandas as pd
 
@@ -929,8 +953,6 @@ def mine_hard_negatives_blas(
             ids = pdf.iloc[:, 0].to_numpy()
             lbl = pdf["__lbl"].to_numpy()
             S = V @ Q.T  # b x q
-            if round_to is not None:
-                S = np.round(S, round_to)
             out = {anchor_id_col: [], id_col: [], "score": []}
             for j in range(len(aids)):
                 valid = lbl != albl[j]  # same-label rows never rank
@@ -938,14 +960,20 @@ def mine_hard_negatives_blas(
                     continue
                 idv, colv = ids[valid], S[valid, j]
                 kk = min(k, len(idv))
-                order = np.lexsort((idv, -colv))[:kk]
-                out[anchor_id_col].extend([aids[j]] * len(order))
-                out[id_col].extend(idv[order])
-                out["score"].extend(colv[order])
+                if kk < len(colv):
+                    kth = colv[np.argpartition(-colv, kk - 1)[kk - 1]]
+                    keep = np.flatnonzero(colv >= kth - quantum)
+                else:
+                    keep = np.arange(len(colv))
+                out[anchor_id_col].extend([aids[j]] * len(keep))
+                out[id_col].extend(idv[keep])
+                out["score"].extend(colv[keep])
             if out[id_col]:
                 yield pd.DataFrame(out)
 
     local = normed.mapInPandas(score_batches, schema=out_schema)
+    if round_to is not None:
+        local = local.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy(anchor_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         local.withColumn("__rn", F.row_number().over(w))

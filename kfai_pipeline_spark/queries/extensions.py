@@ -147,7 +147,8 @@ def q28(spark, sf_dir):
     # shifting DST-gap wall-clocks an hour (tz_sweep round 7)
     return (
         events.groupBy(
-            date_trunc_tzfree("hour", "ts").alias("hour"), F.col("event_type")
+            date_trunc_tzfree("hour", "ts", events).alias("hour"),
+            F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -3347,7 +3348,7 @@ def q122_optimize_table(spark, sf_dir):
            CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
            CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead,
            CAST(SUM(CASE WHEN ok
-                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                END) AS BIGINT) AS k_sum,
            CAST(SUM(CASE WHEN NOT ok THEN event_id END) AS BIGINT) AS dead_id_sum
     FROM f GROUP BY event_type ORDER BY event_type
@@ -3381,10 +3382,13 @@ def q123_json_deadletter(spark, sf_dir):
         .agg(
             F.sum(F.col("ok").cast("long")).alias("n_clean"),
             F.sum((~F.col("ok")).cast("long")).alias("n_dead"),
+            # try_cast, both engines: '{"k": "text"}' is VALID JSON that
+            # routes clean, and under Spark 4's default ANSI mode a
+            # plain cast of 'text' aborts the job (corruption sweep)
             F.sum(
                 F.when(
                     F.col("ok"),
-                    F.get_json_object("props", "$.k").cast("long"),
+                    F.get_json_object("props", "$.k").try_cast("long"),
                 )
             ).alias("k_sum"),
             F.sum(F.when(~F.col("ok"), F.col("event_id"))).alias("dead_id_sum"),

@@ -219,7 +219,12 @@ def q06(spark, sf_dir):
     doc=(
         "Hash agg partial+final, TPC-H Q1 shape (A7). Map-side combine is "
         "automatic. Aggregates run in the exact cents-integer domain "
-        "(2dp source values), so the sums are reassociation-proof."
+        "(2dp source values), so the sums are reassociation-proof. "
+        "Domain bound (BASELINE §5s addendum 4): the LONG product sums "
+        "are exact while rows_per_group x ~1.1e11 < 2^63 — SF ~55 on "
+        "this 4-6-group shape; beyond that swap the two product SUMs "
+        "to .cast('decimal(38,0)') (+21% on B1 at sf0.1, headroom "
+        "1e27 rows/group) — non-ANSI Spark wraps LONG silently."
     ),
 )
 def q07(spark, sf_dir):
@@ -681,7 +686,9 @@ def q21_dedup(spark, sf_dir):
     doc=(
         "Flagship: 5-table join + agg, TPC-H Q5 shape (J1/A7/Q22). Dims broadcast; "
         "fact-fact join shuffles on the key; AQE coalesces post-shuffle partitions. "
-        "Revenue aggregates in the exact cents-integer domain (reassociation-proof)."
+        "Revenue aggregates in the exact cents-integer domain (reassociation-proof; "
+        "LONG product sum exact to ~8e9 rows/group — the q07 bound /100, see "
+        "BASELINE §5s addendum 4; decimal(38,0) is the beyond-bound swap)."
     ),
 )
 def q22(spark, sf_dir):

@@ -34,6 +34,11 @@ BENCH_SQL: dict[str, str] = {
     # builder (relational.py q07): grouped double SUMs reassociate with
     # partial-agg merge order, which shifts under load — BIGINT sums of
     # 2dp-scaled values are order-free (BASELINE §5s addendum 2).
+    # Cost + bound (attribution run, §5s addendum 4): +35% on B1 vs the
+    # double arm — which is now measurably WRONG at sf0.1 (one lost
+    # half-cent in sum_disc_price) — and exact to SF ~55 on this group
+    # shape; past that, CAST the product inside SUM to DECIMAL(38,0)
+    # (+21% more, headroom 1e27 rows/group).
     "q07": """
         WITH c AS (
             SELECT l_returnflag, l_linestatus,

@@ -13,7 +13,19 @@ vectors are the near neighbours by construction). Deterministic
 (vec_id long, embedding array<float>, label int).
 
 Output: ./bench_vec10m/embeddings.parquet/ as ~64 MB files.
-Usage: python scripts/make_vec10m.py [n_rows] (default 10_000_000)
+Usage: python scripts/make_vec10m.py [n_rows] [--clustered]
+
+--clustered (round-8 verdict item #2): the default SIGMA=0.25 noise
+has norm sigma*sqrt(64) = 2.0 against unit centers — noise dominates,
+so the fixture is effectively near-uniform on the sphere and
+PQ-HOSTILE (residuals after coarse quantization keep ~full norm;
+BASELINE §5p documents IVFPQ recall 0.91 < flat PQ 0.95 on it). The
+clustered arm uses SIGMA=0.03 (noise norm ~0.24): vectors genuinely
+concentrate around their centers, coarse quantization removes most of
+the energy, and residual codebooks quantize a SMALL vector — the
+regime the IVFPQ literature claims and serving corpora (dedupable web
+text, near-duplicate images) actually look like. Writes to
+./bench_vec10m_clustered/ so both fixtures coexist.
 """
 from __future__ import annotations
 
@@ -33,8 +45,12 @@ CHUNK = 500_000
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    out = os.path.join(REPO, "bench_vec10m", "embeddings.parquet")
+    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    clustered = "--clustered" in sys.argv[1:]
+    n = int(args[0]) if args else 10_000_000
+    sigma = 0.03 if clustered else SIGMA
+    dirname = "bench_vec10m_clustered" if clustered else "bench_vec10m"
+    out = os.path.join(REPO, dirname, "embeddings.parquet")
     if os.path.isdir(out):
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
@@ -49,7 +65,7 @@ def main() -> None:
         m = min(CHUNK, n - written)
         crng = np.random.default_rng(1000 + fidx)
         labels = crng.integers(0, N_CENTERS, size=m)
-        vecs = centers[labels] + SIGMA * crng.standard_normal((m, DIM))
+        vecs = centers[labels] + sigma * crng.standard_normal((m, DIM))
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs.astype(np.float32)
         tbl = pa.table(

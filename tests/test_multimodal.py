@@ -262,3 +262,59 @@ def test_mp4_metadata_kernel_v1_and_errors(spark):
     # stub arm still runs for non-BMFF payloads
     df = spark.createDataFrame([("x.bin", b"not a video")], "path string, content binary")
     assert decode_video_meta(df, decoder="stub").count() == 1
+
+
+def test_on_error_route_deadletters_malformed_payloads(spark):
+    """I3 corrupted-input contract (round 8): garbage bytes become
+    ok=false rows with the decoder message — never a task abort."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from kfai_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        decode_video_meta,
+        image_features,
+    )
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01" * 32)
+    wav = buf.getvalue()
+    ppm = b"P6\n2 2\n255\n" + bytes(12)
+    mp4 = struct.pack(">I4s", 16, b"ftyp") + b"isom" + b"\x00" * 4
+    rows = [
+        ("good", None), ("trunc", None), ("garbage", b"\x00\xffgarbage"),
+        ("empty", b""), ("null", None),
+    ]
+    for fn, dec, good in (
+        (decode_audio_meta, "wav", wav),
+        (image_features, "ppm", ppm),
+        (decode_video_meta, "mp4", mp4),
+    ):
+        # truncate INSIDE the header (12 bytes): a WAV cut after its
+        # complete 44-byte header still header-parses by design — the
+        # kernels are metadata readers, not payload validators
+        data = [
+            ("good", good), ("trunc", good[:12]),
+            ("garbage", b"\x00\xffgarbage"), ("empty", b""), ("null", None),
+        ]
+        df = spark.createDataFrame(data, "path string, content binary")
+        out = {r["path"]: r for r in fn(df, decoder=dec, on_error="route").collect()}
+        assert len(out) == 5
+        assert out["good"]["ok"] is True and out["good"]["error"] is None
+        for tag in ("trunc", "garbage", "empty", "null"):
+            assert out[tag]["ok"] is False, (dec, tag)
+            assert out[tag]["error"], (dec, tag)
+        # raise mode keeps the old schema and the old fatality
+        cols = fn(df, decoder=dec).columns
+        assert "ok" not in cols
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            fn(df, decoder=dec, on_error="raise").collect()
+        with _pytest.raises(ValueError, match="on_error"):
+            fn(df, decoder=dec, on_error="explode")

@@ -826,3 +826,68 @@ def test_mine_hard_negatives_blas_exclusions(spark):
     )
     got = S.mine_hard_negatives_blas(emb, anchors, k=2).collect()
     assert [(r.anchor_id, r.vec_id) for r in got] == [(0, 2), (0, 3)]
+
+
+def test_catalog_schema_pin_reads_evolved_directory(spark, tmp_path_factory):
+    """Evolving-lake read posture (round 8): a directory holding an
+    int32 vintage and an int64 vintage of the same column reads
+    through the PINNED catalog schema (Spark 4 scan-side widening),
+    null-filling columns absent from old files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kfai_pipeline_spark.catalog import load_table, pin_table_schema
+
+    root = str(tmp_path_factory.mktemp("evolve"))
+    d = os.path.join(root, "events.parquet")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int32())}),
+        f"{d}/part-a.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([3, 4], pa.int64()),
+                "schema_rev": pa.array([2, 2], pa.int32()),
+            }
+        ),
+        f"{d}/part-b.parquet",
+    )
+    pin_table_schema(root, "events", "event_id bigint, schema_rev int")
+    try:
+        df = load_table(spark, root, "events")
+        rows = sorted((r["event_id"], r["schema_rev"]) for r in df.collect())
+        assert rows == [(1, None), (2, None), (3, 2), (4, 2)]
+    finally:
+        pin_table_schema(root, "events", None)
+
+
+def test_bloom_km_positions_jvm_numpy_parity(spark):
+    """The Kirsch-Mitzenmacher position derivation must be bit-identical
+    between the JVM build expressions and the numpy probe kernel — a
+    divergence would create false NEGATIVES (true hits pruned), which
+    no fp-tolerant layer downstream can repair."""
+    import numpy as np
+
+    from kfai_pipeline_spark.operators.decontaminate import (
+        _bloom_positions,
+        _km_positions_numpy,
+    )
+
+    keys = [
+        "", "a", "the quick brown fox", "unicode ½ ⚡ 🧪", "\x00nul",
+        "long " * 100,
+    ] + [f"shingle {i} body" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    n_bits, k_hashes = 1 << 20, 5
+    rows = df.select(
+        F.xxhash64("s").alias("h"),
+        _bloom_positions(F.col("s"), n_bits, k_hashes).alias("pos"),
+    ).collect()
+    h = np.array([r["h"] for r in rows], dtype=np.int64)
+    want = np.array([r["pos"] for r in rows], dtype=np.int64)
+    got = _km_positions_numpy(h, n_bits, k_hashes)
+    assert (got == want).all()
