@@ -15,17 +15,21 @@ vectors are the near neighbours by construction). Deterministic
 Output: ./bench_vec10m/embeddings.parquet/ as ~64 MB files.
 Usage: python scripts/make_vec10m.py [n_rows] [--clustered]
 
---clustered (round-8 verdict item #2): the default SIGMA=0.25 noise
-has norm sigma*sqrt(64) = 2.0 against unit centers — noise dominates,
-so the fixture is effectively near-uniform on the sphere and
-PQ-HOSTILE (residuals after coarse quantization keep ~full norm;
-BASELINE §5p documents IVFPQ recall 0.91 < flat PQ 0.95 on it). The
-clustered arm uses SIGMA=0.03 (noise norm ~0.24): vectors genuinely
-concentrate around their centers, coarse quantization removes most of
-the energy, and residual codebooks quantize a SMALL vector — the
-regime the IVFPQ literature claims and serving corpora (dedupable web
-text, near-duplicate images) actually look like. Writes to
-./bench_vec10m_clustered/ so both fixtures coexist.
+--clustered [sigma] (round-8 verdict item #2): the default
+SIGMA=0.25 noise has norm sigma*sqrt(64) = 2.0 against unit centers —
+noise dominates, so the fixture is effectively near-uniform on the
+sphere and PQ-HOSTILE (residuals after coarse quantization keep ~full
+norm; BASELINE §5p documents IVFPQ recall 0.91 < flat PQ 0.95 on it).
+The clustered arm defaults to SIGMA=0.10 (noise norm ~0.8): the
+center dominates, coarse quantization removes most of the energy and
+residual codebooks quantize a ~0.6-norm vector, while same-cluster
+neighbors stay DISTINGUISHABLE so recall@10 is well-defined. (A first
+cut used 0.03 — noise norm 0.24 — which collapses every cluster into
+~10k near-duplicates whose top-10 ordering is a knife-edge no
+quantizer can resolve and no application needs: recall pinned at
+0.125 independent of nprobe. Over-clustering is as degenerate as
+uniformity.) Writes to ./bench_vec10m_clustered/ so both fixtures
+coexist.
 """
 from __future__ import annotations
 
@@ -48,7 +52,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--clustered"]
     clustered = "--clustered" in sys.argv[1:]
     n = int(args[0]) if args else 10_000_000
-    sigma = 0.03 if clustered else SIGMA
+    sigma = (float(args[1]) if len(args) > 1 else 0.10) if clustered else SIGMA
     dirname = "bench_vec10m_clustered" if clustered else "bench_vec10m"
     out = os.path.join(REPO, dirname, "embeddings.parquet")
     if os.path.isdir(out):

@@ -93,7 +93,29 @@ def test_query_stage(spark, catalog, workdir):
 
 def test_bad_stage_rejected(spark, catalog, workdir):
     with pytest.raises(ValueError, match="unknown stage"):
-        app.run_chain(spark, catalog, workdir, "1>9")
+        app.run_chain(spark, catalog, workdir, "1>42")
+
+
+def test_optimize_stage_in_chain(spark, catalog, workdir):
+    """Stage 9 (X50b): the store compacts + z-orders into store_opt
+    behind _SUCCESS, content-preserving, stats returned in the chain."""
+    import os
+
+    app.run_chain(spark, catalog, workdir, "1>4>5")
+    stats = app.run_chain(spark, catalog, workdir, "9")["optimize"]
+    assert stats["n_rows"] == spark.read.parquet(
+        os.path.join(workdir, "store")
+    ).count()
+    assert stats["files_after"] <= stats["n_target"]
+    assert set(stats["col_stats"]) == {"video_id", "start_time"}
+    opt = os.path.join(workdir, "store_opt")
+    assert os.path.exists(os.path.join(opt, "_SUCCESS"))
+    # the optimized copy answers the same retrieval the store does
+    a = spark.read.parquet(opt).select("video_id", "start_time").collect()
+    b = spark.read.parquet(os.path.join(workdir, "store")).select(
+        "video_id", "start_time"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 def test_interactive_repl_two_turn_session(spark, catalog, workdir):
