@@ -167,6 +167,25 @@ def zorder_frame(
     if bucketing not in ("linear", "quantile"):
         raise ValueError(f"unknown bucketing {bucketing!r}")
     top = (1 << bits) - 1
+
+    # STRING dimensions bucket by hash, not range: min/max-on-a-cast is
+    # meaningless (and an ANSI cast crash) for text keys, but z-order
+    # pruning on a string column is an EQUALITY story — hash bucketing
+    # still CLUSTERS equal values into the same row groups, so per-group
+    # min/max stats on the raw string stay tight and `video_id = X`
+    # scans prune. Range predicates on string dims are not served.
+    from pyspark.sql.types import StringType
+
+    string_cols = {
+        c for c in cols if isinstance(df.schema[c].dataType, StringType)
+    }
+
+    def _hash_bucket(c: str):
+        # NULL hashes to NULL — pin it to bucket 0 like the numeric arms
+        return F.coalesce(
+            F.pmod(F.xxhash64(F.col(c)), F.lit(top + 1)), F.lit(0)
+        ).cast("long")
+
     buckets = []
     if bucketing == "quantile":
         # quantile ids only occupy q_bits, so the interleave (and its
@@ -179,9 +198,16 @@ def zorder_frame(
         # one sampled pass for every column's boundary list (NULLs are
         # ignored by approxQuantile; NULL rows land in bucket 0 below)
         all_bounds = df.stat.approxQuantile(
-            [c for c in cols], probs, 0.001
+            [c for c in cols if c not in string_cols], probs, 0.001
         )
-        for c, bounds in zip(cols, all_bounds):
+        num_bounds = dict(
+            zip([c for c in cols if c not in string_cols], all_bounds)
+        )
+        for c in cols:
+            if c in string_cols:
+                buckets.append(_hash_bucket(c))
+                continue
+            bounds = num_bounds[c]
             if not bounds:  # empty/all-NULL column
                 buckets.append(F.lit(0).cast("long"))
                 continue
@@ -196,11 +222,19 @@ def zorder_frame(
         # one global aggregate: 2 doubles per column to the driver (an
         # agg over an empty frame still yields the one all-NULL row,
         # which the NULL-min branch below turns into constant-0 buckets)
-        row = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-        ).collect()[0]
+        num_cols = [c for c in cols if c not in string_cols]
+        row = (
+            df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in num_cols],
+                *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in num_cols],
+            ).collect()[0]
+            if num_cols
+            else {}
+        )
         for c in cols:
+            if c in string_cols:
+                buckets.append(_hash_bucket(c))
+                continue
             mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
             if mn is None or mx is None or mx <= mn:
                 buckets.append(F.lit(0).cast("long"))
