@@ -399,7 +399,8 @@ def optimize_table(
             c: {
                 "min": row[f"__mn_{c}"],
                 "max": row[f"__mx_{c}"],
-                "n_nulls": int(row[f"__nl_{c}"]),
+                # SUM over an empty table is NULL, not 0 (empty sweep)
+                "n_nulls": int(row[f"__nl_{c}"] or 0),
             }
             for c in zorder_cols or []
         },

@@ -131,7 +131,7 @@ def q27(spark, sf_dir):
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS cnt,
-           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_value
     FROM events
     GROUP BY hour, event_type
@@ -153,7 +153,7 @@ def q28(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+                F.sum(F.round(F.col("value") * 100).try_cast("long")) / 100.0, 2
             ).alias("sum_value"),
         )
         .orderBy("hour", "event_type")
@@ -717,7 +717,7 @@ def q50_simhash_md5(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_value
     FROM events
     WHERE year(ts) = 2024 AND month(ts) = 1
@@ -757,7 +757,7 @@ def q51_partitioned_roundtrip(spark, sf_dir):
     return (
         back.where((F.col("year") == 2024) & (F.col("month") == 1))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.round(F.col("value") * 100).try_cast("long")) / 100.0, 2).alias("sum_value"))
         .orderBy("event_type")
     )
 
@@ -2044,7 +2044,7 @@ def q100_rolling_zscore(spark, sf_dir):
     oracle="""
     SELECT user_id, event_type,
            COUNT(*) AS cnt,
-           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_value,
            MAX(ts) AS max_ts
     FROM events
@@ -2073,7 +2073,7 @@ def q102_incremental_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
             # cents-LONG partials: the snapshot merge re-sums these, so
             # exactness must survive BOTH fold layers (the q07 rule)
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("sum_value"),
             F.max("ts").alias("max_ts"),
         )
 
@@ -2804,7 +2804,7 @@ def q115_bloom_decontam(spark, sf_dir):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_value
     FROM events
     WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 200.0
@@ -2850,7 +2850,7 @@ def q116_zorder_scan(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+                F.sum(F.round(F.col("value") * 100).try_cast("long")) / 100.0, 2
             ).alias("sum_value"),
         )
         .orderBy("user_id")
@@ -3231,10 +3231,14 @@ def q121_rag_tiered(spark, sf_dir):
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
             fh.write("ok")
-    qv = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None or qrow[0] is None:
+        # empty corpus / no query vector: the contract-schema empty
+        # result, not a crash (empty-input sweep)
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    qv = [float(x) for x in qrow[0]]
     parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
     out = retrieve_tiered(
         fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
@@ -3261,7 +3265,7 @@ def q121_rag_tiered(spark, sf_dir):
     SELECT user_id,
            COUNT(*) AS n_events,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,
-           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_value
     FROM events
     WHERE user_id BETWEEN 2 AND 11 AND value BETWEEN 25.0 AND 250.0
@@ -3314,7 +3318,7 @@ def q122_optimize_table(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum("event_id").alias("id_sum"),
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+                F.sum(F.round(F.col("value") * 100).try_cast("long")) / 100.0, 2
             ).alias("sum_value"),
         )
         .orderBy("user_id")

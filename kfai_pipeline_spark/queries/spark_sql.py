@@ -120,7 +120,7 @@ BENCH_SQL: dict[str, str] = {
         SELECT make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)
                  AS hour, event_type,
                COUNT(*) AS cnt,
-               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0D, 2)
+               ROUND(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) / 100.0D, 2)
                  AS sum_value
         FROM events
         GROUP BY hour, event_type
