@@ -109,15 +109,26 @@ def load_table(
         reader = reader.schema(schema)
     df = reader.parquet(table_path(sf_dir, name))
     # Legacy nanos fixtures only: nanosAsLong surfaces ts as long;
-    # convert to TimestampType by integer nanos->micros division — `div`
-    # stays in long arithmetic (a double division would lose precision
-    # above 2^53). Micros/NTZ fixtures skip this (ts is not LongType).
+    # convert by integer nanos->micros division — `div` stays in long
+    # arithmetic (a double division would lose precision above 2^53) —
+    # then timestampadd onto a naive epoch, which yields TIMESTAMP_NTZ:
+    # the same type current micros fixtures read natively, so the NTZ
+    # contract (date_trunc_tzfree's LTZ guard, epoch_seconds_fn's
+    # dispatch) holds on BOTH vintages. The old F.timestamp_micros form
+    # produced LTZ and regressed q28 on legacy fixtures (round-8 review).
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestampadd(
+                    "MICROSECOND",
+                    F.expr("ts div 1000"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                ),
+            )
     _DF_MEMO[memo_key] = df
     return df
 

@@ -121,20 +121,38 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
+def _check_n_bits(n_bits: int) -> None:
+    """The K-M derivation below is exact only for power-of-two sizes
+    (mod 2^k commutes with 64-bit wrap because 2^k | 2^64)."""
+    if n_bits <= 0 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+
+
 def _bloom_positions(col, n_bits: int, k_hashes: int):
     """Array column of ``k_hashes`` bit positions for one key, derived
     from ONE ``xxhash64`` via Kirsch-Mitzenmacher double hashing:
-    ``pos_i = (h1 + i*h2) pmod n_bits`` with ``h1 = h``,
+    ``pos_i = (h1 + i*h2) mod n_bits`` with ``h1 = h``,
     ``h2 = (h >> 32) | 1`` (odd, so the stride never degenerates).
     K-M preserves the Bloom filter's asymptotic fp rate with a single
     base hash (Kirsch & Mitzenmacher 2006), which buys two things at
     corpus scale: the build hashes each key ONCE instead of k times
     (all codegen), and the PROBE can ship just the 8-byte hash across
-    Arrow and re-derive positions vectorized in numpy — both sides
-    computing the identical two's-complement long arithmetic (Java and
-    int64 numpy wrap the same), pinned by a parity test."""
-    h1 = F.xxhash64(col)
-    h2 = F.shiftright(h1, 32).bitwiseOR(F.lit(1))
+    Arrow and re-derive positions vectorized in numpy.
+
+    The arithmetic runs MOD-FIRST — ``pmod(pmod(h1,n) + i*pmod(h2,n),
+    n)`` — never the raw ``h1 + i*h2``: under Spark 4's default ANSI
+    mode a raw long add/multiply near ±2^63 would THROW
+    ARITHMETIC_OVERFLOW (a ~6e-10/key landmine that at 10^9 keys fires
+    ~half of all builds), and non-ANSI wrap would need bit-exact numpy
+    twin semantics. Mod-first keeps every intermediate below
+    ``k_hashes * n_bits`` (no overflow on either engine) and is EXACT
+    for power-of-two ``n_bits`` (2^k divides 2^64, so reducing before
+    or after the 64-bit wrap gives the same residue) — enforced by
+    :func:`_check_n_bits` and the JVM/numpy parity test."""
+    _check_n_bits(n_bits)
+    h = F.xxhash64(col)
+    h1 = F.pmod(h, F.lit(n_bits))
+    h2 = F.pmod(F.shiftright(h, 32).bitwiseOR(F.lit(1)), F.lit(n_bits))
     return F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k_hashes)]
     )
@@ -143,17 +161,18 @@ def _bloom_positions(col, n_bits: int, k_hashes: int):
 def _km_positions_numpy(h, n_bits: int, k_hashes: int):
     """The numpy twin of :func:`_bloom_positions` for probe kernels:
     ``h`` is an int64 array of xxhash64 values; returns an
-    (n, k_hashes) int64 array of bit positions. Arithmetic wraps in
-    int64 exactly like the JVM longs the build side used."""
+    (n, k_hashes) int64 array of bit positions. Same mod-first
+    derivation, so no intermediate exceeds k_hashes * n_bits."""
     import numpy as np
 
+    _check_n_bits(n_bits)
     h = h.astype(np.int64, copy=False)
-    h2 = (h >> np.int64(32)) | np.int64(1)
+    n = np.int64(n_bits)
+    # numpy % returns non-negative for a positive modulus, matching pmod
+    h1 = h % n
+    h2 = ((h >> np.int64(32)) | np.int64(1)) % n
     i = np.arange(k_hashes, dtype=np.int64)[None, :]
-    with np.errstate(over="ignore"):
-        raw = h[:, None] + i * h2[:, None]
-    # pmod: numpy % already returns non-negative for a positive modulus
-    return raw % np.int64(n_bits)
+    return (h1[:, None] + i * h2[:, None]) % n
 
 
 def build_bloom_filter(
@@ -162,6 +181,7 @@ def build_bloom_filter(
     n_bits: int = 1 << 23,
     k_hashes: int = 5,
     partial_partitions: int = 32,
+    hash_partitions: int | None = None,
 ) -> bytes:
     """Distributed Bloom-filter build over a key column: returns the
     bitmap as ``n_bits/8`` bytes.
@@ -184,18 +204,29 @@ def build_bloom_filter(
     So the driver receives ``partial_partitions x n_bits/8`` bytes,
     never the keys, and no hashing task waits on the fold. A 10^9-key
     benchmark at 10 bits/key is a 1.2 GB bitmap: broadcastable, where
-    the exact distinct-shingle set (tens of GB of strings) is not. For
-    bitmaps where ``partials x size`` strains the level-2 tasks, lower
-    ``partial_partitions`` (the OR is associative).
+    the exact distinct-shingle set (tens of GB of strings) is not.
+
+    Memory/shuffle budget (this is the same one-local-filter-per-task
+    shape Spark's own BloomFilterAggregate uses): every CONCURRENT
+    level-1 task holds one ``n_bits/8`` bitmap, and the level-2 shuffle
+    moves ``n_level1_tasks x n_bits/8`` bytes. At the default 1 MiB
+    bitmap that is noise; at the 1.2 GB extreme, cap ``hash_partitions``
+    (repartitions the KEYS first — keys move once, a shuffle the
+    explode amortizes — so only that many bitmaps ever exist and the
+    level-2 shuffle is ``hash_partitions x size``; set it ~= executor
+    count). For bitmaps where ``partials x size`` strains the level-2
+    tasks, lower ``partial_partitions`` (the OR is associative).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     n_bytes = (n_bits + 7) // 8
-    # NATURAL partitioning: the explode + xxhash64 keep every upstream
-    # task; the fold narrows only after each task has reduced itself
-    # to one bitmap row
+    if hash_partitions:
+        keys = keys.repartition(hash_partitions)
+    # NATURAL partitioning otherwise: the explode + xxhash64 keep every
+    # upstream task; the fold narrows only after each task has reduced
+    # itself to one bitmap row
     pos = keys.select(
         F.explode(_bloom_positions(F.col(key_col), n_bits, k_hashes)).alias(
             "__pos"
@@ -247,6 +278,7 @@ def contamination_bloom(
     k_hashes: int = 5,
     repartition_to: int | str | None = "auto",
     scope=None,
+    bloom_hash_partitions: int | None = None,
 ) -> DataFrame:
     """Bloom-pruned EXACT contamination — same output contract as
     :func:`contamination` (id, n_shingles, n_overlap, ratio,
@@ -293,7 +325,10 @@ def contamination_bloom(
         bench, text_col=text_col, n=n, repartition_to="auto"
     )
 
-    bitmap = build_bloom_filter(bench_sh, "shingle", n_bits, k_hashes)
+    bitmap = build_bloom_filter(
+        bench_sh, "shingle", n_bits, k_hashes,
+        hash_partitions=bloom_hash_partitions,
+    )
     bc = corpus.sparkSession.sparkContext.broadcast(bitmap)
     if scope is not None:
         scope.add_broadcast(bc)

@@ -176,8 +176,10 @@ def image_features(
             if route:
                 out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content) if content is not None else b""
                 try:
+                    if content is None:
+                        raise ValueError("null content")
+                    data = bytes(content)
                     if decoder in ("ppm", "pillow"):
                         if decoder == "ppm":
                             arr = _parse_ppm(data)
@@ -296,8 +298,13 @@ def decode_audio_meta(
             if route:
                 out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content) if content is not None else b""
                 try:
+                    if content is None:
+                        # NULL payloads are malformed in EVERY decoder,
+                        # including the stub — b'' coercion would fake a
+                        # clean row from a corrupt record (round-8 review)
+                        raise ValueError("null content")
+                    data = bytes(content)
                     if decoder == "wav":
                         with wave.open(io.BytesIO(data)) as w:
                             nch, width, rate, nfr = (
@@ -703,8 +710,10 @@ def decode_video_meta(
             if route:
                 out["ok"], out["error"] = [], []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                data = bytes(content) if content is not None else b""
                 try:
+                    if content is None:
+                        raise ValueError("null content")
+                    data = bytes(content)
                     if decoder == "mp4":
                         meta = _parse_mp4_meta(data)
                     else:

@@ -180,11 +180,15 @@ def zorder_frame(
         c for c in cols if isinstance(df.schema[c].dataType, StringType)
     }
 
-    def _hash_bucket(c: str):
-        # NULL hashes to NULL — pin it to bucket 0 like the numeric arms
-        return F.coalesce(
-            F.pmod(F.xxhash64(F.col(c)), F.lit(top + 1)), F.lit(0)
-        ).cast("long")
+    def _hash_bucket(c: str, hb_top: int):
+        # xxhash64(NULL) is the SEED (42), never NULL — an explicit
+        # isNull branch pins NULLs to bucket 0 like the numeric arms
+        # (round-8 review: a coalesce here was dead code)
+        return (
+            F.when(F.col(c).isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col(c)), F.lit(hb_top + 1)))
+            .cast("long")
+        )
 
     buckets = []
     if bucketing == "quantile":
@@ -203,9 +207,10 @@ def zorder_frame(
         num_bounds = dict(
             zip([c for c in cols if c not in string_cols], all_bounds)
         )
+        top = (1 << bits) - 1  # re-derive after the q_bits clamp
         for c in cols:
             if c in string_cols:
-                buckets.append(_hash_bucket(c))
+                buckets.append(_hash_bucket(c, top))
                 continue
             bounds = num_bounds[c]
             if not bounds:  # empty/all-NULL column
@@ -233,7 +238,7 @@ def zorder_frame(
         )
         for c in cols:
             if c in string_cols:
-                buckets.append(_hash_bucket(c))
+                buckets.append(_hash_bucket(c, top))
                 continue
             mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
             if mn is None or mx is None or mx <= mn:

@@ -159,22 +159,33 @@ def retrieve(
 
 
 def _dedup_cap_resort(
-    scored: DataFrame, k: int, deterministic: bool = False
+    scored: DataFrame,
+    k: int,
+    deterministic: bool = False,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Stages 4-5 post-processing shared by both retrieval forms:
     first-seen dedup on (video_id, start_time) by score desc (W1), cap
     k, chronological re-sort (W2; ref query_agent.py:285-306).
 
-    ``deterministic`` adds (video_id, start_time) tie-breaks to both
-    the dedup window and the cap sort — score ties at the k boundary
-    otherwise resolve by task order, which is fine for the reference's
-    serving semantics (any of the tied chunks is a valid context row)
-    but not for a hash-checked parity row. The tiered arm always passes
-    True so brute and ANN tiers agree row-for-row."""
+    ``deterministic`` adds tie-breaks to both the dedup window and the
+    cap sort — score ties at the k boundary otherwise resolve by task
+    order, which is fine for the reference's serving semantics (any of
+    the tied chunks is a valid context row) but not for a hash-checked
+    parity row. The WINDOW tie-break must be ``id_col``: the partition
+    key (video_id, start_time) is constant inside its own partition,
+    so without a discriminator column the winner among equal-score
+    same-chunk rows would still flap with task order. The tiered arm
+    always passes both so brute and ANN tiers agree row-for-row."""
     order = [F.desc("score")]
     if deterministic:
         order += [F.asc("video_id"), F.asc("start_time")]
-    w = Window.partitionBy("video_id", "start_time").orderBy(*order)
+        if id_col:
+            order.append(F.asc(id_col))
+    win_order = order if not (deterministic and id_col) else (
+        [F.desc("score"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("video_id", "start_time").orderBy(*win_order)
     top = (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -261,8 +272,18 @@ def retrieve_tiered(
     score = F.round(cosine(_as_double(vec_col), qv), round_to)
 
     if not use_ann:
-        scored = docs.where(pred).withColumn("score", score)
-        return _dedup_cap_resort(scored, k, deterministic=True)
+        # NULL scores (NULL/zero-norm embeddings) are EXCLUDED — the
+        # degenerate-vector contract, and what the ANN tier does
+        # structurally (the index never holds them), so the tiers stay
+        # row-identical even when the filtered slice underfills k
+        scored = (
+            docs.where(pred)
+            .withColumn("score", score)
+            .where(F.col("score").isNotNull())
+        )
+        return _dedup_cap_resort(scored, k, deterministic=True, id_col=id_col)
+
+    from pyspark.sql.types import StructField, StructType
 
     from kfai_pipeline_spark.operators.similarity import sq8_topk
 
@@ -274,23 +295,30 @@ def retrieve_tiered(
     vectors = docs.select(id_col, vec_col)
     k_probe = k
     while True:
-        cand_out = sq8_topk(
+        # collect the candidate list (<= k*topup_factor^max_rounds rows
+        # by construction — driver-safe): the stats read, the
+        # certificate count, and the final consumer would otherwise
+        # each re-run the corpus-scale codes scan (no shared subplans)
+        cand_rows = sq8_topk(
             spark, index_path, qdf, k=k_probe, refine=refine,
             vectors=vectors, vec_col=vec_col, id_col=id_col,
             round_to=round_to,
+        ).select(id_col, "score").collect()
+        id_type = docs.schema[id_col].dataType
+        cands = spark.createDataFrame(
+            [(r[0],) for r in cand_rows],
+            StructType([StructField(id_col, id_type)]),
         )
         # probe ids -> doc rows (tiny candidate set, broadcast by
         # construction), THEN the metadata predicate
-        hits = docs.join(
-            F.broadcast(cand_out.select(id_col)), id_col
-        ).where(pred).withColumn("score", score)
-        stats = cand_out.agg(
-            F.count(F.lit(1)).alias("n"), F.min("score").alias("cutoff")
-        ).first()
-        if stats["n"] < k_probe or max_rounds <= 1:
+        hits = docs.join(F.broadcast(cands), id_col).where(pred).withColumn(
+            "score", score
+        )
+        if len(cand_rows) < k_probe or max_rounds <= 1:
             # index exhausted (the probe returned fewer rows than
             # asked: nothing left to top up) or round budget spent
             break
+        cutoff = min(r[1] for r in cand_rows)
         # certificate-gated early exit: break only when k survivors
         # score STRICTLY above the probe's weakest returned candidate
         # (rounded domain, same expression both sides) — an unfetched
@@ -303,7 +331,7 @@ def retrieve_tiered(
         # start_time): the dedup stage collapses same-chunk survivors,
         # so k raw rows above the cutoff may dedup below k.
         n_safe = (
-            hits.where(F.col("score") > F.lit(stats["cutoff"]))
+            hits.where(F.col("score") > F.lit(cutoff))
             .select("video_id", "start_time")
             .distinct()
             .count()
@@ -312,7 +340,7 @@ def retrieve_tiered(
             break
         k_probe *= topup_factor
         max_rounds -= 1
-    return _dedup_cap_resort(hits, k, deterministic=True)
+    return _dedup_cap_resort(hits, k, deterministic=True, id_col=id_col)
 
 
 def retrieve_multi_topic(

@@ -3153,7 +3153,10 @@ def q120_hard_negatives_blas(spark, sf_dir):
           AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
                                  CAST(e.embedding AS DOUBLE[])) > 0
     ),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0 AND embedding IS NOT NULL
+            AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
         SELECT f.doc_id, f.video_id, f.start_time,
                ROUND(list_cosine_similarity(f.v, q.qv), 4) AS score
@@ -3232,9 +3235,15 @@ def q121_rag_tiered(spark, sf_dir):
         with open(done, "w") as fh:
             fh.write("ok")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None or qrow[0] is None:
-        # empty corpus / no query vector: the contract-schema empty
-        # result, not a crash (empty-input sweep)
+    if (
+        qrow is None
+        or qrow[0] is None
+        or all(float(x) == 0.0 for x in qrow[0])
+    ):
+        # missing / NULL / zero-norm query vector: the contract-schema
+        # empty result on BOTH engines (the oracle's q CTE carries the
+        # same degenerate-vector guard), not a crash or a NULL-score
+        # top-k (empty-input + null sweeps)
         return spark.createDataFrame(
             [], "doc_id long, video_id string, start_time double, score double"
         )
