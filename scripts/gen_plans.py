@@ -266,14 +266,55 @@ SECTIONS = [
         "q115_bloom_decontam",
         "Bloom-pruned exact decontamination (X45)",
         "The arm for benchmark n-gram sets too large to broadcast "
-        "exactly: bit positions are hashed JVM-side (xxhash64 codegen), "
-        "the mapInPandas bit-test sits BETWEEN the shingle explode and "
-        "the verify join, so ~99% of corpus shingles (at 10 bits/key) "
+        "exactly: ONE xxhash64 per shingle in codegen (positions derive "
+        "from it via mod-first Kirsch-Mitzenmacher double hashing — "
+        "overflow-free under ANSI, re-derived vectorized inside the "
+        "kernel so only 8 hash bytes cross Arrow per shingle), the "
+        "mapInPandas bit-test sits BETWEEN the shingle explode and "
+        "the verify join, so ~99.9% of corpus shingles (at 18 bits/key) "
         "die map-side and only survivors reach the exchange; the exact "
         "semi join then eliminates every false positive — output "
         "bit-identical to q61's broadcast-exact arm (same oracle). The "
         "totals branch aggregates the shingle frame with map-side "
         "partials on doc_id and never touches the benchmark.",
+    ),
+    (
+        "q121_rag_tiered",
+        "Tiered ANN retrieval in the RAG serving plan (X50)",
+        "The serving shape above the corpus threshold: the SQ8 codes "
+        "scan (1 byte/dim packed BINARY + stored norms — the only "
+        "corpus-scale read) feeds a per-batch vectorized candidate "
+        "kernel with local top-k, the global window ranks "
+        "O(k_probe x batches) rows, the tiny candidate id set "
+        "BROADCASTS back onto the doc table (never a corpus shuffle), "
+        "the metadata predicate applies post-probe, and one uniform "
+        "exact re-score + deterministic dedup/cap runs on the "
+        "survivors. Candidates are collected once per top-up round so "
+        "the certificate check and the final consumer never re-run the "
+        "codes scan. Hash-checked row-identical to brute retrieval.",
+    ),
+    (
+        "q122_optimize_table",
+        "One-call table maintenance: compact + z-order + stats (X50b)",
+        "A pure layout rewrite under Spark's committer: one scan of the "
+        "fragmented table, codegen Morton interleave over the clamped "
+        "bucket ids, ONE sampled range-repartition on the z-value "
+        "(Spark's own range partitioner balances skewed z "
+        "distributions), sortWithinPartitions, bounded row groups at "
+        "write. The read-back aggregate pushes both predicates into "
+        "the scan and combines map-side. File count = ceil(bytes / "
+        "target) is computed from the FS listing, never a row count.",
+    ),
+    (
+        "q123_json_deadletter",
+        "Corrupted-JSON dead-letter routing (I3b)",
+        "Totality in one codegen span: the deterministic corruption, "
+        "the try_parse_json validity flag, the try_cast field "
+        "extraction, and the conditional aggregates all run in the "
+        "scan's WholeStageCodegen before one exchange on event_type — "
+        "no Python, no second pass, and no expression that can throw "
+        "under ANSI (malformed rows become dead-letter counts, never "
+        "task failures).",
     ),
 ]
 
