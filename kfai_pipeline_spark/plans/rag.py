@@ -275,13 +275,19 @@ def retrieve_tiered(
         # NULL scores (NULL/zero-norm embeddings) are EXCLUDED — the
         # degenerate-vector contract, and what the ANN tier does
         # structurally (the index never holds them), so the tiers stay
-        # row-identical even when the filtered slice underfills k
+        # row-identical even when the filtered slice underfills k.
+        # Chunk-grain frames without an id column fall back to the
+        # weaker (video_id, start_time) tie-break — those ARE the row
+        # key at chunk grain, so it stays a total order there.
         scored = (
             docs.where(pred)
             .withColumn("score", score)
             .where(F.col("score").isNotNull())
         )
-        return _dedup_cap_resort(scored, k, deterministic=True, id_col=id_col)
+        id_arg = id_col if id_col in docs.columns else None
+        return _dedup_cap_resort(scored, k, deterministic=True, id_col=id_arg)
+    if id_col not in docs.columns:
+        raise ValueError(f"ANN tier needs the index id column {id_col!r} in docs")
 
     from pyspark.sql.types import StructField, StructType
 
@@ -310,9 +316,16 @@ def retrieve_tiered(
             StructType([StructField(id_col, id_type)]),
         )
         # probe ids -> doc rows (tiny candidate set, broadcast by
-        # construction), THEN the metadata predicate
-        hits = docs.join(F.broadcast(cands), id_col).where(pred).withColumn(
-            "score", score
+        # construction), THEN the metadata predicate. NULL re-scores
+        # drop here too: a zero-norm vector's SQ8 RECONSTRUCTION has
+        # nonzero norm (codes quantize toward the corpus min), so it
+        # can sneak into the candidate pool and re-score NULL — the
+        # same degenerate-vector exclusion as the brute tier.
+        hits = (
+            docs.join(F.broadcast(cands), id_col)
+            .where(pred)
+            .withColumn("score", score)
+            .where(F.col("score").isNotNull())
         )
         if len(cand_rows) < k_probe or max_rounds <= 1:
             # index exhausted (the probe returned fewer rows than
@@ -513,6 +526,10 @@ def answer_query(
     synthesizer: Callable[[str, list[dict]], tuple[str, list[Citation]]],
     k: int = CONTEXT_COUNT,
     retrieval: str = "multi_topic",
+    index_path: str | None = None,
+    tier: str = "auto",
+    ann_threshold: int = 2_000_000,
+    id_col: str = "doc_id",
 ) -> tuple[str, DataFrame]:
     """The full §3.1 lifecycle with injected LLM boundaries. Returns
     (answer_text, sources DataFrame).
@@ -521,12 +538,29 @@ def answer_query(
     (ILIKE-gated vector search per topic); ``"rrf"`` swaps in the
     rank-fused hybrid arm (X36) — BM25 over the parsed topics as query
     terms fused with the question-embedding cosine ranks — for
-    questions where the lexical signal should rank, not just filter.
+    questions where the lexical signal should rank, not just filter;
+    ``"tiered"`` serves through :func:`retrieve_tiered` (X50) — brute
+    below ``ann_threshold`` corpus rows, the persisted SQ8 index probe
+    at ``index_path`` above it (build with
+    :func:`build_retrieval_index`) — the 10^10-vector posture where
+    the reference's stage-4 ANN (pgvector) sits. Topic predicates
+    apply post-probe inside the tiered arm, not as per-topic fan-out.
     """
-    if retrieval not in ("multi_topic", "rrf"):
+    if retrieval not in ("multi_topic", "rrf", "tiered"):
         raise ValueError(f"unknown retrieval strategy: {retrieval!r}")
     parsed = parser(question)
-    if retrieval == "rrf":
+    if retrieval == "tiered":
+        context = retrieve_tiered(
+            docs,
+            embedder([question])[0],
+            parsed,
+            k=k,
+            id_col=id_col,
+            tier=tier,
+            ann_threshold=ann_threshold,
+            index_path=index_path,
+        )
+    elif retrieval == "rrf":
         # BM25 matches whitespace tokens EXACTLY while the topic path
         # matches case-insensitive ILIKE substrings — normalize the
         # terms (lowercase, strip edge punctuation) and score over

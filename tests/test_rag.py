@@ -385,3 +385,71 @@ def test_retrieve_tiered_routing(tiered_docs):
         index_path="/nonexistent/sq8/index",
     )
     assert ok.count() == 5
+
+
+def test_retrieve_tiered_parity_with_degenerate_vectors(spark, tmp_path_factory):
+    """Review finding (round 8): NULL/zero-norm embeddings must not
+    fill the brute tier's tail when the filtered slice underfills k —
+    both tiers exclude them, row-identically."""
+    import os
+
+    from kfai_pipeline_spark.plans.rag import build_retrieval_index, retrieve_tiered
+
+    texts = [f"tiny doc {i}" for i in range(8)]
+    vecs = hash_embed(texts)
+    rows = []
+    for i in range(8):
+        emb = [float(x) for x in vecs[i]]
+        if i == 5:
+            emb = None          # NULL embedding
+        elif i == 6:
+            emb = [0.0] * len(emb)  # zero-norm
+        rows.append(
+            (i, f"v{i}", 0.0, "Solo Show", 1_600_000_000 + i, f"T{i}",
+             texts[i], emb)
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, video_id string, start_time double, show_name string, "
+        "published_at long, title string, text string, embedding array<double>",
+    )
+    idx = os.path.join(str(tmp_path_factory.mktemp("degen")), "sq8")
+    build_retrieval_index(docs, idx, id_col="doc_id")
+    qv = [float(x) for x in hash_embed(["tiny doc 1"])[0]]
+    parsed = ParsedQuery(shows=["Solo Show"])  # keeps all 8, only 6 usable
+    cols = ["doc_id", "score"]
+    brute = retrieve_tiered(docs, qv, parsed, k=20, tier="brute")
+    ann = retrieve_tiered(
+        docs, qv, parsed, k=20, tier="ann", index_path=idx, refine=8
+    )
+    b = sorted(tuple(r) for r in brute.select(*cols).collect())
+    a = sorted(tuple(r) for r in ann.select(*cols).collect())
+    assert a == b and len(a) == 6  # degenerate rows on neither side
+
+
+def test_answer_query_tiered_lifecycle(tiered_docs):
+    """The full lifecycle serving through the ANN tier (X50): parse ->
+    tiered retrieve -> synthesize -> cite."""
+    docs, idx = tiered_docs
+
+    def parser(q: str) -> ParsedQuery:
+        return ParsedQuery(shows=["Show 1", "Show 4"])
+
+    def synthesizer(q, context_rows):
+        assert 0 < len(context_rows) <= 10
+        first = context_rows[0]
+        return "tiered answer", [Citation(first["video_id"], first["start_time"])]
+
+    answer, sources = answer_query(
+        docs, "topic 3 theme 2", parser, hash_embed, synthesizer,
+        k=10, retrieval="tiered", index_path=idx, tier="ann",
+    )
+    assert answer == "tiered answer"
+    src = sources.collect()
+    assert len(src) == 1 and src[0]["urls"][0].startswith(
+        "https://www.youtube.com/watch?v="
+    )
+    with pytest.raises(ValueError, match="retrieval"):
+        answer_query(
+            docs, "q", parser, hash_embed, synthesizer, retrieval="warp"
+        )
