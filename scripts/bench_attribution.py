@@ -16,11 +16,20 @@ the freeze checklist requires attributing each flagged query IN-round:
 Usage:
     python scripts/bench_attribution.py <sf_dir> <variants.json>
 
-``variants.json``: {"label": "SQL string", ...} — all variants must
-compute the same result (asserted via sorted-row comparison on the
-first repetition). Prints one JSON line with per-variant run lists and
+``variants.json``: {"label": "SQL string", ...} — variants are
+expected to compute the same result; per-variant parity against the
+first variant is RECORDED in the output JSON (not asserted — a
+knife-edge divergence between a float and an exact-domain variant is
+itself attribution evidence; a verdict drawn from parity=false rows
+must say so). Prints one JSON line with per-variant run lists and
 medians. DuckDB's matching timing rides along as the machine-load
 control (if DuckDB co-moves, it's the machine, not the plan).
+
+A ``"__duckdb__"`` key, when present, is excluded from the Spark
+variants and used verbatim as the DuckDB control SQL — needed whenever
+the Spark arms use dialect-only syntax (e.g. the ``100.0D`` double
+literal, make_timestamp_ntz). Without it the control runs the first
+Spark variant as-is.
 """
 from __future__ import annotations
 
@@ -39,6 +48,7 @@ def main() -> None:
     sf_dir = sys.argv[1]
     with open(sys.argv[2]) as fh:
         variants: dict[str, str] = json.load(fh)
+    duck_sql = variants.pop("__duckdb__", None)
 
     from kfai_pipeline_spark.catalog import TABLES, register_views
     from kfai_pipeline_spark.session import get_spark
@@ -72,12 +82,15 @@ def main() -> None:
     try:
         import duckdb
 
+        import os
+
         con = duckdb.connect()
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
-        dsql = next(iter(variants.values()))
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark-written directory table
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        dsql = duck_sql or next(iter(variants.values()))
         con.execute(dsql).fetchall()  # warm
         dts = []
         for _ in range(REPS):
