@@ -364,6 +364,7 @@ def optimize(
     table: str = "store",
     zorder_cols: list[str] | None = None,
     target_bytes: int = 128 * 1024 * 1024,
+    schema=None,
 ) -> dict:
     """Stage 9: table maintenance over a workdir table — the composed
     X46+X48 lifecycle as a pipeline stage (operators/partitioning.py
@@ -375,6 +376,12 @@ def optimize(
     store on its chunk key (video_id, start_time): the RAG serving
     path's post-probe join and the citation semi-join both filter on
     exactly those columns.
+
+    ``schema`` pins the table's read schema; when None, optimize_table
+    resolves the catalog pin registered for the workdir table path
+    (catalog.pin_table_schema(workdir, table, ...)) — required on
+    multi-vintage tables, where inference crashes on widened columns
+    and silently drops added ones (§5v).
     """
     from kfai_pipeline_spark.operators.partitioning import optimize_table
 
@@ -386,6 +393,7 @@ def optimize(
         _dir(workdir, f"{table}_opt"),
         zorder_cols=zorder_cols,
         target_bytes=target_bytes,
+        schema=schema,
     )
 
 

@@ -56,6 +56,26 @@ def pin_table_schema(sf_dir: str, name: str, schema) -> None:
         _SCHEMA_PINS[key] = schema
 
 
+def pinned_schema_for_path(path: str):
+    """Resolve the catalog schema pin for a raw table PATH, or None.
+
+    Maintenance ops (operators/partitioning.py ``optimize_table``) take
+    a path, not a (sf_dir, table) pair — but they run on exactly the
+    multi-vintage tables the pins exist for, and §5v showed that plain
+    inference there either crashes the scan (widened vintages) or
+    silently DROPS added columns from the rewritten copy. This maps a
+    path back onto the pin registry so the one-call OPTIMIZE reads
+    through the catalog contract by default. Matches both the fixture
+    layout (``sf_dir/name.parquet``) and bare ``sf_dir/name`` dirs
+    (app workdir tables).
+    """
+    p = path.rstrip("/")
+    for (sf_dir, name), schema in _SCHEMA_PINS.items():
+        if p == table_path(sf_dir, name) or p == f"{sf_dir}/{name}":
+            return schema
+    return None
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 

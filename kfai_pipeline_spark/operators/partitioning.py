@@ -341,6 +341,7 @@ def optimize_table(
     bits: int = 16,
     bucketing: str = "linear",
     row_group_bytes: int | None = None,
+    schema=None,
 ) -> dict:
     """One-call table maintenance (X50b): the lakehouse ``OPTIMIZE``
     composed from the pieces this engine already ships — compaction
@@ -361,15 +362,35 @@ def optimize_table(
     repartition -> write; both component ops carry their own
     content-equality oracle rows, q116/q118).
 
+    ``schema`` pins the read schema (StructType or DDL). Defaulting to
+    the catalog pin for ``src`` (catalog.pinned_schema_for_path) is
+    load-bearing, not a convenience: OPTIMIZE is the op you run on
+    exactly the multi-vintage tables §5v declared unsafe for
+    inference — a two-vintage table with an int32->int64 widened
+    column crashes a plain-inference scan at materialization
+    ([PARQUET_COLUMN_DATA_TYPE_MISMATCH]), and an added-column table
+    reads "successfully" but SILENTLY DROPS the new column from the
+    rewritten copy, so the maintenance op would corrupt the very
+    tables it exists to heal. With the pin, Spark 4's scan-side type
+    widening reads every vintage and the rewrite carries all columns.
+    (Two-vintage case exercised in scripts/schema_evolution_sweep.py.)
+
     Returns {files_before, bytes_before, files_after, bytes_after,
     n_target, n_rows, col_stats} where col_stats maps each zorder_col
     to its (min, max, n_nulls) — the pruning-relevant metadata a table
     catalog would record.
     """
+    if schema is None:
+        from kfai_pipeline_spark.catalog import pinned_schema_for_path
+
+        schema = pinned_schema_for_path(src)
     files = _list_data_files(spark, src)
     total = sum(b for _, b in files)
     n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
-    df = spark.read.parquet(src)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(src)
     if zorder_cols:
         out = zorder_frame(
             df, zorder_cols, bits=bits, num_partitions=n_out,
@@ -383,8 +404,14 @@ def optimize_table(
     writer.parquet(dest)
     after = _list_data_files(spark, dest)
     # stats over the COMMITTED copy (one aggregate job): what a catalog
-    # would record next to the new version's pointer
-    written = spark.read.parquet(dest)
+    # would record next to the new version's pointer. The dest copy is
+    # single-vintage by construction, but read it through the same
+    # schema anyway so the recorded stats carry the catalog's types
+    # (e.g. the widened int64), not a re-inferred narrower vintage.
+    stats_reader = spark.read
+    if schema is not None:
+        stats_reader = stats_reader.schema(schema)
+    written = stats_reader.parquet(dest)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in zorder_cols or []:
         aggs += [

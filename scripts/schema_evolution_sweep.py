@@ -265,6 +265,63 @@ def registry_sweep(spark) -> int:
     return failures
 
 
+def optimize_case(spark) -> int:
+    """Two-vintage OPTIMIZE (round-9 verdict item #2, permanent class).
+
+    Runs optimize_table over the widened (embeddings) and added-column
+    (documents) directories with the catalog pins active — the default
+    schema resolution path — and checks the rewritten copy is
+    content-complete: row count, FULL column set (added columns
+    survive), and exact content checksums (label_sum / id_sum)
+    preserved. Before the pin threading, this exact call either
+    crashed ([PARQUET_COLUMN_DATA_TYPE_MISMATCH] on the widened table)
+    or silently dropped model_rev/quality_v2 from the rewrite.
+    """
+    from kfai_pipeline_spark.catalog import pin_table_schema
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    for t, ddl in PINNED.items():
+        pin_table_schema(FIXTURE, t, ddl)
+
+    failures = 0
+    cases = [
+        # (table, zorder_cols, checksum_col, expect_col)
+        ("embeddings", ["vec_id"], "label", "model_rev"),
+        ("documents", ["doc_id"], "doc_id", "quality_v2"),
+    ]
+    for table, zcols, csum, added in cases:
+        src = f"{FIXTURE}/{table}.parquet"
+        dest = f"{FIXTURE}/{table}_opt.parquet"
+        before = spark.read.schema(PINNED[table]).parquet(src)
+        want_n = before.count()
+        want_sum = before.groupBy().sum(csum).first()[0]
+        try:
+            res = optimize_table(spark, src, dest, zorder_cols=zcols)
+        except Exception as e:
+            failures += 1
+            print(f"optimize {table}: ERROR {str(e).splitlines()[0][:160]}")
+            continue
+        after = spark.read.parquet(dest)
+        got_n = after.count()
+        got_sum = after.groupBy().sum(csum).first()[0]
+        ok = (
+            got_n == want_n == res["n_rows"]
+            and got_sum == want_sum
+            and added in after.columns
+            and set(after.columns) == set(before.columns)
+        )
+        if not ok:
+            failures += 1
+        print(
+            f"optimize {table}: {'PASS' if ok else 'MISMATCH'} "
+            f"(rows {got_n}/{want_n}, {csum}_sum {got_sum}/{want_sum}, "
+            f"cols {sorted(after.columns)}, files "
+            f"{res['files_before']}->{res['files_after']})"
+        )
+        shutil.rmtree(dest, ignore_errors=True)
+    return failures
+
+
 def main() -> None:
     build_fixture()
     from kfai_pipeline_spark.session import get_spark
@@ -273,9 +330,11 @@ def main() -> None:
     print("== posture matrix ==")
     for line in posture_matrix(spark):
         print(line)
+    print("== two-vintage optimize_table ==")
+    failures = optimize_case(spark)
     print("== registry sweep over the two-vintage fixture ==")
-    failures = registry_sweep(spark)
-    print(f"registry failures: {failures}")
+    failures += registry_sweep(spark)
+    print(f"failures: {failures}")
     sys.exit(1 if failures else 0)
 
 

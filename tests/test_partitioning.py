@@ -427,3 +427,74 @@ def test_optimize_table_plain_compaction_arm(spark, tmp_path_factory):
     assert stats["n_rows"] == 100
     assert stats["col_stats"] == {}
     assert spark.read.parquet(dest).count() == 100
+
+
+def test_optimize_table_reads_evolving_table_through_catalog_pin(
+    spark, tmp_path_factory
+):
+    """Round-9 verdict item #2: OPTIMIZE runs on exactly the
+    multi-vintage tables schema inference is unsafe for (§5v) — with a
+    catalog pin registered for the src path, optimize_table resolves
+    it by default and the rewritten copy keeps every vintage's rows
+    AND the added column (plain inference crashes on the widened
+    column or silently drops the added one)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kfai_pipeline_spark.catalog import pin_table_schema
+    from kfai_pipeline_spark.operators.partitioning import optimize_table
+
+    root = str(tmp_path_factory.mktemp("opt_evolve"))
+    src = os.path.join(root, "store.parquet")
+    dest = os.path.join(root, "store_opt.parquet")
+    os.makedirs(src)
+    # vintage A: label int32, no model_rev; vintage B: widened + added
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "label": pa.array([10, 20], pa.int32()),
+        }),
+        f"{src}/part-a.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([3, 4], pa.int64()),
+            "label": pa.array([30, 40], pa.int64()),
+            "model_rev": pa.array(["v2", "v2"], pa.string()),
+        }),
+        f"{src}/part-b.parquet",
+    )
+    pin_table_schema(root, "store", "vec_id bigint, label bigint, model_rev string")
+    try:
+        stats = optimize_table(spark, src, dest, zorder_cols=["vec_id"])
+        assert stats["n_rows"] == 4
+        # stats read-back also rides the pin: widened bigint domain
+        assert stats["col_stats"]["vec_id"] == {"min": 1, "max": 4, "n_nulls": 0}
+        back = spark.read.parquet(dest)
+        assert sorted(back.columns) == ["label", "model_rev", "vec_id"]
+        rows = sorted(
+            (r["vec_id"], r["label"], r["model_rev"]) for r in back.collect()
+        )
+        assert rows == [(1, 10, None), (2, 20, None), (3, 30, "v2"), (4, 40, "v2")]
+    finally:
+        pin_table_schema(root, "store", None)
+
+
+def test_pinned_schema_for_path_matches_both_layouts():
+    """Path->pin resolution covers the fixture layout (name.parquet)
+    and bare app-workdir dirs (workdir/table)."""
+    from kfai_pipeline_spark.catalog import (
+        pin_table_schema,
+        pinned_schema_for_path,
+    )
+
+    pin_table_schema("/tmp/x", "t", "a int")
+    try:
+        assert pinned_schema_for_path("/tmp/x/t.parquet") == "a int"
+        assert pinned_schema_for_path("/tmp/x/t") == "a int"
+        assert pinned_schema_for_path("/tmp/x/t/") == "a int"
+        assert pinned_schema_for_path("/tmp/x/other") is None
+    finally:
+        pin_table_schema("/tmp/x", "t", None)
