@@ -201,16 +201,49 @@ def build_retrieval_index(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    kind: str = "sq8",
+    n_clusters: int = 16,
+    m: int = 8,
 ) -> None:
-    """Persist the serving-tier ANN index for :func:`retrieve_tiered`:
-    an SQ8 scalar-quantized codes table (operators/similarity.py
-    ``write_sq8_index`` — 1 byte/dim packed BINARY + stored norms,
-    partitionable and bandwidth-optimal). Built over the UNFILTERED
-    corpus: the index serves every query; metadata predicates apply
-    post-probe (see retrieve_tiered's filter-ordering note)."""
-    from kfai_pipeline_spark.operators.similarity import write_sq8_index
+    """Persist the serving-tier ANN index for :func:`retrieve_tiered`.
 
-    write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+    ``kind="sq8"`` (default): the SQ8 scalar-quantized codes table
+    (operators/similarity.py ``write_sq8_index`` — 1 byte/dim packed
+    BINARY + stored norms, partitionable and bandwidth-optimal); the
+    probe scans the WHOLE codes table (linear in corpus bytes — right
+    up to the scale where 1 byte/dim is still a tractable scan).
+
+    ``kind="ivfpq"``: the q113/X44 partition-pruned index
+    (``train_ivfpq`` + ``write_ivfpq_index`` — m bytes/vector residual
+    PQ codes partitioned by coarse cluster). The probe opens only
+    ~nprobe/n_clusters of the files: the measured 10^10-vector serving
+    shape (BASELINE §5p), which a flat scan of any code width cannot
+    reach. ``n_clusters``/``m`` size the coarse book and code budget.
+
+    Either kind is built over the UNFILTERED corpus: the index serves
+    every query; metadata predicates apply post-probe (see
+    retrieve_tiered's filter-ordering note)."""
+    if kind == "sq8":
+        from kfai_pipeline_spark.operators.similarity import write_sq8_index
+
+        write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+    elif kind == "ivfpq":
+        from kfai_pipeline_spark.operators.similarity import (
+            train_ivfpq,
+            write_ivfpq_index,
+        )
+
+        vectors = docs.select(id_col, vec_col)
+        centroids, codebooks = train_ivfpq(
+            vectors, n_clusters=n_clusters, m=m,
+            vec_col=vec_col, id_col=id_col,
+        )
+        write_ivfpq_index(
+            vectors, path, centroids, codebooks,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown index kind: {kind!r}")
 
 
 def retrieve_tiered(
@@ -223,6 +256,8 @@ def retrieve_tiered(
     tier: str = "auto",
     ann_threshold: int = 2_000_000,
     index_path: str | None = None,
+    index_kind: str = "sq8",
+    nprobe: int = 4,
     refine: int = 8,
     topup_factor: int = 4,
     max_rounds: int = 4,
@@ -246,15 +281,36 @@ def retrieve_tiered(
     predicate is very selective — that is exactly the brute tier, so
     callers with a known-selective predicate pass ``tier="brute"``.
 
+    ``index_kind`` selects the ANN tier's index: ``"sq8"`` (flat
+    1 byte/dim codes scan, :func:`sq8_topk`) or ``"ivfpq"`` (the
+    q113/X44 partition-pruned residual-PQ probe, :func:`ivfpq_topk` —
+    the corpus-scale shape: only ~``nprobe``/n_clusters of the codes
+    files are opened). Both kinds share the same post-probe filter,
+    certificate-gated top-up, and exact re-score; ``nprobe`` only
+    applies to ivfpq.
+
     Output matches :func:`retrieve` (doc rows + ``score``), with
     deterministic rounded-score ranking: both tiers rank on
     ``round(cosine, round_to)`` with (video_id, start_time) tie-breaks,
-    so in the exhaustive-probe regime (refine covering the corpus) the
-    ANN tier is row-identical to brute — the oracle-checked parity
-    contract (q121).
+    so in the exhaustive-probe regime the ANN tier is row-identical to
+    brute — the oracle-checked parity contract (q121 sq8 / q125 ivfpq).
+
+    Exhaustive-probe caveat (the certificate's scope): the certificate
+    is exact ONLY RELATIVE TO THE PROBE'S CANDIDATE POOL — the top
+    ``k_probe*refine`` rows by APPROXIMATE score (plus, for ivfpq, the
+    ``nprobe`` routing gate). A row outside that pool whose exact
+    rounded score beats the cutoff is invisible to the loop, so
+    brute-parity is guaranteed only when the pool covers the corpus:
+    ``k*refine >= n_rows`` (and ``nprobe >= n_clusters`` for ivfpq).
+    The parity rows size ``refine`` from the fixture row count for
+    exactly this reason; below full coverage the result is top-k
+    relative to the pool and pool recall is the index's operating
+    curve (BASELINE §5n/§5p).
     """
     if tier not in ("auto", "brute", "ann"):
         raise ValueError(f"unknown retrieval tier: {tier!r}")
+    if index_kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {index_kind!r}")
     if tier == "auto":
         # parquet row-count is metadata-only (footer counts); at serving
         # time the corpus size is known at index-build and callers pass
@@ -291,7 +347,7 @@ def retrieve_tiered(
 
     from pyspark.sql.types import StructField, StructType
 
-    from kfai_pipeline_spark.operators.similarity import sq8_topk
+    from kfai_pipeline_spark.operators.similarity import ivfpq_topk, sq8_topk
 
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
@@ -305,11 +361,19 @@ def retrieve_tiered(
         # by construction — driver-safe): the stats read, the
         # certificate count, and the final consumer would otherwise
         # each re-run the corpus-scale codes scan (no shared subplans)
-        cand_rows = sq8_topk(
-            spark, index_path, qdf, k=k_probe, refine=refine,
-            vectors=vectors, vec_col=vec_col, id_col=id_col,
-            round_to=round_to,
-        ).select(id_col, "score").collect()
+        if index_kind == "ivfpq":
+            probe = ivfpq_topk(
+                spark, index_path, qdf, k=k_probe, nprobe=nprobe,
+                refine=refine, vectors=vectors, vec_col=vec_col,
+                id_col=id_col, round_to=round_to,
+            )
+        else:
+            probe = sq8_topk(
+                spark, index_path, qdf, k=k_probe, refine=refine,
+                vectors=vectors, vec_col=vec_col, id_col=id_col,
+                round_to=round_to,
+            )
+        cand_rows = probe.select(id_col, "score").collect()
         id_type = docs.schema[id_col].dataType
         cands = spark.createDataFrame(
             [(r[0],) for r in cand_rows],

@@ -3132,16 +3132,13 @@ def q120_hard_negatives_blas(spark, sf_dir):
 
 
 # ------------------------- Q121: tiered ANN retrieval in the RAG plan (X50)
-@register(
-    "q121_rag_tiered",
-    # The serving-composition parity row (round-8 verdict item #1): the
-    # ANN tier (persisted SQ8 probe -> certificate-gated top-up ->
-    # exact re-score) must be ROW-IDENTICAL to brute retrieval over the
-    # filtered slice. The oracle IS the brute semantics: metadata
-    # filter, rounded cosine, (video_id,start_time) dedup, top-10 on
-    # (score DESC, video_id, start_time) — a total order because the
-    # fixture's (video_id, start_time) pairs are unique per doc.
-    oracle="""
+# The brute-retrieval oracle shared by BOTH tiered parity rows (q121
+# sq8, q125 ivfpq): the tier must be ROW-IDENTICAL to brute retrieval
+# over the filtered slice, so the oracle IS the brute semantics —
+# metadata filter, rounded cosine, (video_id,start_time) dedup, top-10
+# on (score DESC, video_id, start_time), a total order because the
+# fixture's (video_id, start_time) pairs are unique per doc.
+_TIERED_RAG_ORACLE = """
     WITH fixture AS (
         SELECT d.doc_id,
                'v' || CAST(d.doc_id % 40 AS VARCHAR) AS video_id,
@@ -3173,7 +3170,14 @@ def q120_hard_negatives_blas(spark, sf_dir):
     FROM dedup WHERE rn = 1
     ORDER BY score DESC, video_id, start_time
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "q121_rag_tiered",
+    # serving-composition parity row (round-8 verdict item #1): see
+    # _TIERED_RAG_ORACLE
+    oracle=_TIERED_RAG_ORACLE,
     doc=(
         "Tiered ANN retrieval wired into the RAG serving plan "
         "(plans/rag.py retrieve_tiered, X50 — the reference's stage-4 "
@@ -3187,6 +3191,14 @@ def q120_hard_negatives_blas(spark, sf_dir):
     ),
 )
 def q121_rag_tiered(spark, sf_dir):
+    return _tiered_rag_parity(spark, sf_dir, kind="sq8")
+
+
+def _tiered_rag_parity(spark, sf_dir, kind):
+    """Shared builder for the tiered-retrieval parity rows (q121 sq8 /
+    q125 ivfpq): build the doc+embedding fixture, persist the
+    ``kind`` index once per (sf_dir, kind), run retrieve_tiered in the
+    exhaustive-probe regime, and return the brute-identical top-10."""
     import os
 
     from kfai_pipeline_spark.plans.rag import (
@@ -3224,13 +3236,20 @@ def q121_rag_tiered(spark, sf_dir):
             "embedding",
         )
     )
+    # ivfpq parity needs every cluster probed (nprobe >= n_clusters):
+    # a small coarse book keeps the exhaustive regime honest while
+    # still exercising the routing + pruned-scan path
+    n_clusters = 8
+    qname = "q121" if kind == "sq8" else "q125"
     root = os.path.join(
-        _scratch_root(), f"kfai_q121_{_scratch_tag(spark, sf_dir)}"
+        _scratch_root(), f"kfai_{qname}_{_scratch_tag(spark, sf_dir)}"
     )
-    idx = os.path.join(root, "sq8")
+    idx = os.path.join(root, kind)
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):
-        build_retrieval_index(fixture, idx, id_col="doc_id")
+        build_retrieval_index(
+            fixture, idx, id_col="doc_id", kind=kind, n_clusters=n_clusters
+        )
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
             fh.write("ok")
@@ -3249,9 +3268,15 @@ def q121_rag_tiered(spark, sf_dir):
         )
     qv = [float(x) for x in qrow[0]]
     parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    # parity rows size refine from the fixture row count so the probe
+    # pool COVERS the corpus (k*refine >= n): the certificate is exact
+    # only relative to the pool (retrieve_tiered docstring), so a fixed
+    # refine would make brute-parity fixture-size-dependent
+    n = fixture.count()
     out = retrieve_tiered(
         fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
-        index_path=idx, refine=64,
+        index_path=idx, index_kind=kind, nprobe=n_clusters,
+        refine=max(64, -(-n // 10)),
     )
     return out.select("doc_id", "video_id", "start_time", "score").orderBy(
         F.desc("score"), "video_id", "start_time"
@@ -3408,3 +3433,28 @@ def q123_json_deadletter(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# -------------- Q125: IVFPQ as the RAG serving tier's index kind (X50/X44)
+@register(
+    "q125_rag_tiered_ivfpq",
+    # Same parity contract and oracle as q121 — the index kind must be
+    # invisible to the result. The serving plan's corpus-scale answer
+    # (q113's docstring, BASELINE §5p: the partition-pruned IVFPQ probe
+    # reads ~nprobe/n_clusters of m-byte codes) is now reachable from
+    # retrieve_tiered, and in the exhaustive-probe regime (nprobe =
+    # n_clusters, k*refine >= corpus) it is row-identical to brute.
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "IVFPQ as a retrieve_tiered index kind (round-9 verdict item "
+        "#3): index_kind='ivfpq' routes the serving plan's probe "
+        "through the q113/X44 partition-pruned residual-PQ index "
+        "(train_ivfpq + write_ivfpq_index + ivfpq_topk) behind the "
+        "same post-probe metadata filter, certificate-gated top-up, "
+        "and exact re-score as the SQ8 kind. Hash-checked against the "
+        "q121 brute oracle verbatim — the proof that the 10^10-vector "
+        "index shape serves the same rows."
+    ),
+)
+def q125_rag_tiered_ivfpq(spark, sf_dir):
+    return _tiered_rag_parity(spark, sf_dir, kind="ivfpq")

@@ -316,6 +316,19 @@ SECTIONS = [
         "under ANSI (malformed rows become dead-letter counts, never "
         "task failures).",
     ),
+    (
+        "q125_rag_tiered_ivfpq",
+        "IVFPQ as the RAG serving tier's index kind (X50/X44)",
+        "The 10^10-vector serving shape reached from the serving plan: "
+        "the probe's cluster routing is a driver-side q x k_c matmul, "
+        "the cluster_id filter prunes at the parquet PARTITION level "
+        "(only ~nprobe/n_clusters of the codes files are opened), the "
+        "pruned scan reads m bytes/vector of residual PQ codes with "
+        "per-batch ADC + local top-k, and the same broadcast "
+        "candidate join-back / post-probe filter / certificate-gated "
+        "top-up as q121 runs above it. Hash-checked against the q121 "
+        "brute oracle verbatim in the exhaustive-probe regime.",
+    ),
 ]
 
 

@@ -291,6 +291,7 @@ _NESTED_LOOP_OK = {
     "q113_ivfpq_index",     # same 1-row literal query shape as q111/q112
     "q117_hard_negatives",  # broadcast anchor NLJ (the q27 scan shape)
     "q121_rag_tiered",      # SQ8 probe: same 1-row literal query shape as q111
+    "q125_rag_tiered_ivfpq",  # IVFPQ probe: same 1-row literal query shape
 }
 
 

@@ -453,3 +453,50 @@ def test_answer_query_tiered_lifecycle(tiered_docs):
         answer_query(
             docs, "q", parser, hash_embed, synthesizer, retrieval="warp"
         )
+
+
+def test_retrieve_tiered_ivfpq_kind_matches_brute_exhaustive(
+    spark, tiered_docs, tmp_path_factory
+):
+    """Round-9 verdict item #3: index_kind='ivfpq' routes the probe
+    through the q113 partition-pruned index and, in the exhaustive
+    regime (nprobe >= n_clusters, k*refine >= corpus), stays
+    row-identical to brute — the q125 parity contract, locally."""
+    import os
+
+    from kfai_pipeline_spark.plans.rag import (
+        build_retrieval_index,
+        retrieve_tiered,
+    )
+
+    docs, _ = tiered_docs
+    idx = os.path.join(str(tmp_path_factory.mktemp("tiered_ivfpq")), "ivfpq")
+    build_retrieval_index(docs, idx, id_col="doc_id", kind="ivfpq", n_clusters=4)
+    qv = [float(x) for x in hash_embed(["topic 3 theme 2"])[0]]
+    parsed = ParsedQuery(shows=["Show 1", "Show 4"])
+    cols = ["doc_id", "video_id", "start_time", "score"]
+    brute = retrieve_tiered(docs, qv, parsed, k=10, tier="brute")
+    ann = retrieve_tiered(
+        docs, qv, parsed, k=10, tier="ann", index_path=idx,
+        index_kind="ivfpq", nprobe=4, refine=16,
+    )
+    b = sorted(tuple(r) for r in brute.select(*cols).collect())
+    a = sorted(tuple(r) for r in ann.select(*cols).collect())
+    assert a == b and len(a) == 10
+
+
+def test_retrieve_tiered_rejects_unknown_index_kind(tiered_docs):
+    from kfai_pipeline_spark.plans.rag import (
+        build_retrieval_index,
+        retrieve_tiered,
+    )
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["route me"])[0]]
+    with pytest.raises(ValueError, match="index kind"):
+        retrieve_tiered(
+            docs, qv, ParsedQuery(), k=5, tier="ann", index_path=idx,
+            index_kind="hnsw",
+        )
+    with pytest.raises(ValueError, match="index kind"):
+        build_retrieval_index(docs, "/tmp/nope", kind="hnsw")
