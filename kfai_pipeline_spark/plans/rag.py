@@ -420,6 +420,181 @@ def retrieve_tiered(
     return _dedup_cap_resort(hits, k, deterministic=True, id_col=id_col)
 
 
+def retrieve_tiered_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    parsed: ParsedQuery,
+    k: int = CONTEXT_COUNT,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    index_path: str | None = None,
+    index_kind: str = "sq8",
+    nprobe: int = 4,
+    refine: int = 8,
+    topup_factor: int = 4,
+    max_rounds: int = 4,
+    round_to: int = 4,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scope=None,
+) -> DataFrame:
+    """Batched tiered retrieval: per-query rows identical to calling
+    :func:`retrieve_tiered` with ``tier="ann"`` once per query, plus a
+    leading ``query_id`` column — but shaped for OFFLINE eval (recall
+    curves, the X22 classifier, hard-negative mining), where 10^4
+    queries through the interactive loop would mean 10^4 x rounds
+    driver round-trips and codes scans.
+
+    Scale shape (the q76/q120 per-batch local top-k pattern): each
+    top-up round runs ONE probe over the codes table serving ALL
+    still-pending queries (sq8_topk / ivfpq_topk are natively
+    multi-query — the query block broadcasts into the scan kernel);
+    the candidate frame (<= pending x k_probe rows, id+score only) is
+    localCheckpoint-materialized so the certificate stats, the round's
+    hits, and the final consumer reuse one scan (Spark shares no
+    subplans); the doc join-back broadcasts the DISTINCT candidate id
+    set (never a corpus shuffle); and the only driver traffic is the
+    O(#queries)-row per-round status frame deciding who tops up.
+    Queries satisfying the certificate (or exhausting the index) leave
+    the pending set; the rest re-probe at ``k_probe * topup_factor`` —
+    per-query probe depth, not a uniform worst case.
+
+    Same certificate scope as retrieve_tiered: exact only relative to
+    each query's probe pool; size ``refine`` (and ``nprobe``) to cover
+    the corpus for brute-parity. Degenerate query vectors (NULL /
+    zero-norm) produce no output rows — the single-query contract's
+    empty frame, batched.
+
+    ``scope`` (a dedup.CacheScope) tracks the per-round checkpointed
+    candidate frames for deterministic release; without it they are
+    freed when the returned frame is garbage-collected.
+    """
+    if index_path is None:
+        raise ValueError("retrieve_tiered_batch needs index_path")
+    if index_kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {index_kind!r}")
+    if id_col not in docs.columns:
+        raise ValueError(f"batched tier needs the index id column {id_col!r}")
+
+    from kfai_pipeline_spark.operators.similarity import ivfpq_topk, sq8_topk
+
+    spark = docs.sparkSession
+    pred = metadata_predicate(parsed) & topic_predicate(parsed.topics)
+    qid = query_id_col
+
+    def probe_once(pending: DataFrame, k_probe: int) -> DataFrame:
+        if index_kind == "ivfpq":
+            out = ivfpq_topk(
+                spark, index_path, pending, k=k_probe, nprobe=nprobe,
+                refine=refine, vectors=docs.select(id_col, vec_col),
+                vec_col=vec_col, id_col=id_col,
+                query_vec_col=query_vec_col, query_id_col=qid,
+                round_to=round_to, scope=scope,
+            )
+        else:
+            out = sq8_topk(
+                spark, index_path, pending, k=k_probe, refine=refine,
+                vectors=docs.select(id_col, vec_col), vec_col=vec_col,
+                id_col=id_col, query_vec_col=query_vec_col,
+                query_id_col=qid, round_to=round_to,
+            )
+        # one materialization serves the status aggregate, the round's
+        # hits, AND the final consumer — otherwise each re-runs the
+        # corpus codes scan. eager + lineage-truncating; O(q x k_probe)
+        # slim rows (query_id, id, score)
+        cand = out.select(qid, id_col, "score").localCheckpoint(eager=True)
+        if scope is not None:
+            scope.add(cand)
+        return cand
+
+    def hits_for(cand: DataFrame) -> DataFrame:
+        # candidate ids -> doc rows: distinct ids across queries stay
+        # <= q x k_probe (tiny vs corpus), broadcast back onto the doc
+        # table, THEN the metadata predicate + NULL re-score exclusion
+        # (probe scores are the same rounded exact cosine the
+        # single-query arm computes; NULL marks degenerate re-scores)
+        doc_slice = docs.join(
+            F.broadcast(cand.select(id_col).distinct()), id_col
+        ).where(pred)
+        return (
+            doc_slice.join(cand.hint("merge"), id_col)
+            .where(F.col("score").isNotNull())
+        )
+
+    pending = queries.select(
+        F.col(qid), F.col(query_vec_col).alias(query_vec_col)
+    )
+    k_probe = k
+    finished: list[DataFrame] = []
+    while True:
+        cand = probe_once(pending, k_probe)
+        hits = hits_for(cand)
+        if max_rounds <= 1:
+            finished.append(hits)
+            break
+        # per-query certificate: n_safe = distinct surviving chunks
+        # STRICTLY above that query's weakest returned candidate;
+        # n_ret < k_probe = index exhausted for that query. Queries
+        # absent from cand (degenerate vector, empty index) have
+        # nothing to top up — finished with no rows.
+        cutoffs = cand.groupBy(qid).agg(
+            F.min("score").alias("__cut"), F.count(F.lit(1)).alias("__n_ret")
+        )
+        safe = (
+            hits.join(cutoffs, qid)
+            .where(F.col("score") > F.col("__cut"))
+            .select(qid, "video_id", "start_time")
+            .distinct()
+            .groupBy(qid)
+            .agg(F.count(F.lit(1)).alias("__n_safe"))
+        )
+        status = (
+            cutoffs.join(safe, qid, "left")
+            .select(qid, "__n_ret", F.coalesce("__n_safe", F.lit(0)).alias("__n_safe"))
+            .collect()
+        )  # O(#queries) rows — the only driver traffic per round
+        topup_ids = [
+            r[0] for r in status if r[1] >= k_probe and r[2] < k
+        ]
+        if not topup_ids:
+            finished.append(hits)
+            break
+        # keep hits only for queries leaving the pending set this
+        # round; topped-up queries take their DEEPER probe's rows
+        finished.append(
+            hits.join(
+                F.broadcast(
+                    pending.select(qid).where(~F.col(qid).isin(topup_ids))
+                ),
+                qid,
+                "left_semi",
+            )
+        )
+        pending = pending.where(F.col(qid).isin(topup_ids))
+        k_probe *= topup_factor
+        max_rounds -= 1
+    all_hits = finished[0]
+    for h in finished[1:]:
+        all_hits = all_hits.unionByName(h)
+    # per-query dedup/cap/resort — _dedup_cap_resort's deterministic
+    # semantics with query_id prepended to every window/sort key
+    w_dedup = Window.partitionBy(qid, "video_id", "start_time").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    w_cap = Window.partitionBy(qid).orderBy(
+        F.desc("score"), F.asc("video_id"), F.asc("start_time"), F.asc(id_col)
+    )
+    return (
+        all_hits.withColumn("__rn", F.row_number().over(w_dedup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__rk", F.row_number().over(w_cap))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+        .orderBy(qid, "published_at", "video_id", "start_time")
+    )
+
+
 def retrieve_multi_topic(
     docs: DataFrame,
     question: str,

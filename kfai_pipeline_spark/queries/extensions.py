@@ -3194,24 +3194,19 @@ def q121_rag_tiered(spark, sf_dir):
     return _tiered_rag_parity(spark, sf_dir, kind="sq8")
 
 
-def _tiered_rag_parity(spark, sf_dir, kind):
-    """Shared builder for the tiered-retrieval parity rows (q121 sq8 /
-    q125 ivfpq): build the doc+embedding fixture, persist the
-    ``kind`` index once per (sf_dir, kind), run retrieve_tiered in the
-    exhaustive-probe regime, and return the brute-identical top-10."""
+def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8):
+    """Shared fixture for the tiered-retrieval rows (q121/q125/q126):
+    the doc+embedding serving corpus and a ``kind`` index persisted
+    once per (sf_dir, qname). NULL and zero-norm embeddings are
+    excluded on BOTH engines (the q117 degenerate-vector convention —
+    DuckDB scores a zero vector -1.0 while the index/probe drop it).
+    Returns (fixture_df, index_path)."""
     import os
 
-    from kfai_pipeline_spark.plans.rag import (
-        ParsedQuery,
-        build_retrieval_index,
-        retrieve_tiered,
-    )
+    from kfai_pipeline_spark.plans.rag import build_retrieval_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    # degenerate-vector contract (the q117 convention): NULL and
-    # zero-norm embeddings are excluded on BOTH engines — DuckDB scores
-    # a zero vector -1.0 while the index/probe drop it
     fixture = (
         docs.join(emb, docs["doc_id"] == emb["vec_id"])
         .where(
@@ -3236,11 +3231,6 @@ def _tiered_rag_parity(spark, sf_dir, kind):
             "embedding",
         )
     )
-    # ivfpq parity needs every cluster probed (nprobe >= n_clusters):
-    # a small coarse book keeps the exhaustive regime honest while
-    # still exercising the routing + pruned-scan path
-    n_clusters = 8
-    qname = "q121" if kind == "sq8" else "q125"
     root = os.path.join(
         _scratch_root(), f"kfai_{qname}_{_scratch_tag(spark, sf_dir)}"
     )
@@ -3253,6 +3243,24 @@ def _tiered_rag_parity(spark, sf_dir, kind):
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
             fh.write("ok")
+    return fixture, idx
+
+
+def _tiered_rag_parity(spark, sf_dir, kind):
+    """Shared builder for the tiered-retrieval parity rows (q121 sq8 /
+    q125 ivfpq): run retrieve_tiered over the shared fixture in the
+    exhaustive-probe regime and return the brute-identical top-10.
+    The ivfpq arm probes every cluster (nprobe >= n_clusters): a small
+    coarse book keeps the exhaustive regime honest while still
+    exercising the routing + pruned-scan path."""
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+
+    n_clusters = 8
+    qname = "q121" if kind == "sq8" else "q125"
+    fixture, idx = _tiered_rag_fixture(
+        spark, sf_dir, kind, qname, n_clusters=n_clusters
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     if (
         qrow is None
@@ -3458,3 +3466,84 @@ def q123_json_deadletter(spark, sf_dir):
 )
 def q125_rag_tiered_ivfpq(spark, sf_dir):
     return _tiered_rag_parity(spark, sf_dir, kind="ivfpq")
+
+
+# ---------------- Q126: batched-query tiered serving (offline eval arm)
+@register(
+    "q126_rag_tiered_batch",
+    # The q121 parity contract generalized to a query BATCH: per-query
+    # rows must equal the single-query tier (== brute), so the oracle
+    # is brute retrieval per query — one cross score, per-query dedup
+    # and rank windows. Query vectors are corpus embeddings (vec_id IN
+    # (0,7,21,33,44)); self-matches are legitimate top hits and both
+    # engines score them identically. Same degenerate-vector guards as
+    # q121 on both sides.
+    oracle="""
+    WITH fixture AS (
+        SELECT d.doc_id,
+               'v' || CAST(d.doc_id % 40 AS VARCHAR) AS video_id,
+               CAST((d.doc_id // 40) * 30 AS DOUBLE) AS start_time,
+               d.source AS show_name,
+               CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id <> 0 AND e.embedding IS NOT NULL
+          AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) > 0
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings
+          WHERE vec_id IN (0, 7, 21, 33, 44) AND embedding IS NOT NULL
+            AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
+    scored AS (
+        SELECT q.query_id, f.doc_id, f.video_id, f.start_time,
+               ROUND(list_cosine_similarity(f.v, q.qv), 4) AS score
+        FROM fixture f, q
+        WHERE f.show_name IN ('src1', 'src3', 'src5', 'src7')
+    ),
+    dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, video_id, start_time
+            ORDER BY score DESC, doc_id) AS rn
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score DESC, video_id, start_time, doc_id) AS rk
+        FROM dedup WHERE rn = 1
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           doc_id, video_id, start_time, score
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, score DESC, video_id, start_time
+    """,
+    doc=(
+        "Batched tiered retrieval (plans/rag.py retrieve_tiered_batch, "
+        "round-9 verdict item #4): the offline-eval arm — ONE codes "
+        "scan per top-up round serves every pending query (the q76/"
+        "q120 per-batch local top-k shape), the candidate frame is "
+        "checkpoint-materialized so the certificate stats and the "
+        "result reuse one scan, the doc join-back broadcasts distinct "
+        "candidate ids, and the only driver traffic is the per-round "
+        "O(#queries) status frame. Hash-checked against per-query "
+        "brute retrieval replayed in DuckDB."
+    ),
+)
+def q126_rag_tiered_batch(spark, sf_dir):
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered_batch
+
+    fixture, idx = _tiered_rag_fixture(spark, sf_dir, "sq8", "q126")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 7, 21, 33, 44])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    n = fixture.count()
+    out = retrieve_tiered_batch(
+        fixture, queries, parsed, k=10, id_col="doc_id", index_path=idx,
+        refine=max(64, -(-n // 10)),
+    )
+    return out.select(
+        "query_id", "doc_id", "video_id", "start_time", "score"
+    ).orderBy("query_id", F.desc("score"), "video_id", "start_time")

@@ -329,6 +329,19 @@ SECTIONS = [
         "top-up as q121 runs above it. Hash-checked against the q121 "
         "brute oracle verbatim in the exhaustive-probe regime.",
     ),
+    (
+        "q126_rag_tiered_batch",
+        "Batched-query tiered serving (offline eval arm)",
+        "One codes scan per top-up round serves EVERY pending query "
+        "(the query block broadcasts into the scan kernel; per-batch "
+        "local top-k before the global per-query window); the "
+        "candidate frame is localCheckpoint-materialized so the "
+        "certificate stats, the round's hits, and the final consumer "
+        "reuse one scan; the doc join-back broadcasts the distinct "
+        "candidate id set (never a corpus shuffle); driver traffic is "
+        "the O(#queries)-row per-round status frame, not candidates. "
+        "Per-query dedup/cap windows replace the single-query limit.",
+    ),
 ]
 
 
