@@ -602,6 +602,16 @@ def retrieve_multi_topic(
     embedder: Callable[[list[str]], list[list[float]]],
     k: int = CONTEXT_COUNT,
     vec_col: str = "embedding",
+    deterministic: bool = False,
+    id_col: str | None = None,
+    round_to: int = 4,
+    tier: str = "brute",
+    index_path: str | None = None,
+    index_kind: str = "sq8",
+    nprobe: int = 4,
+    refine: int = 8,
+    topup_factor: int = 4,
+    max_rounds: int = 4,
 ) -> DataFrame:
     """Reference-faithful retrieval fan-out (ref query_agent.py:234-306).
 
@@ -614,12 +624,67 @@ def retrieve_multi_topic(
     Spark shape: each branch is an independent filtered scan (Catalyst
     pushes each branch's predicate down; branches share the scan via
     union) — at scale this is one job with B branches, not B sequential
-    store round-trips."""
+    store round-trips.
+
+    ``deterministic`` routes every branch through
+    :func:`retrieve_tiered` (rounded scores, id tie-breaks, NULL-score
+    exclusion — the q121 recipe), making the fan-out oracle-checkable
+    (q124) and, with ``tier="ann"``, serving each branch from the
+    persisted index: the branch's topic gate becomes the POST-probe
+    predicate and the certificate-gated top-up grows the probe until k
+    branch survivors — the reference lifecycle's 10^10-vector posture
+    end-to-end (q127 re-uses the q124 oracle in the exhaustive-probe
+    regime). Per-branch chunk-dedup is included (a no-op whenever
+    (video_id, start_time) is unique per row — chunk grain, like the
+    reference's store). ``tier`` other than "brute" requires
+    ``deterministic=True``: the index probe is rounded-domain by
+    construction, so an unrounded ANN fan-out would be a parity trap.
+    """
+    if tier != "brute" and not deterministic:
+        raise ValueError("tier!='brute' requires deterministic=True")
     if not parsed.topics:
+        if deterministic:
+            return retrieve_tiered(
+                docs, embedder([question])[0], parsed, k=k, vec_col=vec_col,
+                id_col=id_col or "doc_id", tier=tier, index_path=index_path,
+                index_kind=index_kind, nprobe=nprobe, refine=refine,
+                topup_factor=topup_factor, max_rounds=max_rounds,
+                round_to=round_to,
+            )
         return retrieve(docs, embedder([question])[0], parsed, k=k, vec_col=vec_col)
 
+    if deterministic:
+        from dataclasses import replace
+
+        branches = []
+        for topic in parsed.topics:
+            others = [t for t in parsed.topics if t != topic]
+            branch_query = ", ".join(others) if others else question
+            branches.append(
+                retrieve_tiered(
+                    docs,
+                    embedder([branch_query])[0],
+                    replace(parsed, topics=[topic]),
+                    k=k,
+                    vec_col=vec_col,
+                    id_col=id_col or "doc_id",
+                    tier=tier,
+                    index_path=index_path,
+                    index_kind=index_kind,
+                    nprobe=nprobe,
+                    refine=refine,
+                    topup_factor=topup_factor,
+                    max_rounds=max_rounds,
+                    round_to=round_to,
+                )
+            )
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionByName(b)
+        return _dedup_cap_resort(unioned, k, deterministic=True, id_col=id_col)
+
     meta = metadata_predicate(parsed)
-    branches: list[DataFrame] = []
+    branches = []
     for topic in parsed.topics:
         others = [t for t in parsed.topics if t != topic]
         branch_query = ", ".join(others) if others else question

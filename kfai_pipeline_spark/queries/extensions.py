@@ -3547,3 +3547,163 @@ def q126_rag_tiered_batch(spark, sf_dir):
     return out.select(
         "query_id", "doc_id", "video_id", "start_time", "score"
     ).orderBy("query_id", F.desc("score"), "video_id", "start_time")
+
+
+# -------- Q124/Q127: reference-faithful multi-topic fan-out (+ tiered)
+# Shared oracle: the fan-out IS the reference's retrieval semantics
+# (ref query_agent.py:234-306) made deterministic with the q121 recipe
+# — per-topic ILIKE gate, CROSS-topic scoring vector (branch for topic
+# 'vector' scores with the 'stream' embedding and vice versa), k per
+# branch, union, chunk-dedup, cap. Branch query embeddings are pinned
+# to corpus vectors (embedder('stream') = vec_id 1, embedder('vector')
+# = vec_id 2) so DuckDB can replay the scoring exactly.
+_MULTI_TOPIC_ORACLE = """
+    WITH fixture AS (
+        SELECT d.doc_id,
+               'v' || CAST(d.doc_id % 40 AS VARCHAR) AS video_id,
+               CAST((d.doc_id // 40) * 30 AS DOUBLE) AS start_time,
+               d.source AS show_name,
+               d.source AS title,
+               d.text AS body,
+               CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id <> 0 AND e.embedding IS NOT NULL
+          AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) > 0
+    ),
+    q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 1 AND embedding IS NOT NULL
+             AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
+    q2 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 2 AND embedding IS NOT NULL
+             AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
+    b1 AS (
+        SELECT f.doc_id, f.video_id, f.start_time,
+               ROUND(list_cosine_similarity(f.v, q1.qv), 4) AS score
+        FROM fixture f, q1
+        WHERE f.show_name IN ('src1', 'src3', 'src5', 'src7')
+          AND (f.title ILIKE '%vector%' OR f.body ILIKE '%vector%')
+    ),
+    b2 AS (
+        SELECT f.doc_id, f.video_id, f.start_time,
+               ROUND(list_cosine_similarity(f.v, q2.qv), 4) AS score
+        FROM fixture f, q2
+        WHERE f.show_name IN ('src1', 'src3', 'src5', 'src7')
+          AND (f.title ILIKE '%stream%' OR f.body ILIKE '%stream%')
+    ),
+    branch_top AS (
+        SELECT * FROM (
+            SELECT b1.*, row_number() OVER (
+                PARTITION BY video_id, start_time
+                ORDER BY score DESC, doc_id) AS rn
+            FROM b1
+        ) x WHERE rn = 1
+        QUALIFY row_number() OVER (
+            ORDER BY score DESC, video_id, start_time, doc_id) <= 10
+        UNION ALL
+        SELECT * FROM (
+            SELECT b2.*, row_number() OVER (
+                PARTITION BY video_id, start_time
+                ORDER BY score DESC, doc_id) AS rn
+            FROM b2
+        ) x WHERE rn = 1
+        QUALIFY row_number() OVER (
+            ORDER BY score DESC, video_id, start_time, doc_id) <= 10
+    ),
+    dedup AS (
+        SELECT doc_id, video_id, start_time, score, row_number() OVER (
+            PARTITION BY video_id, start_time
+            ORDER BY score DESC, doc_id) AS rn
+        FROM branch_top
+    )
+    SELECT doc_id, video_id, start_time, score
+    FROM dedup WHERE rn = 1
+    ORDER BY score DESC, video_id, start_time, doc_id
+    LIMIT 10
+    """
+
+
+def _multi_topic_row(spark, sf_dir, tier):
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_multi_topic
+
+    # one shared scratch fixture+index for both rows (deterministic
+    # content; the _DONE marker serializes builds)
+    fixture, idx = _tiered_rag_fixture(spark, sf_dir, "sq8", "q124")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin([1, 2])).collect()
+    }
+
+    def pinned(vid, dim):
+        v = vecs.get(vid)
+        if v is None or all(float(x) == 0.0 for x in v):
+            # degenerate scoring vector -> NULL scores -> empty branch,
+            # matching the oracle's q-CTE guard (empty q = empty branch)
+            return [0.0] * dim
+        return [float(x) for x in v]
+
+    dims = [len(v) for v in vecs.values() if v is not None]
+    if not dims:
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    dim = dims[0]
+    # branch for topic 'vector' scores with the OTHER topic's embedding
+    # ('stream' -> vec 1); branch 'stream' scores with 'vector' -> vec 2
+    emb_map = {"stream": pinned(1, dim), "vector": pinned(2, dim)}
+
+    def embedder(texts):
+        return [emb_map[t] for t in texts]
+
+    parsed = ParsedQuery(
+        shows=["src1", "src3", "src5", "src7"], topics=["vector", "stream"]
+    )
+    n = fixture.count()
+    out = retrieve_multi_topic(
+        fixture, "unused question", parsed, embedder, k=10,
+        deterministic=True, id_col="doc_id", tier=tier, index_path=idx,
+        refine=max(64, -(-n // 10)),
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )
+
+
+@register(
+    "q124_rag_multi_topic",
+    oracle=_MULTI_TOPIC_ORACLE,
+    doc=(
+        "Reference-faithful multi-topic retrieval fan-out (plans/rag.py "
+        "retrieve_multi_topic, the actual reference semantics — ref "
+        "query_agent.py:234-306: per-topic title/text ILIKE gate, "
+        "cross-topic scoring vector, k per branch, union, dedup/cap) "
+        "in the deterministic q121 recipe (rounded scores, id "
+        "tie-breaks), hash-checked against a branch-by-branch DuckDB "
+        "replay. Closes the last untested reference lifecycle stage."
+    ),
+)
+def q124_rag_multi_topic(spark, sf_dir):
+    return _multi_topic_row(spark, sf_dir, tier="brute")
+
+
+@register(
+    "q127_rag_multi_topic_tiered",
+    # the q124 oracle VERBATIM: routing each branch through the ANN
+    # tier (post-probe branch predicate + certificate-gated top-up) in
+    # the exhaustive-probe regime must not change a single row
+    oracle=_MULTI_TOPIC_ORACLE,
+    doc=(
+        "Multi-topic fan-out THROUGH the serving tier (round-9 verdict "
+        "item #6): each branch's search routes through retrieve_tiered "
+        "(tier='ann') — the branch's ILIKE gate becomes the post-probe "
+        "predicate over the shared persisted SQ8 index, with the same "
+        "certificate-gated top-up — giving the reference lifecycle the "
+        "10^10-vector posture end-to-end. Hash-checked against the "
+        "q124 oracle verbatim."
+    ),
+)
+def q127_rag_multi_topic_tiered(spark, sf_dir):
+    return _multi_topic_row(spark, sf_dir, tier="ann")

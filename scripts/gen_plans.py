@@ -342,6 +342,27 @@ SECTIONS = [
         "the O(#queries)-row per-round status frame, not candidates. "
         "Per-query dedup/cap windows replace the single-query limit.",
     ),
+    (
+        "q124_rag_multi_topic",
+        "Reference-faithful multi-topic retrieval fan-out (deterministic)",
+        "B branches = B independent filtered scans unioned into one "
+        "job (Catalyst pushes each branch's metadata + ILIKE predicate "
+        "into its scan); each branch caps at k with rounded scores and "
+        "id tie-breaks before the union, so the cross-branch "
+        "dedup/cap window ranks O(B x k) rows, never branch unions of "
+        "the corpus.",
+    ),
+    (
+        "q127_rag_multi_topic_tiered",
+        "Multi-topic fan-out through the ANN serving tier",
+        "Each branch probes the SAME persisted SQ8 index (one codes "
+        "table serves every branch); the branch's ILIKE gate applies "
+        "post-probe with the certificate-gated top-up, candidate ids "
+        "broadcast back per branch, and the cross-branch dedup/cap "
+        "runs over O(B x k) rows. The corpus-scale read is codes "
+        "bytes x branches; the float table is touched only by "
+        "broadcast candidate joins.",
+    ),
 ]
 
 

@@ -580,3 +580,38 @@ def test_retrieve_tiered_batch_ivfpq_kind(spark, tiered_docs, tmp_path_factory):
         assert sorted(got.get(qid, [])) == sorted(
             tuple(r) for r in single.select(*cols).collect()
         )
+
+
+def test_retrieve_multi_topic_deterministic_and_tiered_agree(
+    spark, tiered_docs
+):
+    """q124/q127 locally: the deterministic fan-out's rows are
+    identical between tier='brute' and tier='ann' (exhaustive regime),
+    and an unrounded ANN fan-out is rejected."""
+    from kfai_pipeline_spark.plans.rag import retrieve_multi_topic
+
+    docs, idx = tiered_docs
+    vec_for = {
+        "topic 3": [float(x) for x in hash_embed(["topic 3"])[0]],
+        "theme 2": [float(x) for x in hash_embed(["theme 2"])[0]],
+    }
+
+    def embedder(texts):
+        return [vec_for[t] for t in texts]
+
+    parsed = ParsedQuery(shows=["Show 1", "Show 4"], topics=["topic 3", "theme 2"])
+    cols = ["doc_id", "video_id", "start_time", "score"]
+    brute = retrieve_multi_topic(
+        docs, "q", parsed, embedder, k=8, deterministic=True, id_col="doc_id"
+    )
+    ann = retrieve_multi_topic(
+        docs, "q", parsed, embedder, k=8, deterministic=True, id_col="doc_id",
+        tier="ann", index_path=idx, refine=16,
+    )
+    b = sorted(tuple(r) for r in brute.select(*cols).collect())
+    a = sorted(tuple(r) for r in ann.select(*cols).collect())
+    assert a == b and len(b) == 8
+    with pytest.raises(ValueError, match="deterministic"):
+        retrieve_multi_topic(
+            docs, "q", parsed, embedder, k=8, tier="ann", index_path=idx
+        )
