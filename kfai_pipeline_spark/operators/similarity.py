@@ -17,9 +17,13 @@ Spark has no native ANN; the engine provides:
   the index written out partitioned by ``cluster_id``, probing prunes
   at the parquet-partition level.
 
-Serving-path ANN stays external (pgvector) per the scope decision; these
-operators cover batch/eval retrieval (ref query_agent.py:252-257 does
-k=120 retrieval per query — here that is ``k`` per query row).
+Live pgvector stays external per the scope decision, but the serving
+path itself is in-engine: ``plans/rag.py retrieve_tiered`` /
+``retrieve_tiered_batch`` route through the persisted SQ8 / IVFPQ
+indexes here (ref query_agent.py:252-257 does k=120 retrieval per
+query — here that is ``k`` per query row). Which tier to serve from —
+by corpus size, predicate selectivity, and index freshness, with the
+measured curves — is the README's "Serving-tier decision table".
 """
 
 from __future__ import annotations

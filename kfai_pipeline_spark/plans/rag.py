@@ -306,6 +306,10 @@ def retrieve_tiered(
     exactly this reason; below full coverage the result is top-k
     relative to the pool and pool recall is the index's operating
     curve (BASELINE §5n/§5p).
+
+    Choosing a tier: README "Serving-tier decision table" — corpus
+    size x predicate selectivity x index freshness -> tier, with the
+    measured curves each cell rests on.
     """
     if tier not in ("auto", "brute", "ann"):
         raise ValueError(f"unknown retrieval tier: {tier!r}")
