@@ -838,6 +838,8 @@ def answer_query(
     tier: str = "auto",
     ann_threshold: int = 2_000_000,
     id_col: str = "doc_id",
+    index_kind: str = "sq8",
+    nprobe: int = 4,
 ) -> tuple[str, DataFrame]:
     """The full §3.1 lifecycle with injected LLM boundaries. Returns
     (answer_text, sources DataFrame).
@@ -848,11 +850,13 @@ def answer_query(
     terms fused with the question-embedding cosine ranks — for
     questions where the lexical signal should rank, not just filter;
     ``"tiered"`` serves through :func:`retrieve_tiered` (X50) — brute
-    below ``ann_threshold`` corpus rows, the persisted SQ8 index probe
-    at ``index_path`` above it (build with
-    :func:`build_retrieval_index`) — the 10^10-vector posture where
-    the reference's stage-4 ANN (pgvector) sits. Topic predicates
-    apply post-probe inside the tiered arm, not as per-topic fan-out.
+    below ``ann_threshold`` corpus rows, the persisted index probe at
+    ``index_path`` above it (build with :func:`build_retrieval_index`;
+    ``index_kind``/``nprobe`` select SQ8 or the partition-pruned IVFPQ
+    probe — README "Serving-tier decision table") — the 10^10-vector
+    posture where the reference's stage-4 ANN (pgvector) sits. Topic
+    predicates apply post-probe inside the tiered arm, not as
+    per-topic fan-out.
     """
     if retrieval not in ("multi_topic", "rrf", "tiered"):
         raise ValueError(f"unknown retrieval strategy: {retrieval!r}")
@@ -867,6 +871,8 @@ def answer_query(
             tier=tier,
             ann_threshold=ann_threshold,
             index_path=index_path,
+            index_kind=index_kind,
+            nprobe=nprobe,
         )
     elif retrieval == "rrf":
         # BM25 matches whitespace tokens EXACTLY while the topic path

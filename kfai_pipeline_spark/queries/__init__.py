@@ -34,29 +34,13 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 5 (missed the r6 and r7 re-run windows)
+    # last official row: round 6 (the names r8's window did not re-run)
     frozenset({
-        "q24", "q25", "q26", "q27", "q28", "q29_tokens", "q30_corpus",
-        "q31_bigrams", "q32_langid", "q39_asof", "q40_quality",
-        "q44_grouping_sets", "q45_stats", "q46_sketch", "q48_ngram_jaccard",
-        "q53_multimodal_asr", "q57_duration_format_roundtrip",
-        "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
-        "q104_simhash_dedup", "q105_neardup_index",
-    }),
-    # last official row: round 6 (CORRECTNESS_r06.json's 50-entry window)
-    frozenset({
-        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
-        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
-        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
-        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
-        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
         "q61_decontaminate", "q62_repetition", "q63_hash_sample",
         "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
-        "q67_shard_pack", "q68_boilerplate_strip", "q72_interval_join",
-        "q76_simsearch_blas", "q79_stat_aggs", "q80_rolling_range",
-        "q82_merge_records", "q83_llm_clean", "q84_funnel", "q85_retention",
-        "q86_integrity_deadletter", "q87_composite_resume",
-        "q88_skiplist_roundtrip", "q89_asof_tolerance", "q90_cluster_assign",
+        "q67_shard_pack", "q68_boilerplate_strip",
+        "q87_composite_resume", "q88_skiplist_roundtrip",
+        "q89_asof_tolerance", "q90_cluster_assign",
         "q93_multimodal_video", "q95_scd2_history", "q97_merge_upsert",
         "q100_rolling_zscore", "q102_incremental_agg", "q103_bucketed_join",
         "q106_truncate_longdocs", "q107_zscore_backfill", "q108_segment_dedup",
@@ -77,6 +61,24 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
         "q19", "q20", "q21", "q21_dedup", "q22", "q23",
         "q41_cube", "q42_fullouter", "q43_cross",
+    }),
+    # last official row: round 8 (CORRECTNESS_r08.json's 50-entry window)
+    frozenset({
+        "q121_rag_tiered", "q122_optimize_table", "q123_json_deadletter",
+        "q24", "q25", "q26", "q27", "q28", "q29_tokens", "q30_corpus",
+        "q31_bigrams", "q32_langid", "q39_asof", "q40_quality",
+        "q44_grouping_sets", "q45_stats", "q46_sketch", "q48_ngram_jaccard",
+        "q53_multimodal_asr", "q57_duration_format_roundtrip",
+        "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
+        "q104_simhash_dedup", "q105_neardup_index",
+        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
+        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
+        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
+        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
+        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
+        "q72_interval_join", "q76_simsearch_blas", "q79_stat_aggs",
+        "q80_rolling_range", "q82_merge_records", "q83_llm_clean",
+        "q84_funnel", "q85_retention", "q86_integrity_deadletter",
     }),
 )
 

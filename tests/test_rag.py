@@ -615,3 +615,37 @@ def test_retrieve_multi_topic_deterministic_and_tiered_agree(
         retrieve_multi_topic(
             docs, "q", parsed, embedder, k=8, tier="ann", index_path=idx
         )
+
+
+def test_answer_query_tiered_lifecycle_ivfpq(spark, tiered_docs, tmp_path_factory):
+    """The lifecycle serves through the IVFPQ index kind too: same
+    answer/sources as the SQ8 tier on the same corpus+query."""
+    import os
+
+    from kfai_pipeline_spark.plans.rag import build_retrieval_index
+
+    docs, sq8_idx = tiered_docs
+    pq_idx = os.path.join(str(tmp_path_factory.mktemp("lc_ivfpq")), "ivfpq")
+    build_retrieval_index(docs, pq_idx, id_col="doc_id", kind="ivfpq", n_clusters=4)
+
+    def parser(q: str) -> ParsedQuery:
+        return ParsedQuery(shows=["Show 1", "Show 4"])
+
+    captured = {}
+
+    def synthesizer(q, context_rows):
+        captured.setdefault("rows", []).append(
+            [(r["doc_id"], r["score"]) for r in context_rows]
+        )
+        first = context_rows[0]
+        return "ok", [Citation(first["video_id"], first["start_time"])]
+
+    for idx, kind in ((sq8_idx, "sq8"), (pq_idx, "ivfpq")):
+        answer, sources = answer_query(
+            docs, "topic 3 theme 2", parser, hash_embed, synthesizer,
+            k=10, retrieval="tiered", index_path=idx, tier="ann",
+            index_kind=kind, nprobe=4,
+        )
+        assert answer == "ok" and sources.count() == 1
+    a, b = captured["rows"]
+    assert sorted(a) == sorted(b)
