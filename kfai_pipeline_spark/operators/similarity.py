@@ -1149,39 +1149,25 @@ def quantized_topk(
     )
 
 
-def write_sq8_index(
-    vectors: DataFrame,
-    path: str,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> None:
-    """Persist the SQ8 index: ``<path>/stats`` (1-row per-dim codebook)
-    and ``<path>/codes`` (id, code_bytes BINARY — uint8-PACKED, one
-    byte per dimension — plus the precomputed reconstruction norm).
-
-    Packing into a binary column (not array<int>) is the point: parquet
-    has no int8 physical type, so an int array burns 4 bytes/dim before
-    encoding, while the packed bytes hit the advertised 4x-vs-float32
-    size cut — at 100 TB of vectors the candidate scan is
-    bandwidth-bound, and the codes table IS the bytes it reads. The
-    reconstruction norm rides along so the scan never has to rebuild
-    it. Same floor(x+0.5) code math as :func:`quantize_int8`, same
-    operation order, so both arms produce identical codes."""
+def _sq8_encoded(
+    vectors: DataFrame, mn, mx, vec_col: str, id_col: str
+) -> DataFrame:
+    """The SQ8 pack kernel shared by :func:`write_sq8_index` (build)
+    and :func:`append_sq8_index` (incremental add): encode ``vectors``
+    against a FIXED per-dim [mn, mx] codebook. Codes clip to [0, 255]
+    — a no-op at build time (stats bound the data by construction) and
+    the documented saturation contract for appended vectors outside
+    the build-time range (without the clip an out-of-range value would
+    WRAP through the uint8 cast: -1 -> 255, the worst possible code)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
         DoubleType,
-        LongType,
         StructField,
         StructType,
     )
 
-    stats_df = quantization_stats(vectors, vec_col)
-    stats_df.write.mode("overwrite").parquet(f"{path}/stats")
-    srow = stats_df.sparkSession.read.parquet(f"{path}/stats").collect()[0]
-    mn = np.array(srow["__mn"], dtype=np.float64)
-    mx = np.array(srow["__mx"], dtype=np.float64)
     den = mx - mn
     # the id column keeps ITS OWN type (string keys are as legitimate
     # as longs — the expression arm is id-type-agnostic and the two
@@ -1224,6 +1210,7 @@ def write_sq8_index(
             with np.errstate(divide="ignore", invalid="ignore"):
                 frac = (V - mn) / den
             codes = np.where(den > 0, np.floor(frac * 255.0 + 0.5), 0.0)
+            codes = np.clip(codes, 0.0, 255.0)
             recon = mn + codes * den / 255.0
             c8 = codes.astype(np.uint8)
             yield pd.DataFrame(
@@ -1234,9 +1221,77 @@ def write_sq8_index(
                 }
             )
 
-    src.mapInPandas(pack, schema=out_schema).write.mode("overwrite").parquet(
-        f"{path}/codes"
-    )
+    return src.mapInPandas(pack, schema=out_schema)
+
+
+def write_sq8_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the SQ8 index: ``<path>/stats`` (1-row per-dim codebook)
+    and ``<path>/codes`` (id, code_bytes BINARY — uint8-PACKED, one
+    byte per dimension — plus the precomputed reconstruction norm).
+
+    Packing into a binary column (not array<int>) is the point: parquet
+    has no int8 physical type, so an int array burns 4 bytes/dim before
+    encoding, while the packed bytes hit the advertised 4x-vs-float32
+    size cut — at 100 TB of vectors the candidate scan is
+    bandwidth-bound, and the codes table IS the bytes it reads. The
+    reconstruction norm rides along so the scan never has to rebuild
+    it. Same floor(x+0.5) code math as :func:`quantize_int8`, same
+    operation order, so both arms produce identical codes."""
+    import numpy as np
+
+    stats_df = quantization_stats(vectors, vec_col)
+    stats_df.write.mode("overwrite").parquet(f"{path}/stats")
+    srow = stats_df.sparkSession.read.parquet(f"{path}/stats").collect()[0]
+    mn = np.array(srow["__mn"], dtype=np.float64)
+    mx = np.array(srow["__mx"], dtype=np.float64)
+    _sq8_encoded(vectors, mn, mx, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def append_sq8_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add ``vectors`` to a persisted SQ8 index — the
+    add-after-train shape (Faiss ``index.add`` after ``train``): the
+    per-dim [mn, mx] codebook at ``<path>/stats`` is FROZEN at build
+    time and new codes append to ``<path>/codes`` without touching
+    existing files. At 10^10 vectors a daily ingest re-encoding the
+    whole corpus would read and write every code byte for a <1%
+    delta; the append writes only the delta.
+
+    Contracts: (1) appended values outside the build-time range
+    SATURATE to the nearest bound (documented in :func:`_sq8_encoded`)
+    — approximate scores for such rows degrade gracefully and the
+    exact re-rank corrects the final ranking, but if the data
+    distribution has drifted past the stats, rebuild (the README
+    decision table's freshness column); (2) id uniqueness is the
+    CALLER's contract, as with any lakehouse append — appending an
+    existing id yields duplicate candidate rows, not an upsert.
+    Parity: q128 — retrieval over build(A)+append(B) is row-identical
+    to brute over A∪B in the exhaustive-probe regime."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    srow = spark.read.parquet(f"{path}/stats").collect()[0]
+    mn = np.array(srow["__mn"], dtype=np.float64)
+    mx = np.array(srow["__mx"], dtype=np.float64)
+    if mn.size == 0:
+        raise ValueError(
+            "cannot append to an empty-built SQ8 index (no stats row to "
+            "encode against) — rebuild with write_sq8_index"
+        )
+    _sq8_encoded(vectors, mn, mx, vec_col, id_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
 
 
 def sq8_topk(
@@ -1870,6 +1925,40 @@ def write_ivfpq_index(
         ).write.mode("overwrite").parquet(f"{path}/codes")
         _save_ivfpq_meta(spark, path, centroids, codebooks)
         return
+    _ivfpq_encode_write(
+        vectors, path, centroids, codebooks, vec_col, id_col, colocate,
+        mode="overwrite",
+    )
+    _save_ivfpq_meta(spark, path, centroids, codebooks)
+
+
+def _ivfpq_encode_write(
+    vectors: DataFrame,
+    path: str,
+    centroids: list,
+    codebooks: list,
+    vec_col: str,
+    id_col: str,
+    colocate: bool,
+    mode: str,
+) -> None:
+    """The IVFPQ assign+residual+encode kernel shared by
+    :func:`write_ivfpq_index` (build, mode="overwrite") and
+    :func:`append_ivfpq_index` (incremental add, mode="append"):
+    encode ``vectors`` against a FIXED coarse book + codebooks and
+    write the packed residual codes partitioned by cluster_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = vectors.sparkSession
+    id_type = vectors.schema[id_col].dataType
+    m = len(codebooks)
     bc = spark.sparkContext.broadcast(
         (
             np.array(centroids, dtype=np.float64),
@@ -1924,13 +2013,48 @@ def write_ivfpq_index(
     encoded = src.mapInPandas(encode, schema=out_schema)
     if colocate:
         encoded = encoded.repartition("cluster_id")
-    encoded.write.mode("overwrite").partitionBy("cluster_id").parquet(
+    encoded.write.mode(mode).partitionBy("cluster_id").parquet(
         f"{path}/codes"
     )
     # the write above is an action — the broadcast is done; release the
     # executor/driver blocks instead of leaking one per index build
     bc.destroy()
-    _save_ivfpq_meta(spark, path, centroids, codebooks)
+
+
+def append_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    colocate: bool = True,
+) -> None:
+    """Incrementally add ``vectors`` to a persisted IVFPQ index — the
+    Faiss add-after-train contract: the coarse book and PQ codebooks
+    at ``path`` are train-time artifacts and stay FROZEN; new vectors
+    assign + residual-encode against them and their codes APPEND into
+    the cluster_id partition layout (dynamic-partition append touches
+    only the probed clusters' directories, never existing files). At
+    10^10 vectors this writes m bytes per NEW vector instead of
+    re-encoding the corpus.
+
+    Contracts: (1) the books don't learn from appended data — recall
+    over the appended region follows the build-time books, so rebuild
+    when the distribution drifts (README decision table, freshness
+    column); (2) id uniqueness is the caller's, as with any lakehouse
+    append. Parity: q129 — retrieval over build(A)+append(B) is
+    row-identical to brute over A∪B in the exhaustive-probe regime."""
+    spark = vectors.sparkSession
+    centroids, codebooks = load_ivfpq_meta(spark, path)
+    if not centroids or not codebooks:
+        raise ValueError(
+            "cannot append to an empty-built IVFPQ index (no trained "
+            "coarse book / codebooks to encode against) — rebuild with "
+            "train_ivfpq + write_ivfpq_index"
+        )
+    _ivfpq_encode_write(
+        vectors, path, centroids, codebooks, vec_col, id_col, colocate,
+        mode="append",
+    )
 
 
 def _save_ivfpq_meta(

@@ -246,6 +246,35 @@ def build_retrieval_index(
         raise ValueError(f"unknown index kind: {kind!r}")
 
 
+def append_retrieval_index(
+    docs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    kind: str = "sq8",
+) -> None:
+    """Incrementally add ``docs`` to a persisted serving index — the
+    daily-ingest shape: the trained artifacts (SQ8 stats / IVFPQ
+    coarse book + codebooks) stay frozen and only the delta's codes
+    are written (operators/similarity.py ``append_sq8_index`` /
+    ``append_ivfpq_index`` document the saturation/drift contracts;
+    rebuild cadence is the README decision table's freshness column).
+    Parity rows q128/q129: build(A)+append(B) serves row-identically
+    to brute over A∪B in the exhaustive-probe regime."""
+    if kind == "sq8":
+        from kfai_pipeline_spark.operators.similarity import append_sq8_index
+
+        append_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+    elif kind == "ivfpq":
+        from kfai_pipeline_spark.operators.similarity import (
+            append_ivfpq_index,
+        )
+
+        append_ivfpq_index(docs, path, vec_col=vec_col, id_col=id_col)
+    else:
+        raise ValueError(f"unknown index kind: {kind!r}")
+
+
 def retrieve_tiered(
     docs: DataFrame,
     query_vec: list[float],

@@ -3194,16 +3194,23 @@ def q121_rag_tiered(spark, sf_dir):
     return _tiered_rag_parity(spark, sf_dir, kind="sq8")
 
 
-def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8):
-    """Shared fixture for the tiered-retrieval rows (q121/q125/q126):
-    the doc+embedding serving corpus and a ``kind`` index persisted
-    once per (sf_dir, qname). NULL and zero-norm embeddings are
-    excluded on BOTH engines (the q117 degenerate-vector convention —
-    DuckDB scores a zero vector -1.0 while the index/probe drop it).
-    Returns (fixture_df, index_path)."""
+def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
+                        two_phase=False):
+    """Shared fixture for the tiered-retrieval rows (q121/q125/q126/
+    q128/q129): the doc+embedding serving corpus and a ``kind`` index
+    persisted once per (sf_dir, qname). NULL and zero-norm embeddings
+    are excluded on BOTH engines (the q117 degenerate-vector
+    convention — DuckDB scores a zero vector -1.0 while the
+    index/probe drop it). ``two_phase`` builds the index over the
+    EVEN-doc_id half and appends the odd half (the q128/q129
+    incremental-maintenance parity shape — trained artifacts frozen at
+    the half-corpus build). Returns (fixture_df, index_path)."""
     import os
 
-    from kfai_pipeline_spark.plans.rag import build_retrieval_index
+    from kfai_pipeline_spark.plans.rag import (
+        append_retrieval_index,
+        build_retrieval_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3237,18 +3244,30 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8):
     idx = os.path.join(root, kind)
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):
-        build_retrieval_index(
-            fixture, idx, id_col="doc_id", kind=kind, n_clusters=n_clusters
-        )
+        if two_phase:
+            build_retrieval_index(
+                fixture.where(F.col("doc_id") % 2 == 0), idx,
+                id_col="doc_id", kind=kind, n_clusters=n_clusters,
+            )
+            append_retrieval_index(
+                fixture.where(F.col("doc_id") % 2 == 1), idx,
+                id_col="doc_id", kind=kind,
+            )
+        else:
+            build_retrieval_index(
+                fixture, idx, id_col="doc_id", kind=kind,
+                n_clusters=n_clusters,
+            )
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
             fh.write("ok")
     return fixture, idx
 
 
-def _tiered_rag_parity(spark, sf_dir, kind):
+def _tiered_rag_parity(spark, sf_dir, kind, two_phase=False):
     """Shared builder for the tiered-retrieval parity rows (q121 sq8 /
-    q125 ivfpq): run retrieve_tiered over the shared fixture in the
+    q125 ivfpq, and their incremental-index twins q128/q129 via
+    ``two_phase``): run retrieve_tiered over the shared fixture in the
     exhaustive-probe regime and return the brute-identical top-10.
     The ivfpq arm probes every cluster (nprobe >= n_clusters): a small
     coarse book keeps the exhaustive regime honest while still
@@ -3256,9 +3275,15 @@ def _tiered_rag_parity(spark, sf_dir, kind):
     from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
 
     n_clusters = 8
-    qname = "q121" if kind == "sq8" else "q125"
+    qname = {
+        ("sq8", False): "q121",
+        ("ivfpq", False): "q125",
+        ("sq8", True): "q128",
+        ("ivfpq", True): "q129",
+    }[(kind, two_phase)]
     fixture, idx = _tiered_rag_fixture(
-        spark, sf_dir, kind, qname, n_clusters=n_clusters
+        spark, sf_dir, kind, qname, n_clusters=n_clusters,
+        two_phase=two_phase,
     )
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
@@ -3707,3 +3732,45 @@ def q124_rag_multi_topic(spark, sf_dir):
 )
 def q127_rag_multi_topic_tiered(spark, sf_dir):
     return _multi_topic_row(spark, sf_dir, tier="ann")
+
+
+# -------- Q128/Q129: incremental index maintenance (add-after-train)
+@register(
+    "q128_rag_index_append_sq8",
+    # the q121 brute oracle VERBATIM: an index built over half the
+    # corpus then APPENDED with the other half (frozen build-time
+    # stats; saturation contract) must serve the same rows as brute
+    # over the union in the exhaustive-probe regime
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Incremental SQ8 index maintenance (similarity."
+        "append_sq8_index / rag.append_retrieval_index — the Faiss "
+        "add-after-train shape): the per-dim codebook is frozen at "
+        "build; the daily ingest's codes APPEND without re-encoding "
+        "the corpus (at 10^10 vectors a rebuild reads+writes every "
+        "code byte for a <1% delta). Out-of-range appended values "
+        "saturate (clip, never uint8-wrap). Hash-checked: build(even "
+        "half)+append(odd half) serves row-identically to brute over "
+        "the union (the q121 oracle verbatim)."
+    ),
+)
+def q128_rag_index_append_sq8(spark, sf_dir):
+    return _tiered_rag_parity(spark, sf_dir, kind="sq8", two_phase=True)
+
+
+@register(
+    "q129_rag_index_append_ivfpq",
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Incremental IVFPQ index maintenance (similarity."
+        "append_ivfpq_index): coarse book + PQ codebooks are train-"
+        "time artifacts and stay frozen; appended vectors assign + "
+        "residual-encode against them and land in the cluster_id "
+        "partition layout via dynamic-partition APPEND (only the "
+        "delta's m bytes/vector are written). Hash-checked: build("
+        "even half)+append(odd half) serves row-identically to brute "
+        "over the union (the q121 oracle verbatim, exhaustive probe)."
+    ),
+)
+def q129_rag_index_append_ivfpq(spark, sf_dir):
+    return _tiered_rag_parity(spark, sf_dir, kind="ivfpq", two_phase=True)

@@ -363,6 +363,26 @@ SECTIONS = [
         "bytes x branches; the float table is touched only by "
         "broadcast candidate joins.",
     ),
+    (
+        "q128_rag_index_append_sq8",
+        "Incremental SQ8 index maintenance (add-after-train)",
+        "The q121 serving plan over an index built in two phases: the "
+        "frozen per-dim stats make the append a pure encode-and-append "
+        "map stage (no shuffle, no rewrite of existing code files); "
+        "the probe plan is byte-identical to the full-build's — one "
+        "codes scan, broadcast candidate join-back, window dedup, "
+        "TakeOrderedAndProject cap.",
+    ),
+    (
+        "q129_rag_index_append_ivfpq",
+        "Incremental IVFPQ index maintenance (add-after-train)",
+        "Appended vectors assign+residual-encode against the frozen "
+        "coarse book in one mapInPandas stage and dynamic-partition "
+        "APPEND into the cluster_id layout — only the delta's m "
+        "bytes/vector are written and existing partition files are "
+        "untouched; the probe's partition pruning sees one unified "
+        "layout.",
+    ),
 ]
 
 

@@ -292,6 +292,8 @@ _NESTED_LOOP_OK = {
     "q117_hard_negatives",  # broadcast anchor NLJ (the q27 scan shape)
     "q121_rag_tiered",      # SQ8 probe: same 1-row literal query shape as q111
     "q125_rag_tiered_ivfpq",  # IVFPQ probe: same 1-row literal query shape
+    "q128_rag_index_append_sq8",    # the q121 shape over an appended index
+    "q129_rag_index_append_ivfpq",  # the q125 shape over an appended index
 }
 
 

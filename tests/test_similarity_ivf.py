@@ -623,3 +623,105 @@ def test_ann_query_collect_size_guard(spark, monkeypatch):
         warnings.simplefilter("always")
         sim.cosine_topk_blas(corpus, small_q, k=2).collect()
     assert not any("query rows" in str(w.message) for w in rec)
+
+
+def test_append_sq8_index_incremental_build_matches_full(spark):
+    """Round-9 incremental maintenance (q128 locally): build(A) +
+    append(B) probes identically to write(A∪B) when B stays inside
+    A's value range (frozen stats => same codes either way), and
+    out-of-range appended values SATURATE instead of uint8-wrapping."""
+    import tempfile
+
+    from kfai_pipeline_spark.operators.similarity import (
+        append_sq8_index,
+        sq8_topk,
+        write_sq8_index,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = corpus.where("vec_id % 2 = 0")
+    b = corpus.where("vec_id % 2 = 1")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0])],
+        ["query_id", "embedding"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_sq8_index(corpus, f"{tmp}/full")
+        # A alone spans the full [0,5) range per dim, so A's stats ==
+        # the union's stats and codes must be bit-identical
+        write_sq8_index(a, f"{tmp}/inc")
+        append_sq8_index(b, f"{tmp}/inc")
+        got_full = [
+            tuple(r) for r in sq8_topk(
+                spark, f"{tmp}/full", q, k=7, refine=8, vectors=corpus
+            ).collect()
+        ]
+        got_inc = [
+            tuple(r) for r in sq8_topk(
+                spark, f"{tmp}/inc", q, k=7, refine=8, vectors=corpus
+            ).collect()
+        ]
+        assert got_inc == got_full and len(got_inc) == 7
+
+        # saturation: appended vector far outside the build range must
+        # still land as the top hit for a matching query (clipped codes
+        # keep the DIRECTION; a wrap would invert it) via exact re-rank
+        out = spark.createDataFrame(
+            [(999, [100.0] * 8)], "vec_id long, embedding array<double>"
+        )
+        append_sq8_index(out, f"{tmp}/inc")
+        q2 = spark.createDataFrame(
+            [(0, [1.0] * 8)], ["query_id", "embedding"]
+        )
+        top = sq8_topk(
+            spark, f"{tmp}/inc", q2, k=1, refine=50,
+            vectors=corpus.unionByName(out),
+        ).collect()
+        assert top[0]["vec_id"] == 999 and top[0]["score"] == 1.0
+
+
+def test_append_ivfpq_index_incremental_build_matches_full(spark):
+    """q129 locally: frozen books => assign+encode of appended vectors
+    is deterministic, so build(A)+append(B) == write(A∪B with A's
+    books) probe-for-probe; appending to an empty-built index raises."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk,
+        train_ivfpq,
+        write_ivfpq_index,
+    )
+
+    rows = [(i, [float((i * 13 + j * 3) % 7 - 3) for j in range(8)])
+            for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = corpus.where("vec_id % 2 = 0")
+    b = corpus.where("vec_id % 2 = 1")
+    q = spark.createDataFrame(
+        [(0, [1.0, -1.0, 2.0, 0.5, -0.5, 1.5, -2.0, 1.0])],
+        ["query_id", "embedding"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        cents, books = train_ivfpq(a, n_clusters=4, m=4)
+        write_ivfpq_index(corpus, f"{tmp}/full", cents, books)
+        write_ivfpq_index(a, f"{tmp}/inc", cents, books)
+        append_ivfpq_index(b, f"{tmp}/inc")
+        kw = dict(k=6, nprobe=4, refine=16, vectors=corpus)
+        got_full = [
+            tuple(r)
+            for r in ivfpq_topk(spark, f"{tmp}/full", q, **kw).collect()
+        ]
+        got_inc = [
+            tuple(r)
+            for r in ivfpq_topk(spark, f"{tmp}/inc", q, **kw).collect()
+        ]
+        assert got_inc == got_full and len(got_inc) == 6
+
+        empty = corpus.where("vec_id < 0")
+        write_ivfpq_index(empty, f"{tmp}/empty", [], [])
+        with _pytest.raises(ValueError, match="empty-built"):
+            append_ivfpq_index(b, f"{tmp}/empty")
