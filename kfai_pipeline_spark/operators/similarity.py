@@ -1224,6 +1224,24 @@ def _sq8_encoded(
     return src.mapInPandas(pack, schema=out_schema)
 
 
+def _codes_df(spark: SparkSession, path: str) -> DataFrame:
+    """The index codes table: ``<path>/codes`` (the batch build +
+    any :func:`append_*_index` rows) unioned with every COMMITTED
+    streaming-maintenance epoch under ``<path>/codes_batches/batch_*``
+    (streaming/index_maintain.py — each epoch is its own
+    overwrite-idempotent directory; ``_SUCCESS`` gates out
+    crashed-midway writes, the list_success_dirs contract). Every
+    probe reads through this, so batch-built, appended, and streamed
+    codes serve as ONE index. Filters (e.g. ivfpq's cluster_id
+    partition prune) push into each member scan."""
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
+
+    df = spark.read.parquet(f"{path}/codes")
+    for _, d in list_success_dirs(spark, f"{path}/codes_batches", ("batch_",)):
+        df = df.unionByName(spark.read.parquet(d))
+    return df
+
+
 def write_sq8_index(
     vectors: DataFrame,
     path: str,
@@ -1338,7 +1356,7 @@ def sq8_topk(
         # shape error in the kernel (round-6 empty-input sweep)
         from pyspark.sql.types import DoubleType, StructField, StructType
 
-        codes_schema = spark.read.parquet(f"{path}/codes").schema
+        codes_schema = _codes_df(spark, path).schema
         fields = [
             StructField("query_id", queries.schema[query_id_col].dataType),
             codes_schema[id_col],
@@ -1360,7 +1378,7 @@ def sq8_topk(
         StructType,
     )
 
-    codes_df = spark.read.parquet(f"{path}/codes")
+    codes_df = _codes_df(spark, path)
     # id types follow the data (string keys work exactly like longs —
     # the expression-arm twin is id-type-agnostic)
     out_schema = StructType(
@@ -1711,7 +1729,7 @@ def pq_topk(
     import numpy as np
 
     codebooks = load_pq_codebooks(spark, path)
-    codes_df = spark.read.parquet(f"{path}/codes")
+    codes_df = _codes_df(spark, path)
     q_collected = queries.select(
         F.col(query_id_col), _as_double(query_vec_col)
     ).collect()
@@ -1932,21 +1950,18 @@ def write_ivfpq_index(
     _save_ivfpq_meta(spark, path, centroids, codebooks)
 
 
-def _ivfpq_encode_write(
+def _ivfpq_encoded(
     vectors: DataFrame,
-    path: str,
     centroids: list,
     codebooks: list,
     vec_col: str,
     id_col: str,
-    colocate: bool,
-    mode: str,
-) -> None:
-    """The IVFPQ assign+residual+encode kernel shared by
-    :func:`write_ivfpq_index` (build, mode="overwrite") and
-    :func:`append_ivfpq_index` (incremental add, mode="append"):
-    encode ``vectors`` against a FIXED coarse book + codebooks and
-    write the packed residual codes partitioned by cluster_id."""
+):
+    """The IVFPQ assign+residual+encode kernel shared by the batch
+    build, the incremental append, and the streaming maintainer:
+    encode ``vectors`` against a FIXED coarse book + codebooks.
+    Returns (encoded_df, broadcast_handle) — the caller writes the
+    frame (an action) and then destroys the broadcast."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -2010,7 +2025,23 @@ def _ivfpq_encode_write(
                 }
             )
 
-    encoded = src.mapInPandas(encode, schema=out_schema)
+    return src.mapInPandas(encode, schema=out_schema), bc
+
+
+def _ivfpq_encode_write(
+    vectors: DataFrame,
+    path: str,
+    centroids: list,
+    codebooks: list,
+    vec_col: str,
+    id_col: str,
+    colocate: bool,
+    mode: str,
+) -> None:
+    """Encode and write packed residual codes partitioned by
+    cluster_id — :func:`write_ivfpq_index` (mode="overwrite") and
+    :func:`append_ivfpq_index` (mode="append")."""
+    encoded, bc = _ivfpq_encoded(vectors, centroids, codebooks, vec_col, id_col)
     if colocate:
         encoded = encoded.repartition("cluster_id")
     encoded.write.mode(mode).partitionBy("cluster_id").parquet(
@@ -2115,7 +2146,7 @@ def ivfpq_topk(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     centroids, codebooks = load_ivfpq_meta(spark, path)
-    codes_df = spark.read.parquet(f"{path}/codes")
+    codes_df = _codes_df(spark, path)
     q_collected = queries.select(
         F.col(query_id_col), l2_normalize(_as_double(query_vec_col))
     ).collect()

@@ -3774,3 +3774,92 @@ def q128_rag_index_append_sq8(spark, sf_dir):
 )
 def q129_rag_index_append_ivfpq(spark, sf_dir):
     return _tiered_rag_parity(spark, sf_dir, kind="ivfpq", two_phase=True)
+
+
+# -------- Q130: streaming index maintenance serving parity (X52b)
+@register(
+    "q130_rag_index_stream",
+    # the q121 brute oracle VERBATIM: an index seeded from half the
+    # corpus and maintained from an AvailableNow STREAM of the other
+    # half (two micro-batch epochs, frozen build-time stats,
+    # _SUCCESS-gated epoch dirs) must serve the same rows as brute
+    # over the union in the exhaustive-probe regime
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Streaming ANN-index maintenance (streaming/index_maintain.py "
+        "maintain_ann_index_stream, X52b — the X52 append as a "
+        "foreachBatch maintainer): each micro-batch encodes against "
+        "the frozen build-time artifacts and lands in its own "
+        "overwrite-idempotent codes_batches/batch_<id>/ dir (replays "
+        "rewrite themselves; the probe's listing is _SUCCESS-gated), "
+        "and every probe serves batch-built + appended + streamed "
+        "codes as ONE index. Hash-checked against the q121 brute "
+        "oracle verbatim."
+    ),
+)
+def q130_rag_index_stream(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+    from kfai_pipeline_spark.plans.rag import build_retrieval_index
+    from kfai_pipeline_spark.streaming.index_maintain import (
+        maintain_ann_index_stream,
+    )
+
+    fixture, _ = _tiered_rag_fixture(spark, sf_dir, "sq8", "q121")
+    root = os.path.join(
+        _scratch_root(), f"kfai_q130_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "sq8")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        # seed build on the even half; stream the odd half in two
+        # sequentially-written files (modification-time order = epoch
+        # order, the file-source contract)
+        build_retrieval_index(
+            fixture.where(F.col("doc_id") % 2 == 0), idx, id_col="doc_id"
+        )
+        src = os.path.join(root, "src")
+        odd = fixture.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "embedding"
+        )
+        mid = 500  # fixture doc_ids are contiguous from 1; any split works
+        odd.where(F.col("doc_id") < mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f0")
+        odd.where(F.col("doc_id") >= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = maintain_ann_index_stream(
+            stream, idx, os.path.join(root, "ckpt"), kind="sq8"
+        )
+        q.awaitTermination()
+        # completion marker AFTER the full drain: a crashed partial run
+        # re-drains from the checkpoint, never serves half an index
+        with open(done, "w") as fh:
+            fh.write("ok")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if (
+        qrow is None
+        or qrow[0] is None
+        or all(float(x) == 0.0 for x in qrow[0])
+    ):
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    qv = [float(x) for x in qrow[0]]
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    n = fixture.count()
+    out = retrieve_tiered(
+        fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
+        index_path=idx, refine=max(64, -(-n // 10)),
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )

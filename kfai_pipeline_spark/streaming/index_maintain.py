@@ -1,0 +1,93 @@
+"""Continuous ANN-index maintenance from an ingest stream — the
+streaming twin of X52 (``similarity.append_sq8_index`` /
+``append_ivfpq_index``), keeping the serving index fresh without ever
+re-encoding the corpus.
+
+The 100 TB workflow: the batch build (seed/backfill) trains the
+index's artifacts — SQ8 per-dim stats, IVFPQ coarse book + codebooks —
+and those stay FROZEN; each arriving micro-batch of documents encodes
+against them (one shuffle-free mapInPandas stage) and lands as codes.
+Every probe (``sq8_topk`` / ``ivfpq_topk``, and therefore the whole
+``retrieve_tiered`` serving plan) reads the batch-built codes UNIONED
+with every committed streamed epoch (``similarity._codes_df``), so
+freshly ingested documents are retrievable at the next trigger.
+
+Exactly-once without a transactional store: each epoch's codes land in
+their own ``codes_batches/batch_<id>/`` directory written with
+overwrite — a replayed epoch rewrites itself instead of appending
+duplicates (the neardup/rollup maintainers' (content, batch_id)-pure
+contract, directory-identity form). The probe-side listing is
+``_SUCCESS``-gated, so a crashed mid-write epoch is invisible until
+its replay commits.
+
+Drift contract (same as the batch append): the frozen artifacts don't
+learn from streamed data — out-of-range SQ8 values saturate, IVFPQ
+recall over the new region follows the build-time books. Rebuild
+cadence is the README decision table's freshness column; a rebuild is
+a new index directory + the caller's pointer flip (the rollup.py
+version protocol), never an in-place retrain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def maintain_ann_index_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+):
+    """Start an AvailableNow query folding each micro-batch's vectors
+    into the persisted index at ``index_path`` (built beforehand with
+    ``rag.build_retrieval_index`` / ``similarity.write_*_index`` — the
+    artifacts to encode against must exist; an empty-built index
+    raises in the first epoch, same as the batch append). NULL /
+    zero-norm vectors are excluded by the encode kernels (the
+    degenerate-vector contract). Returns the started query."""
+    if kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {kind!r}")
+
+    from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        from kfai_pipeline_spark.operators import similarity as S
+
+        spark = batch_df.sparkSession
+        dest = f"{index_path}/codes_batches/batch_{batch_id}"
+        if kind == "sq8":
+            srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
+            mn = np.array(srow["__mn"], dtype=np.float64)
+            mx = np.array(srow["__mx"], dtype=np.float64)
+            if mn.size == 0:
+                raise ValueError(
+                    "cannot maintain an empty-built SQ8 index (no stats "
+                    "row) — seed it with write_sq8_index first"
+                )
+            S._sq8_encoded(batch_df, mn, mx, vec_col, id_col).write.mode(
+                "overwrite"
+            ).parquet(dest)
+        else:
+            centroids, codebooks = S.load_ivfpq_meta(spark, index_path)
+            if not centroids or not codebooks:
+                raise ValueError(
+                    "cannot maintain an empty-built IVFPQ index (no "
+                    "trained books) — seed it with write_ivfpq_index first"
+                )
+            encoded, bc = S._ivfpq_encoded(
+                batch_df, centroids, codebooks, vec_col, id_col
+            )
+            # overwrite into the epoch's OWN directory, partitioned by
+            # cluster_id so the probe's partition pruning still applies
+            # inside each streamed epoch
+            encoded.repartition("cluster_id").write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id").parquet(dest)
+            bc.destroy()
+
+    return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)

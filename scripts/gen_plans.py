@@ -383,6 +383,18 @@ SECTIONS = [
         "untouched; the probe's partition pruning sees one unified "
         "layout.",
     ),
+    (
+        "q130_rag_index_stream",
+        "Streaming ANN-index maintenance serving parity (X52b)",
+        "Each micro-batch encodes against the frozen build-time stats "
+        "in one shuffle-free mapInPandas stage and overwrites its own "
+        "codes_batches/batch_<id>/ directory (replay-idempotent; "
+        "_SUCCESS-gated at probe time); the serving probe unions the "
+        "seed codes with every committed epoch, so the plan is the "
+        "q121 shape over N member scans — the corpus-scale read is "
+        "still codes bytes, and freshly streamed documents are "
+        "retrievable at the next trigger.",
+    ),
 ]
 
 

@@ -294,6 +294,7 @@ _NESTED_LOOP_OK = {
     "q125_rag_tiered_ivfpq",  # IVFPQ probe: same 1-row literal query shape
     "q128_rag_index_append_sq8",    # the q121 shape over an appended index
     "q129_rag_index_append_ivfpq",  # the q125 shape over an appended index
+    "q130_rag_index_stream",        # the q121 shape over a streamed index
 }
 
 

@@ -779,3 +779,117 @@ def test_rolling_zscore_backfill_parity_and_replay(spark, events_dir, tmp_path_f
         .count()
     )
     assert viol == 0
+
+
+def test_maintain_ann_index_stream_sq8_serves_streamed_docs(spark, tmp_path_factory):
+    """X52 streaming twin: an SQ8 index seeded from the backfill half
+    and maintained from a 2-file stream of the rest must probe
+    identically to a batch build+append over the union — and streamed
+    epochs land as _SUCCESS-gated batch dirs the probe unions in."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.operators.similarity import sq8_topk
+    from kfai_pipeline_spark.operators.similarity import (
+        append_sq8_index,
+        write_sq8_index,
+    )
+    from kfai_pipeline_spark.streaming.index_maintain import (
+        maintain_ann_index_stream,
+    )
+
+    root = str(tmp_path_factory.mktemp("idx_stream"))
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    seed = corpus.where("doc_id % 2 = 0")
+    rest = corpus.where("doc_id % 2 = 1")
+
+    # streamed index: seed build + 2-epoch maintenance
+    live = os.path.join(root, "live")
+    write_sq8_index(seed, live, id_col="doc_id")
+    src = os.path.join(root, "src")
+    rest.where("doc_id < 20").coalesce(1).write.parquet(f"{src}/f0")
+    rest.where("doc_id >= 20").coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = maintain_ann_index_stream(
+        stream, live, os.path.join(root, "ckpt"), kind="sq8",
+    )
+    q.awaitTermination()
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(live, "codes_batches"))
+        if d.startswith("batch_")
+    ]
+    assert len(batch_dirs) == 2
+
+    # reference index: batch build + batch append over the same halves
+    ref = os.path.join(root, "ref")
+    write_sq8_index(seed, ref, id_col="doc_id")
+    append_sq8_index(rest, ref, id_col="doc_id")
+
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0])],
+        ["query_id", "embedding"],
+    )
+    kw = dict(k=7, refine=8, vectors=corpus, id_col="doc_id")
+    got = [tuple(r) for r in sq8_topk(spark, live, qdf, **kw).collect()]
+    want = [tuple(r) for r in sq8_topk(spark, ref, qdf, **kw).collect()]
+    assert got == want and len(got) == 7
+    # streamed docs (odd ids) are retrievable
+    assert any(r[1] % 2 == 1 for r in got)
+
+
+def test_maintain_ann_index_stream_ivfpq_and_bad_kind(spark, tmp_path_factory):
+    """IVFPQ arm: streamed epochs encode against the frozen books and
+    probe identically to the batch append; unknown kind raises."""
+    import os
+
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk,
+        train_ivfpq,
+        write_ivfpq_index,
+    )
+    from kfai_pipeline_spark.streaming.index_maintain import (
+        maintain_ann_index_stream,
+    )
+
+    root = str(tmp_path_factory.mktemp("idx_stream_pq"))
+    rows = [(i, [float((i * 13 + j * 3) % 7 - 3) for j in range(8)])
+            for i in range(60)]
+    corpus = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    seed = corpus.where("doc_id % 2 = 0")
+    rest = corpus.where("doc_id % 2 = 1")
+    cents, books = train_ivfpq(seed, n_clusters=4, m=4, id_col="doc_id")
+
+    live = os.path.join(root, "live")
+    write_ivfpq_index(seed, live, cents, books, id_col="doc_id")
+    src = os.path.join(root, "src")
+    rest.coalesce(1).write.parquet(f"{src}/f0")
+    stream = spark.readStream.schema(corpus.schema).parquet(f"{src}/f*")
+    q = maintain_ann_index_stream(
+        stream, live, os.path.join(root, "ckpt"), kind="ivfpq",
+    )
+    q.awaitTermination()
+
+    ref = os.path.join(root, "ref")
+    write_ivfpq_index(seed, ref, cents, books, id_col="doc_id")
+    append_ivfpq_index(rest, ref, id_col="doc_id")
+
+    qdf = spark.createDataFrame(
+        [(0, [1.0, -1.0, 2.0, 0.5, -0.5, 1.5, -2.0, 1.0])],
+        ["query_id", "embedding"],
+    )
+    kw = dict(k=6, nprobe=4, refine=16, vectors=corpus, id_col="doc_id")
+    got = [tuple(r) for r in ivfpq_topk(spark, live, qdf, **kw).collect()]
+    want = [tuple(r) for r in ivfpq_topk(spark, ref, qdf, **kw).collect()]
+    assert got == want and len(got) == 6
+
+    with _pytest.raises(ValueError, match="index kind"):
+        maintain_ann_index_stream(stream, live, f"{root}/c2", kind="hnsw")
