@@ -1272,6 +1272,67 @@ def write_sq8_index(
     ).parquet(f"{path}/codes")
 
 
+def compact_ann_index(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    kind: str = "sq8",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a fragmented ANN index into a fresh ``dest`` — the X48
+    maintenance step for the X52/X52b lifecycle: batch appends add
+    files and every streamed epoch adds a ``codes_batches/batch_<id>``
+    directory, so after N ingest days a probe opens O(N) small files
+    for what is logically one codes table. This rewrites ALL committed
+    codes (``_codes_df``: build + appends + streamed epochs) into
+    ``dest/codes`` at compaction-sized file counts and copies the
+    frozen artifacts (stats / centroids / codebooks) verbatim — codes
+    are never re-encoded, so probes over ``dest`` are bit-identical to
+    probes over ``src``. ``dest`` is a NEW directory and the caller
+    flips its serving pointer (the optimize_table/rollup convention —
+    never an in-place rewrite, and never concurrent with a live
+    maintainer writing new epochs into ``src``).
+
+    Returns {files_before, files_after, n_rows}."""
+    if kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {kind!r}")
+    from kfai_pipeline_spark.operators.partitioning import _list_data_files
+
+    codes = _codes_df(spark, src)
+    files_before = len(_list_data_files(spark, f"{src}/codes"))
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
+
+    for _, d in list_success_dirs(spark, f"{src}/codes_batches", ("batch_",)):
+        files_before += len(_list_data_files(spark, d))
+    total = sum(
+        b
+        for _, b in _list_data_files(spark, f"{src}/codes")
+    ) or 1
+    n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
+    if kind == "ivfpq":
+        # keep the cluster_id partition layout — the probe's pruning
+        writer = codes.repartition("cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id")
+    else:
+        writer = codes.repartition(n_out).write.mode("overwrite")
+    writer.parquet(f"{dest}/codes")
+    # frozen artifacts copy verbatim (tiny one-row/one-file tables; a
+    # valid index of the kind always carries them, so a missing side
+    # fails loudly here rather than at first probe of dest)
+    sides = ("stats",) if kind == "sq8" else ("centroids", "codebooks")
+    for side in sides:
+        spark.read.parquet(f"{src}/{side}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{side}")
+    n_rows = spark.read.parquet(f"{dest}/codes").count()
+    return {
+        "files_before": files_before,
+        "files_after": len(_list_data_files(spark, f"{dest}/codes")),
+        "n_rows": n_rows,
+    }
+
+
 def append_sq8_index(
     vectors: DataFrame,
     path: str,

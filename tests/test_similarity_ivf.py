@@ -725,3 +725,72 @@ def test_append_ivfpq_index_incremental_build_matches_full(spark):
         write_ivfpq_index(empty, f"{tmp}/empty", [], [])
         with _pytest.raises(ValueError, match="empty-built"):
             append_ivfpq_index(b, f"{tmp}/empty")
+
+
+def test_compact_ann_index_preserves_probes_and_drops_files(spark, tmp_path_factory):
+    """X52 lifecycle close: a build+append+streamed-epoch index
+    compacts into one fresh dir whose probes are bit-identical and
+    whose codes land in compaction-sized file counts; the frozen
+    artifacts copy verbatim. Both kinds."""
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        append_sq8_index,
+        compact_ann_index,
+        ivfpq_topk,
+        sq8_topk,
+        train_ivfpq,
+        write_ivfpq_index,
+        write_sq8_index,
+    )
+    from kfai_pipeline_spark.streaming.index_maintain import (
+        maintain_ann_index_stream,
+    )
+
+    root = str(tmp_path_factory.mktemp("compact_idx"))
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    third = [corpus.where(f"doc_id % 3 = {r}") for r in range(3)]
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0])],
+        ["query_id", "embedding"],
+    )
+
+    # SQ8: seed + batch append + one streamed epoch, then compact
+    live = os.path.join(root, "sq8")
+    write_sq8_index(third[0], live, id_col="doc_id")
+    append_sq8_index(third[1], live, id_col="doc_id")
+    src = os.path.join(root, "src")
+    third[2].coalesce(1).write.parquet(f"{src}/f0")
+    stream = spark.readStream.schema(corpus.schema).parquet(f"{src}/f*")
+    maintain_ann_index_stream(
+        stream, live, os.path.join(root, "ckpt"), kind="sq8"
+    ).awaitTermination()
+
+    dest = os.path.join(root, "sq8_opt")
+    stats = compact_ann_index(spark, live, dest, kind="sq8")
+    assert stats["n_rows"] == 60
+    assert stats["files_after"] < stats["files_before"]
+    kw = dict(k=7, refine=8, vectors=corpus, id_col="doc_id")
+    before = [tuple(r) for r in sq8_topk(spark, live, q, **kw).collect()]
+    after = [tuple(r) for r in sq8_topk(spark, dest, q, **kw).collect()]
+    assert after == before and len(after) == 7
+    assert not os.path.isdir(os.path.join(dest, "codes_batches"))
+
+    # IVFPQ: seed + append, compact keeps the partition layout
+    cents, books = train_ivfpq(third[0], n_clusters=4, m=4, id_col="doc_id")
+    live2 = os.path.join(root, "pq")
+    write_ivfpq_index(third[0], live2, cents, books, id_col="doc_id")
+    append_ivfpq_index(third[1].unionByName(third[2]), live2, id_col="doc_id")
+    dest2 = os.path.join(root, "pq_opt")
+    stats2 = compact_ann_index(spark, live2, dest2, kind="ivfpq")
+    assert stats2["n_rows"] == 60
+    kw2 = dict(k=6, nprobe=4, refine=16, vectors=corpus, id_col="doc_id")
+    b2 = [tuple(r) for r in ivfpq_topk(spark, live2, q, **kw2).collect()]
+    a2 = [tuple(r) for r in ivfpq_topk(spark, dest2, q, **kw2).collect()]
+    assert a2 == b2 and len(a2) == 6
+    # partition layout preserved for the probe's pruning
+    assert any(
+        d.startswith("cluster_id=") for d in os.listdir(f"{dest2}/codes")
+    )
