@@ -1272,6 +1272,132 @@ def write_sq8_index(
     ).parquet(f"{path}/codes")
 
 
+def index_drift_stats(
+    vectors: DataFrame,
+    index_path: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measure how far an incoming batch has drifted from an index's
+    FROZEN build-time artifacts — the rebuild trigger the README
+    decision table's freshness column asks for, as a number instead of
+    a guess. Runs as one JVM-side aggregate over the batch (the
+    artifacts are a broadcast-literal row; no Python in the hot path).
+
+    ``kind="sq8"``: fraction of rows with ANY dimension outside the
+    build-time [mn, mx] range (those dimensions SATURATE at encode —
+    append_sq8_index's clip contract — so their approximate scores
+    degrade), plus the worst per-row relative overshoot. Returns one
+    row: (n_rows, n_out_of_range, frac_out_of_range, max_overshoot).
+
+    ``kind="ivfpq"``: routing confidence — the mean and p10 of each
+    row's best cosine against the frozen coarse book (l2-normalized
+    domain, the assignment's own objective). A fresh-regime batch
+    scores like the build sample; a drifted one routes into far
+    centroids and its residuals outgrow the codebooks. Returns one
+    row: (n_rows, mean_best_cos, p10_best_cos).
+
+    Degenerate vectors (NULL/zero-norm) are excluded — the encode
+    kernels drop them, so they cannot drift what they never enter.
+    Policy is the caller's (e.g. rebuild when frac_out_of_range >
+    0.05 or p10_best_cos falls below the build-time baseline)."""
+    spark = vectors.sparkSession
+    if kind == "sq8":
+        srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
+        mn = [float(x) for x in srow["__mn"]]
+        mx = [float(x) for x in srow["__mx"]]
+        if not mn:
+            raise ValueError("empty-built SQ8 index has no stats to drift from")
+        v = _as_double(vec_col)
+        src = vectors.where(v.isNotNull()).where(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) > 0
+        )
+        mn_c = F.lit(mn).cast("array<double>")
+        mx_c = F.lit(mx).cast("array<double>")
+        zipped = F.arrays_zip(v.alias("x"), mn_c.alias("lo"), mx_c.alias("hi"))
+        out_flag = F.exists(
+            zipped, lambda s: (s["x"] < s["lo"]) | (s["x"] > s["hi"])
+        )
+        # relative overshoot vs the dimension's build-time span (span 0
+        # => any departure is infinite drift conceptually; guard to the
+        # absolute overshoot there)
+        overshoot = F.aggregate(
+            zipped,
+            F.lit(0.0),
+            lambda acc, s: F.greatest(
+                acc,
+                F.when(
+                    s["x"] > s["hi"],
+                    (s["x"] - s["hi"])
+                    / F.when(s["hi"] != s["lo"], s["hi"] - s["lo"]).otherwise(
+                        F.lit(1.0)
+                    ),
+                )
+                .when(
+                    s["x"] < s["lo"],
+                    (s["lo"] - s["x"])
+                    / F.when(s["hi"] != s["lo"], s["hi"] - s["lo"]).otherwise(
+                        F.lit(1.0)
+                    ),
+                )
+                .otherwise(F.lit(0.0)),
+            ),
+        )
+        return src.select(
+            out_flag.cast("long").alias("__out"), overshoot.alias("__ov")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # SUM over an empty batch is NULL, not 0 (the empty-sweep
+            # class) — an empty monitor read must report zero drift
+            F.coalesce(F.sum("__out"), F.lit(0)).alias("n_out_of_range"),
+            F.round(
+                F.coalesce(F.avg("__out"), F.lit(0.0)), 4
+            ).alias("frac_out_of_range"),
+            F.round(F.coalesce(F.max("__ov"), F.lit(0.0)), 4).alias(
+                "max_overshoot"
+            ),
+        )
+    if kind == "ivfpq":
+        # one V @ C.T GEMM per Arrow batch, never a per-centroid
+        # expression tree (the round-3 lesson: k_c x d HOF expressions
+        # re-evaluate captured subtrees per element — 27x slower than
+        # the matmul at 192 planes)
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        centroids, _ = load_ivfpq_meta(spark, index_path)
+        if not centroids:
+            raise ValueError("empty-built IVFPQ index has no coarse book")
+        bc = spark.sparkContext.broadcast(
+            np.array(centroids, dtype=np.float64)
+        )
+        vn = l2_normalize(_as_double(vec_col))
+        src = vectors.select(vn.alias("__v")).where(F.col("__v").isNotNull())
+
+        def best_cos(batches):
+            C = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    yield pd.DataFrame({"__best": pd.Series(dtype="float64")})
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                yield pd.DataFrame({"__best": (V @ C.T).max(axis=1)})
+
+        scored = src.mapInPandas(
+            best_cos, schema=StructType([StructField("__best", DoubleType())])
+        )
+        return scored.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("__best"), 4).alias("mean_best_cos"),
+            F.round(
+                F.expr("percentile(__best, 0.1)"), 4
+            ).alias("p10_best_cos"),
+        )
+    raise ValueError(f"unknown index kind: {kind!r}")
+
+
 def compact_ann_index(
     spark: SparkSession,
     src: str,

@@ -3863,3 +3863,100 @@ def q130_rag_index_stream(spark, sf_dir):
     return out.select("doc_id", "video_id", "start_time", "score").orderBy(
         F.desc("score"), "video_id", "start_time"
     )
+
+
+# -------- Q131: index drift stats (the measurable rebuild trigger)
+@register(
+    "q131_index_drift",
+    # The rebuild trigger as a number: per-dim [min,max] over the SEED
+    # half (exactly what quantization_stats freezes at build — NULLs
+    # excluded, zero-norm kept) replayed in DuckDB via
+    # unnest+generate_subscripts; the incoming odd half carries
+    # injected drift (vec_id % 10 == 1 scaled x3). Flag/overshoot
+    # arithmetic is per-row IEEE-identical (no grouped float SUMs:
+    # counts, an exact rational frac, and a MAX — all fold-order-free).
+    oracle="""
+    WITH seed AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+    ),
+    dims AS (
+        SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM (
+            SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM seed
+        ) GROUP BY i
+    ),
+    incoming AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 10 = 1
+                    THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * 3.0)
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+        WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+          AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+    ),
+    per_row AS (
+        SELECT r.vec_id,
+               MAX(CASE WHEN e.x < d.lo OR e.x > d.hi THEN 1 ELSE 0 END)
+                   AS is_out,
+               MAX(CASE
+                   WHEN e.x > d.hi THEN (e.x - d.hi) /
+                        (CASE WHEN d.hi <> d.lo THEN d.hi - d.lo ELSE 1 END)
+                   WHEN e.x < d.lo THEN (d.lo - e.x) /
+                        (CASE WHEN d.hi <> d.lo THEN d.hi - d.lo ELSE 1 END)
+                   ELSE 0.0 END) AS overshoot
+        FROM incoming r,
+             LATERAL (SELECT unnest(r.v) AS x,
+                             generate_subscripts(r.v, 1) AS i) e
+        JOIN dims d ON d.i = e.i
+        GROUP BY r.vec_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_out) AS BIGINT) AS n_out_of_range,
+           ROUND(SUM(is_out) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS frac_out_of_range,
+           ROUND(COALESCE(MAX(overshoot), 0.0), 4) AS max_overshoot
+    FROM per_row
+    """,
+    doc=(
+        "Index drift statistics (similarity.index_drift_stats — the "
+        "README freshness column's rebuild trigger as a measurement): "
+        "fraction of an incoming batch with any dimension outside the "
+        "index's frozen build-time [min,max] (those dims SATURATE at "
+        "encode) and the worst relative overshoot, one JVM-side "
+        "aggregate over the batch. Hash-checked against a per-dim "
+        "min/max replay in DuckDB over the same seed/incoming split "
+        "with injected x3 drift."
+    ),
+)
+def q131_index_drift(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        index_drift_stats,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where((F.col("vec_id") % 2 == 0))
+    root = os.path.join(
+        _scratch_root(), f"kfai_q131_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "sq8")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        write_sq8_index(seed, idx)
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    incoming = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 10 == 1,
+            F.transform(S._as_double("embedding"), lambda x: x * 3.0),
+        )
+        .otherwise(S._as_double("embedding"))
+        .alias("embedding"),
+    )
+    return index_drift_stats(incoming, idx, kind="sq8")

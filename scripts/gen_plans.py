@@ -395,6 +395,16 @@ SECTIONS = [
         "still codes bytes, and freshly streamed documents are "
         "retrievable at the next trigger.",
     ),
+    (
+        "q131_index_drift",
+        "Index drift statistics (the rebuild trigger, X52d)",
+        "One narrow scan of the incoming batch: the frozen stats row "
+        "broadcasts as array literals, the out-of-range flag and "
+        "overshoot fold as JVM higher-order array expressions inside "
+        "WholeStageCodegen, and ONE map-side-partial aggregate "
+        "produces the monitor row -- no Python, no shuffle beyond the "
+        "single-row final combine.",
+    ),
 ]
 
 

@@ -794,3 +794,52 @@ def test_compact_ann_index_preserves_probes_and_drops_files(spark, tmp_path_fact
     assert any(
         d.startswith("cluster_id=") for d in os.listdir(f"{dest2}/codes")
     )
+
+
+def test_index_drift_stats_both_kinds(spark, tmp_path_factory):
+    """Drift monitor (q131's op): in-range batches read ~0 drift; a
+    shifted batch trips the SQ8 range flag with the right overshoot,
+    and the IVFPQ routing confidence drops for off-manifold vectors."""
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import (
+        index_drift_stats,
+        train_ivfpq,
+        write_ivfpq_index,
+        write_sq8_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("drift"))
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sq8 = os.path.join(root, "sq8")
+    write_sq8_index(corpus, sq8)
+
+    fresh = index_drift_stats(corpus, sq8, kind="sq8").collect()[0]
+    assert fresh["n_out_of_range"] == 0 and fresh["max_overshoot"] == 0.0
+    # seed dims span [0,4]; value 12 overshoots by (12-4)/4 = 2.0
+    drifted = spark.createDataFrame(
+        [(100, [12.0] + [1.0] * 7), (101, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    d = index_drift_stats(drifted, sq8, kind="sq8").collect()[0]
+    assert d["n_rows"] == 2 and d["n_out_of_range"] == 1
+    assert d["frac_out_of_range"] == 0.5 and d["max_overshoot"] == 2.0
+    # degenerate rows are excluded, not counted as drift
+    degen = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, None)], "vec_id long, embedding array<double>"
+    )
+    z = index_drift_stats(degen, sq8, kind="sq8").collect()[0]
+    assert z["n_rows"] == 0 and z["n_out_of_range"] == 0
+
+    pq = os.path.join(root, "pq")
+    cents, books = train_ivfpq(corpus, n_clusters=4, m=4)
+    write_ivfpq_index(corpus, pq, cents, books)
+    on_manifold = index_drift_stats(corpus, pq, kind="ivfpq").collect()[0]
+    # an orthogonal-ish direction the build never saw routes worse
+    off = spark.createDataFrame(
+        [(200, [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    off_row = index_drift_stats(off, pq, kind="ivfpq").collect()[0]
+    assert off_row["mean_best_cos"] < on_manifold["mean_best_cos"]
