@@ -1278,6 +1278,7 @@ def index_drift_stats(
     kind: str = "sq8",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scope=None,
 ) -> DataFrame:
     """Measure how far an incoming batch has drifted from an index's
     FROZEN build-time artifacts — the rebuild trigger the README
@@ -1300,8 +1301,15 @@ def index_drift_stats(
 
     Degenerate vectors (NULL/zero-norm) are excluded — the encode
     kernels drop them, so they cannot drift what they never enter.
-    Policy is the caller's (e.g. rebuild when frac_out_of_range >
-    0.05 or p10_best_cos falls below the build-time baseline)."""
+    An EMPTY batch (or all-degenerate) reads as zero drift on both
+    arms: sq8 reports 0 counts/overshoot, ivfpq reports confidence
+    1.0 — a quiet ingest window must never trip a rebuild policy or
+    TypeError a `< baseline` comparison on NULL. Policy is the
+    caller's (e.g. rebuild when frac_out_of_range > 0.05 or
+    p10_best_cos falls below the build-time baseline). ``scope`` (a
+    dedup.CacheScope) tracks the ivfpq arm's centroid broadcast for
+    deterministic release — a per-ingest-batch monitor loop without
+    one accretes an executor-resident broadcast per call."""
     spark = vectors.sparkSession
     if kind == "sq8":
         srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
@@ -1373,6 +1381,8 @@ def index_drift_stats(
         bc = spark.sparkContext.broadcast(
             np.array(centroids, dtype=np.float64)
         )
+        if scope is not None:
+            scope.add_broadcast(bc)
         vn = l2_normalize(_as_double(vec_col))
         src = vectors.select(vn.alias("__v")).where(F.col("__v").isNotNull())
 
@@ -1390,9 +1400,14 @@ def index_drift_stats(
         )
         return scored.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg("__best"), 4).alias("mean_best_cos"),
+            # empty batch: confidence 1.0 = zero drift (never NULL — a
+            # `p10 < baseline` policy must not TypeError on a quiet
+            # ingest window), mirroring the sq8 arm's zero counts
             F.round(
-                F.expr("percentile(__best, 0.1)"), 4
+                F.coalesce(F.avg("__best"), F.lit(1.0)), 4
+            ).alias("mean_best_cos"),
+            F.round(
+                F.coalesce(F.expr("percentile(__best, 0.1)"), F.lit(1.0)), 4
             ).alias("p10_best_cos"),
         )
     raise ValueError(f"unknown index kind: {kind!r}")
@@ -1422,18 +1437,19 @@ def compact_ann_index(
     Returns {files_before, files_after, n_rows}."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
     from kfai_pipeline_spark.operators.partitioning import _list_data_files
 
     codes = _codes_df(spark, src)
-    files_before = len(_list_data_files(spark, f"{src}/codes"))
-    from kfai_pipeline_spark.operators.dedup import list_success_dirs
-
+    # size from ALL committed code bytes — base + every streamed epoch:
+    # in the fragmented-index case the epochs ARE the bulk of the data,
+    # and sizing from the seed alone would rewrite N ingest days into
+    # one oversized file (round-9 review catch)
+    files = _list_data_files(spark, f"{src}/codes")
     for _, d in list_success_dirs(spark, f"{src}/codes_batches", ("batch_",)):
-        files_before += len(_list_data_files(spark, d))
-    total = sum(
-        b
-        for _, b in _list_data_files(spark, f"{src}/codes")
-    ) or 1
+        files += _list_data_files(spark, d)
+    files_before = len(files)
+    total = sum(b for _, b in files) or 1
     n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
     if kind == "ivfpq":
         # keep the cluster_id partition layout — the probe's pruning

@@ -428,7 +428,15 @@ def retrieve_tiered(
             # index exhausted (the probe returned fewer rows than
             # asked: nothing left to top up) or round budget spent
             break
-        cutoff = min(r[1] for r in cand_rows)
+        # NULL re-scores (a zero-norm vector whose SQ8 reconstruction
+        # sneaked into the pool — the exclusion comment above) carry no
+        # rank information: the cutoff is the weakest REAL score, the
+        # same NULL-ignoring min the batch arm's Spark aggregate
+        # computes. All-NULL candidates = nothing rankable to top up.
+        real_scores = [r[1] for r in cand_rows if r[1] is not None]
+        if not real_scores:
+            break
+        cutoff = min(real_scores)
         # certificate-gated early exit: break only when k survivors
         # score STRICTLY above the probe's weakest returned candidate
         # (rounded domain, same expression both sides) — an unfetched
@@ -534,8 +542,12 @@ def retrieve_tiered_batch(
         # one materialization serves the status aggregate, the round's
         # hits, AND the final consumer — otherwise each re-runs the
         # corpus codes scan. eager + lineage-truncating; O(q x k_probe)
-        # slim rows (query_id, id, score)
-        cand = out.select(qid, id_col, "score").localCheckpoint(eager=True)
+        # slim rows. The probes NAME their output id column "query_id"
+        # regardless of query_id_col (their output contract) — alias it
+        # back to the caller's name here.
+        cand = out.select(
+            F.col("query_id").alias(qid), id_col, "score"
+        ).localCheckpoint(eager=True)
         if scope is not None:
             scope.add(cand)
         return cand
@@ -689,6 +701,13 @@ def retrieve_multi_topic(
     if deterministic:
         from dataclasses import replace
 
+        # the effective tie-break id: the branches default to doc_id,
+        # and the FINAL cross-branch dedup must use the same column —
+        # passing the raw (possibly None) id_col through would order
+        # the dedup window by partition-constant keys only, and the
+        # winner among equal-rounded-score same-chunk rows would flap
+        # with task order (round-9 review catch)
+        eff_id = id_col or ("doc_id" if "doc_id" in docs.columns else None)
         branches = []
         for topic in parsed.topics:
             others = [t for t in parsed.topics if t != topic]
@@ -700,7 +719,7 @@ def retrieve_multi_topic(
                     replace(parsed, topics=[topic]),
                     k=k,
                     vec_col=vec_col,
-                    id_col=id_col or "doc_id",
+                    id_col=eff_id or "doc_id",
                     tier=tier,
                     index_path=index_path,
                     index_kind=index_kind,
@@ -714,7 +733,7 @@ def retrieve_multi_topic(
         unioned = branches[0]
         for b in branches[1:]:
             unioned = unioned.unionByName(b)
-        return _dedup_cap_resort(unioned, k, deterministic=True, id_col=id_col)
+        return _dedup_cap_resort(unioned, k, deterministic=True, id_col=eff_id)
 
     meta = metadata_predicate(parsed)
     branches = []

@@ -649,3 +649,53 @@ def test_answer_query_tiered_lifecycle_ivfpq(spark, tiered_docs, tmp_path_factor
         assert answer == "ok" and sources.count() == 1
     a, b = captured["rows"]
     assert sorted(a) == sorted(b)
+
+
+def test_retrieve_tiered_batch_custom_query_id_col(spark, tiered_docs):
+    """Round-9 review fix: the probes name their output id column
+    'query_id' regardless of query_id_col — the batch arm must alias
+    it back so a non-default name works end-to-end."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered_batch
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["topic 2"])[0]]
+    queries = spark.createDataFrame(
+        [(7, qv)], "qid int, embedding array<double>"
+    )
+    out = retrieve_tiered_batch(
+        docs, queries, ParsedQuery(shows=["Show 1"]), k=5, id_col="doc_id",
+        index_path=idx, refine=16, query_id_col="qid",
+    )
+    rows = out.collect()
+    assert rows and all(r["qid"] == 7 for r in rows)
+
+
+def test_retrieve_multi_topic_deterministic_defaults_id_tiebreak(
+    spark, tiered_docs
+):
+    """Round-9 review fix: deterministic=True without id_col still
+    tie-breaks the final cross-branch dedup on doc_id (two runs, same
+    rows) instead of flapping on partition-constant keys."""
+    from kfai_pipeline_spark.plans.rag import retrieve_multi_topic
+
+    docs, _ = tiered_docs
+    vec_for = {
+        "topic 3": [float(x) for x in hash_embed(["topic 3"])[0]],
+        "theme 2": [float(x) for x in hash_embed(["theme 2"])[0]],
+    }
+
+    def embedder(texts):
+        return [vec_for[t] for t in texts]
+
+    parsed = ParsedQuery(shows=["Show 1", "Show 4"], topics=["topic 3", "theme 2"])
+    cols = ["doc_id", "video_id", "start_time", "score"]
+    runs = [
+        sorted(
+            tuple(r)
+            for r in retrieve_multi_topic(
+                docs, "q", parsed, embedder, k=8, deterministic=True
+            ).select(*cols).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1] and len(runs[0]) == 8

@@ -843,3 +843,34 @@ def test_index_drift_stats_both_kinds(spark, tmp_path_factory):
     )
     off_row = index_drift_stats(off, pq, kind="ivfpq").collect()[0]
     assert off_row["mean_best_cos"] < on_manifold["mean_best_cos"]
+
+
+def test_index_drift_stats_ivfpq_empty_batch_reads_full_confidence(
+    spark, tmp_path_factory
+):
+    """Round-9 review fix: a quiet ingest window (empty / degenerate-
+    only batch) reads confidence 1.0, never NULL — a `p10 < baseline`
+    rebuild policy must not TypeError on it."""
+    import os
+
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+    from kfai_pipeline_spark.operators.similarity import (
+        index_drift_stats,
+        train_ivfpq,
+        write_ivfpq_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("drift_empty"))
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = os.path.join(root, "pq")
+    cents, books = train_ivfpq(corpus, n_clusters=4, m=4)
+    write_ivfpq_index(corpus, pq, cents, books)
+    empty = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, None)], "vec_id long, embedding array<double>"
+    )
+    scope = CacheScope()
+    row = index_drift_stats(empty, pq, kind="ivfpq", scope=scope).collect()[0]
+    scope.release()
+    assert row["n_rows"] == 0
+    assert row["mean_best_cos"] == 1.0 and row["p10_best_cos"] == 1.0
