@@ -3244,7 +3244,9 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
     idx = os.path.join(root, kind)
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):
-        if two_phase:
+        if two_phase and fixture.where(F.col("doc_id") % 2 == 0).limit(
+            1
+        ).count() > 0:
             build_retrieval_index(
                 fixture.where(F.col("doc_id") % 2 == 0), idx,
                 id_col="doc_id", kind=kind, n_clusters=n_clusters,
@@ -3254,6 +3256,11 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
                 id_col="doc_id", kind=kind,
             )
         else:
+            # two_phase with an EMPTY seed half (the empty-input sweep:
+            # zero-row tables) has no trained artifacts to append to —
+            # the operators rightly raise there, so the parity row
+            # degrades to a plain build over the (empty) fixture and
+            # the retrieval serves the contract-schema empty frame
             build_retrieval_index(
                 fixture, idx, id_col="doc_id", kind=kind,
                 n_clusters=n_clusters,
@@ -3812,6 +3819,16 @@ def q130_rag_index_stream(spark, sf_dir):
     )
     idx = os.path.join(root, "sq8")
     done = os.path.join(root, "_DONE")
+    if not os.path.exists(done) and fixture.where(
+        F.col("doc_id") % 2 == 0
+    ).limit(1).count() == 0:
+        # empty seed half (the empty-input sweep): no artifacts to
+        # maintain against — the maintainer rightly raises there, so
+        # build the (empty) index and serve the contract empty frame
+        build_retrieval_index(fixture, idx, id_col="doc_id")
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
     if not os.path.exists(done):
         # seed build on the even half; stream the odd half in two
         # sequentially-written files (modification-time order = epoch
@@ -3896,26 +3913,34 @@ def q130_rag_index_stream(spark, sf_dir):
           AND list_inner_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[])) > 0
     ),
+    lims AS (
+        SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+        FROM dims
+    ),
+    -- per PHYSICAL row via list lambdas, never GROUP BY vec_id: the
+    -- dup-id sweep's fixture carries duplicated ids, and a grouped
+    -- form would collapse two copies into one monitored row while the
+    -- Spark arm stays row-faithful (round-9 dupid-sweep catch)
     per_row AS (
-        SELECT r.vec_id,
-               MAX(CASE WHEN e.x < d.lo OR e.x > d.hi THEN 1 ELSE 0 END)
-                   AS is_out,
-               MAX(CASE
-                   WHEN e.x > d.hi THEN (e.x - d.hi) /
-                        (CASE WHEN d.hi <> d.lo THEN d.hi - d.lo ELSE 1 END)
-                   WHEN e.x < d.lo THEN (d.lo - e.x) /
-                        (CASE WHEN d.hi <> d.lo THEN d.hi - d.lo ELSE 1 END)
-                   ELSE 0.0 END) AS overshoot
-        FROM incoming r,
-             LATERAL (SELECT unnest(r.v) AS x,
-                             generate_subscripts(r.v, 1) AS i) e
-        JOIN dims d ON d.i = e.i
-        GROUP BY r.vec_id
+        SELECT CASE WHEN len(list_filter(list_zip(r.v, los, his),
+                        s -> s[1] < s[2] OR s[1] > s[3])) > 0
+                    THEN 1 ELSE 0 END AS is_out,
+               list_max(list_transform(list_zip(r.v, los, his),
+                   s -> CASE
+                        WHEN s[1] > s[3] THEN (s[1] - s[3]) /
+                             (CASE WHEN s[3] <> s[2]
+                                   THEN s[3] - s[2] ELSE 1 END)
+                        WHEN s[1] < s[2] THEN (s[2] - s[1]) /
+                             (CASE WHEN s[3] <> s[2]
+                                   THEN s[3] - s[2] ELSE 1 END)
+                        ELSE 0.0 END)) AS overshoot
+        FROM incoming r, lims
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(is_out) AS BIGINT) AS n_out_of_range,
-           ROUND(SUM(is_out) / CAST(COUNT(*) AS DOUBLE), 4)
-               AS frac_out_of_range,
+           CAST(COALESCE(SUM(is_out), 0) AS BIGINT) AS n_out_of_range,
+           CASE WHEN COUNT(*) = 0 THEN 0.0
+                ELSE ROUND(SUM(is_out) / CAST(COUNT(*) AS DOUBLE), 4)
+           END AS frac_out_of_range,
            ROUND(COALESCE(MAX(overshoot), 0.0), 4) AS max_overshoot
     FROM per_row
     """,
@@ -3940,6 +3965,15 @@ def q131_index_drift(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     seed = emb.where((F.col("vec_id") % 2 == 0))
+    if seed.where(F.col("embedding").isNotNull()).limit(1).count() == 0:
+        # empty seed (the empty-input sweep): no index exists to drift
+        # from — the operator rightly raises, so the row reports the
+        # zero-drift monitor frame the oracle computes over nothing
+        return spark.createDataFrame(
+            [(0, 0, 0.0, 0.0)],
+            "n_rows long, n_out_of_range long, frac_out_of_range double, "
+            "max_overshoot double",
+        )
     root = os.path.join(
         _scratch_root(), f"kfai_q131_{_scratch_tag(spark, sf_dir)}"
     )
