@@ -1434,6 +1434,11 @@ def compact_ann_index(
     never an in-place rewrite, and never concurrent with a live
     maintainer writing new epochs into ``src``).
 
+    Measured payoff (BASELINE §5y, 10M vectors): 16 streamed epochs =
+    340 files -> 6, probe 1.21x; 64 epochs = 1300 files -> 6, probe
+    2.56x — superlinear in epoch count even on one NVMe, and an
+    object store adds per-epoch LIST/GET round-trips on top.
+
     Returns {files_before, files_after, n_rows}."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
