@@ -1457,10 +1457,23 @@ def compact_ann_index(
     total = sum(b for _, b in files) or 1
     n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
     if kind == "ivfpq":
-        # keep the cluster_id partition layout — the probe's pruning
-        writer = codes.repartition("cluster_id").write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id")
+        # keep the cluster_id partition layout — the probe's pruning.
+        # File sizing note: this is one file per cluster (repartition
+        # on the key), NOT target_bytes-sized — splitting clusters
+        # across tasks under partitionBy re-fragments (T tasks x k
+        # dirs small files, the save_ivf_index lesson), and an
+        # oversized hot-cluster file is still row-group-splittable at
+        # scan time. target_bytes governs the sq8 arm only.
+        # A ZERO-row dynamic-partition write emits no part files (the
+        # write_ivfpq_index hazard class) and would leave dest
+        # unreadable — the empty table degrades to an unpartitioned
+        # schema-bearing write.
+        if codes.limit(1).count() == 0:
+            writer = codes.write.mode("overwrite")
+        else:
+            writer = codes.repartition("cluster_id").write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id")
     else:
         writer = codes.repartition(n_out).write.mode("overwrite")
     writer.parquet(f"{dest}/codes")

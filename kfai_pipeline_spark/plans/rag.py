@@ -291,6 +291,7 @@ def retrieve_tiered(
     topup_factor: int = 4,
     max_rounds: int = 4,
     round_to: int = 4,
+    scope=None,
 ) -> DataFrame:
     """Stage-3 retrieval with a serving tier (the reference's stage 4
     IS ANN serving — pgvector, ref query_agent.py:234-283): brute
@@ -339,6 +340,12 @@ def retrieve_tiered(
     Choosing a tier: README "Serving-tier decision table" — corpus
     size x predicate selectivity x index freshness -> tier, with the
     measured curves each cell rests on.
+
+    ``scope`` (a dedup.CacheScope) tracks the ivfpq probe's per-round
+    query broadcast for deterministic release — a long-lived serving
+    loop without one accretes an executor broadcast per probe round
+    (the CacheScope class doc's leak class; sq8 probes broadcast via
+    closure and need no tracking).
     """
     if tier not in ("auto", "brute", "ann"):
         raise ValueError(f"unknown retrieval tier: {tier!r}")
@@ -398,7 +405,7 @@ def retrieve_tiered(
             probe = ivfpq_topk(
                 spark, index_path, qdf, k=k_probe, nprobe=nprobe,
                 refine=refine, vectors=vectors, vec_col=vec_col,
-                id_col=id_col, round_to=round_to,
+                id_col=id_col, round_to=round_to, scope=scope,
             )
         else:
             probe = sq8_topk(
@@ -509,6 +516,13 @@ def retrieve_tiered_batch(
     ``scope`` (a dedup.CacheScope) tracks the per-round checkpointed
     candidate frames for deterministic release; without it they are
     freed when the returned frame is garbage-collected.
+
+    TWIN-SYNC contract: this function re-expresses retrieve_tiered's
+    certificate/top-up rules (NULL-ignoring cutoff min, all-NULL pool
+    = nothing to top up, strict > certificate, exhaustion on a short
+    probe) and _dedup_cap_resort's deterministic windows with query_id
+    prepended. Any change to either rule set must land in BOTH arms —
+    the q126 oracle and the batch-vs-loop parity tests are the tripwire.
     """
     if index_path is None:
         raise ValueError("retrieve_tiered_batch needs index_path")
@@ -595,11 +609,23 @@ def retrieve_tiered_batch(
         )
         status = (
             cutoffs.join(safe, qid, "left")
-            .select(qid, "__n_ret", F.coalesce("__n_safe", F.lit(0)).alias("__n_safe"))
+            .select(
+                qid,
+                "__n_ret",
+                F.coalesce("__n_safe", F.lit(0)).alias("__n_safe"),
+                "__cut",
+            )
             .collect()
         )  # O(#queries) rows — the only driver traffic per round
+        # __cut is NULL when a query's ENTIRE pool re-scored NULL
+        # (zero-norm reconstructions): nothing rankable to top up —
+        # the single-query arm's all-NULL break, per query (a NULL
+        # cutoff would otherwise keep the query pending all rounds,
+        # re-scanning the codes table for nothing)
         topup_ids = [
-            r[0] for r in status if r[1] >= k_probe and r[2] < k
+            r[0]
+            for r in status
+            if r[1] >= k_probe and r[2] < k and r[3] is not None
         ]
         if not topup_ids:
             finished.append(hits)

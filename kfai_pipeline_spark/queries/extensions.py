@@ -3195,7 +3195,7 @@ def q121_rag_tiered(spark, sf_dir):
 
 
 def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
-                        two_phase=False):
+                        two_phase=False, build=True):
     """Shared fixture for the tiered-retrieval rows (q121/q125/q126/
     q128/q129): the doc+embedding serving corpus and a ``kind`` index
     persisted once per (sf_dir, qname). NULL and zero-norm embeddings
@@ -3204,7 +3204,10 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
     index/probe drop it). ``two_phase`` builds the index over the
     EVEN-doc_id half and appends the odd half (the q128/q129
     incremental-maintenance parity shape — trained artifacts frozen at
-    the half-corpus build). Returns (fixture_df, index_path)."""
+    the half-corpus build). ``build=False`` returns just the fixture
+    frame (callers that manage their own index — q130 — must not pay
+    a side-effect full-corpus encode). Returns (fixture_df,
+    index_path)."""
     import os
 
     from kfai_pipeline_spark.plans.rag import (
@@ -3243,6 +3246,8 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
     )
     idx = os.path.join(root, kind)
     done = os.path.join(root, "_DONE")
+    if not build:
+        return fixture, idx
     if not os.path.exists(done):
         if two_phase and fixture.where(F.col("doc_id") % 2 == 0).limit(
             1
@@ -3813,7 +3818,9 @@ def q130_rag_index_stream(spark, sf_dir):
         maintain_ann_index_stream,
     )
 
-    fixture, _ = _tiered_rag_fixture(spark, sf_dir, "sq8", "q121")
+    fixture, _ = _tiered_rag_fixture(
+        spark, sf_dir, "sq8", "q121", build=False
+    )
     root = os.path.join(
         _scratch_root(), f"kfai_q130_{_scratch_tag(spark, sf_dir)}"
     )
@@ -3913,9 +3920,13 @@ def q130_rag_index_stream(spark, sf_dir):
           AND list_inner_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[])) > 0
     ),
+    -- HAVING guards the no-index posture (empty or all-NULL seed):
+    -- zero dims rows -> zero lims rows -> zero monitored rows, matching
+    -- the builder's early return; without it list() over nothing makes
+    -- one NULL-lists row and incoming rows would still count
     lims AS (
         SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
-        FROM dims
+        FROM dims HAVING COUNT(*) > 0
     ),
     -- per PHYSICAL row via list lambdas, never GROUP BY vec_id: the
     -- dup-id sweep's fixture carries duplicated ids, and a grouped

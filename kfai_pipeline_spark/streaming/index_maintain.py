@@ -82,12 +82,20 @@ def maintain_ann_index_stream(
             encoded, bc = S._ivfpq_encoded(
                 batch_df, centroids, codebooks, vec_col, id_col
             )
-            # overwrite into the epoch's OWN directory, partitioned by
-            # cluster_id so the probe's partition pruning still applies
-            # inside each streamed epoch
+            # UNPARTITIONED epoch write, cluster_id as a plain column:
+            # a zero-row dynamic-partition write emits NO part files
+            # but still commits _SUCCESS (write_ivfpq_index's
+            # documented hazard class), and one all-degenerate
+            # micro-batch would then poison every later _codes_df read
+            # with UNABLE_TO_INFER_SCHEMA. A plain write always leaves
+            # a schema-bearing footer. Epochs are small between
+            # compactions, so the probe's cluster filter row-filters
+            # them (row-group stats still prune); partition-level
+            # pruning applies to the compacted base, which compaction
+            # restores.
             encoded.repartition("cluster_id").write.mode(
                 "overwrite"
-            ).partitionBy("cluster_id").parquet(dest)
+            ).parquet(dest)
             bc.destroy()
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)

@@ -699,3 +699,52 @@ def test_retrieve_multi_topic_deterministic_defaults_id_tiebreak(
         for _ in range(2)
     ]
     assert runs[0] == runs[1] and len(runs[0]) == 8
+
+
+def test_retrieve_tiered_arms_agree_on_all_null_pool(spark, tmp_path_factory):
+    """Round-9 high review: a query whose ENTIRE candidate pool
+    re-scores NULL (zero-norm docs with nonzero SQ8 reconstructions)
+    must stop topping up in BOTH arms — same empty result, no crash,
+    no full-round re-scans."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kfai_pipeline_spark.plans.rag import (
+        build_retrieval_index,
+        retrieve_tiered,
+        retrieve_tiered_batch,
+    )
+
+    rows = [
+        (
+            i,
+            f"v{i}",
+            0.0,
+            "Show 0",
+            1_600_000_000,
+            "t",
+            "txt",
+            [0.0] * 8,  # every doc zero-norm: probe pool re-scores NULL
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, video_id string, start_time double, show_name string, "
+        "published_at long, title string, text string, embedding array<double>",
+    )
+    idx = os.path.join(str(tmp_path_factory.mktemp("nullpool")), "sq8")
+    build_retrieval_index(docs, idx, id_col="doc_id")
+    qv = [1.0] * 8
+    single = retrieve_tiered(
+        docs, qv, ParsedQuery(), k=5, id_col="doc_id", tier="ann",
+        index_path=idx, refine=4,
+    )
+    assert single.count() == 0
+    queries = spark.createDataFrame([(0, qv)], "query_id int, embedding array<double>")
+    batch = retrieve_tiered_batch(
+        docs, queries, ParsedQuery(), k=5, id_col="doc_id", index_path=idx,
+        refine=4,
+    )
+    assert batch.count() == 0
