@@ -874,3 +874,19 @@ def test_index_drift_stats_ivfpq_empty_batch_reads_full_confidence(
     scope.release()
     assert row["n_rows"] == 0
     assert row["mean_best_cos"] == 1.0 and row["p10_best_cos"] == 1.0
+
+
+def test_compact_and_append_reject_unknown_kind(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from kfai_pipeline_spark.operators.similarity import compact_ann_index
+    from kfai_pipeline_spark.plans.rag import append_retrieval_index
+
+    root = str(tmp_path_factory.mktemp("kind_guard"))
+    with _pytest.raises(ValueError, match="index kind"):
+        compact_ann_index(spark, f"{root}/a", f"{root}/b", kind="hnsw")
+    docs = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "doc_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="index kind"):
+        append_retrieval_index(docs, f"{root}/c", kind="hnsw")
