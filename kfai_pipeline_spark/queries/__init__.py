@@ -34,20 +34,9 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 6 (the names r8's window did not re-run)
-    frozenset({
-        "q61_decontaminate", "q62_repetition", "q63_hash_sample",
-        "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
-        "q67_shard_pack", "q68_boilerplate_strip",
-        "q87_composite_resume", "q88_skiplist_roundtrip",
-        "q89_asof_tolerance", "q90_cluster_assign",
-        "q93_multimodal_video", "q95_scd2_history", "q97_merge_upsert",
-        "q100_rolling_zscore", "q102_incremental_agg", "q103_bucketed_join",
-        "q106_truncate_longdocs", "q107_zscore_backfill", "q108_segment_dedup",
-        "q109_dsir_sample", "q110_quantized_ann", "q111_sq8_index",
-        "q112_pq_index",
-    }),
-    # last official row: round 7 (CORRECTNESS_r07.json's 50-entry window)
+    # last official row: round 7 (the names r8's and r9's windows did
+    # not re-run — the r6 bucket emptied into CORRECTNESS_r09 and the
+    # r9 window also re-confirmed q01-q16 from this bucket)
     frozenset({
         "q113_ivfpq_index", "q114_rolling_bucketed", "q115_bloom_decontam",
         "q116_zorder_scan", "q117_hard_negatives", "q118_compact_roundtrip",
@@ -57,9 +46,7 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
         "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
         "q99_source_curation", "q101_hybrid_rrf",
-        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07", "q08",
-        "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
-        "q19", "q20", "q21", "q21_dedup", "q22", "q23",
+        "q17", "q18", "q19", "q20", "q21", "q21_dedup", "q22", "q23",
         "q41_cube", "q42_fullouter", "q43_cross",
     }),
     # last official row: round 8 (CORRECTNESS_r08.json's 50-entry window)
@@ -79,6 +66,25 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q72_interval_join", "q76_simsearch_blas", "q79_stat_aggs",
         "q80_rolling_range", "q82_merge_records", "q83_llm_clean",
         "q84_funnel", "q85_retention", "q86_integrity_deadletter",
+    }),
+    # last official row: round 9 (CORRECTNESS_r09.json's 50-entry window)
+    frozenset({
+        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07",
+        "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16",
+        "q61_decontaminate", "q62_repetition", "q63_hash_sample",
+        "q64_stratified_sample", "q65_quantiles", "q66_pii_redact",
+        "q67_shard_pack", "q68_boilerplate_strip",
+        "q87_composite_resume", "q88_skiplist_roundtrip",
+        "q89_asof_tolerance", "q90_cluster_assign",
+        "q93_multimodal_video", "q95_scd2_history", "q97_merge_upsert",
+        "q100_rolling_zscore", "q102_incremental_agg", "q103_bucketed_join",
+        "q106_truncate_longdocs", "q107_zscore_backfill",
+        "q108_segment_dedup", "q109_dsir_sample", "q110_quantized_ann",
+        "q111_sq8_index", "q112_pq_index",
+        "q124_rag_multi_topic", "q125_rag_tiered_ivfpq",
+        "q126_rag_tiered_batch", "q127_rag_multi_topic_tiered",
+        "q128_rag_index_append_sq8", "q129_rag_index_append_ivfpq",
+        "q130_rag_index_stream", "q131_index_drift",
     }),
 )
 
