@@ -468,10 +468,54 @@ def retrieve_tiered(
     return _dedup_cap_resort(hits, k, deterministic=True, id_col=id_col)
 
 
+def _parsed_pred_key(p: ParsedQuery) -> str:
+    """Semantic identity of a ParsedQuery's compiled predicate — the
+    grouping key for the batch arm's per-query CASE. Two queries whose
+    filter dicts AND topic lists are identical share one CASE branch,
+    so the compiled expression scales with the number of distinct
+    predicate TEMPLATES in the batch, not the query count (real
+    offline-eval sets share a handful of templates across 10^4
+    questions)."""
+    fdict = build_filter(
+        shows=p.shows,
+        hosts=canonicalize_hosts(p.hosts),
+        exact_year=p.exact_year,
+        year_range=p.year_range,
+        before_year=p.before_year,
+        after_year=p.after_year,
+    )
+    return repr((fdict, list(p.topics)))
+
+
+def _per_query_predicate(
+    parsed_by_qid: dict, qid: str
+) -> tuple[Column, list]:
+    """Compile a {query_id value -> ParsedQuery} mapping into ONE
+    boolean Column over (doc columns, ``qid``): distinct predicates
+    become CASE branches gated by ``qid IN (ids sharing it)``. Unknown
+    query ids fall to the ``otherwise(False)`` arm — the caller
+    validates the queries frame against the returned known-id list so
+    a typo'd mapping raises instead of silently retrieving nothing."""
+    groups: dict[str, tuple[ParsedQuery, list]] = {}
+    for q, p in parsed_by_qid.items():
+        key = _parsed_pred_key(p)
+        if key in groups:
+            groups[key][1].append(q)
+        else:
+            groups[key] = (p, [q])
+    case = None
+    for p, qids in groups.values():
+        cond = F.col(qid).isin(qids)
+        pred = metadata_predicate(p) & topic_predicate(p.topics)
+        case = F.when(cond, pred) if case is None else case.when(cond, pred)
+    expr = case.otherwise(F.lit(False)) if case is not None else F.lit(False)
+    return expr, list(parsed_by_qid.keys())
+
+
 def retrieve_tiered_batch(
     docs: DataFrame,
     queries: DataFrame,
-    parsed: ParsedQuery,
+    parsed: ParsedQuery | dict,
     k: int = CONTEXT_COUNT,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
@@ -507,6 +551,20 @@ def retrieve_tiered_batch(
     the pending set; the rest re-probe at ``k_probe * topup_factor`` —
     per-query probe depth, not a uniform worst case.
 
+    ``parsed`` is either one shared :class:`ParsedQuery` (a recall
+    curve over a single corpus slice) or a ``{query_id value ->
+    ParsedQuery}`` mapping — the real offline-eval shape, where each
+    question carries its own compiled filter (the reference compiles a
+    filter per question: ref loaders/utils/filtering.py:18-123 +
+    query_agent.py:252-283). Per-query predicates compile to ONE CASE
+    expression over ``query_id`` with a branch per DISTINCT predicate
+    template (:func:`_per_query_predicate`), applied after the
+    candidate join binds ``query_id`` — the corpus is still never
+    shuffled and the codes scan stays one-per-round; only the tiny
+    candidate frame evaluates the CASE. A query id in ``queries`` with
+    no mapping entry raises (never silently retrieves nothing); the
+    check is one scan of the small queries frame.
+
     Same certificate scope as retrieve_tiered: exact only relative to
     each query's probe pool; size ``refine`` (and ``nprobe``) to cover
     the corpus for brute-parity. Degenerate query vectors (NULL /
@@ -534,8 +592,25 @@ def retrieve_tiered_batch(
     from kfai_pipeline_spark.operators.similarity import ivfpq_topk, sq8_topk
 
     spark = docs.sparkSession
-    pred = metadata_predicate(parsed) & topic_predicate(parsed.topics)
     qid = query_id_col
+    if isinstance(parsed, dict):
+        pred, known_ids = _per_query_predicate(parsed, qid)
+        unknown = (
+            queries.where(~F.col(qid).isin(known_ids)).limit(1).collect()
+        )
+        if unknown:
+            raise ValueError(
+                f"query id {unknown[0][0]!r} has no ParsedQuery in the "
+                "per-query filter mapping — every query in the batch "
+                "needs its compiled predicate (a missing entry would "
+                "otherwise silently retrieve nothing)"
+            )
+        shared_pred = None
+    else:
+        shared_pred = metadata_predicate(parsed) & topic_predicate(
+            parsed.topics
+        )
+        pred = shared_pred
 
     def probe_once(pending: DataFrame, k_probe: int) -> DataFrame:
         if index_kind == "ivfpq":
@@ -571,14 +646,19 @@ def retrieve_tiered_batch(
         # <= q x k_probe (tiny vs corpus), broadcast back onto the doc
         # table, THEN the metadata predicate + NULL re-score exclusion
         # (probe scores are the same rounded exact cosine the
-        # single-query arm computes; NULL marks degenerate re-scores)
+        # single-query arm computes; NULL marks degenerate re-scores).
+        # A SHARED predicate applies on the doc slice BEFORE the
+        # candidate join (prunes the merge join's build side); the
+        # per-query CASE needs query_id bound, so it applies after.
         doc_slice = docs.join(
             F.broadcast(cand.select(id_col).distinct()), id_col
-        ).where(pred)
-        return (
-            doc_slice.join(cand.hint("merge"), id_col)
-            .where(F.col("score").isNotNull())
         )
+        if shared_pred is not None:
+            doc_slice = doc_slice.where(shared_pred)
+        out = doc_slice.join(cand.hint("merge"), id_col)
+        if shared_pred is None:
+            out = out.where(pred)
+        return out.where(F.col("score").isNotNull())
 
     pending = queries.select(
         F.col(qid), F.col(query_vec_col).alias(query_vec_col)

@@ -3586,6 +3586,112 @@ def q126_rag_tiered_batch(spark, sf_dir):
     ).orderBy("query_id", F.desc("score"), "video_id", "start_time")
 
 
+# ------ Q132: per-query metadata predicates in the batched serving arm
+@register(
+    "q132_rag_tiered_batch_filters",
+    # The q126 contract with each query carrying its OWN compiled
+    # filter (the real offline-eval shape — the reference compiles a
+    # filter per question, ref filtering.py:18-123 +
+    # query_agent.py:252-283): five queries, five distinct predicates
+    # (show lists, a year range on published_at, a topic ILIKE, and one
+    # unfiltered), replayed in DuckDB as a per-query CASE in the brute
+    # cross score. Year bounds are year_term_epoch_range(exact_year=
+    # 2020) = [1577836800, 1609459199], embedded as literals on both
+    # engines. Same degenerate-vector guards as q126.
+    oracle="""
+    WITH fixture AS (
+        SELECT d.doc_id,
+               'v' || CAST(d.doc_id % 40 AS VARCHAR) AS video_id,
+               CAST((d.doc_id // 40) * 30 AS DOUBLE) AS start_time,
+               d.source AS show_name,
+               1577836800 + (d.doc_id % 1000) * 86400 AS published_at,
+               d.source AS title,
+               d.text AS body,
+               CAST(e.embedding AS DOUBLE[]) AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id <> 0 AND e.embedding IS NOT NULL
+          AND list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) > 0
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings
+          WHERE vec_id IN (0, 7, 21, 33, 44) AND embedding IS NOT NULL
+            AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
+    scored AS (
+        SELECT q.query_id, f.doc_id, f.video_id, f.start_time,
+               ROUND(list_cosine_similarity(f.v, q.qv), 4) AS score
+        FROM fixture f, q
+        WHERE (q.query_id = 0 AND f.show_name IN ('src1', 'src3'))
+           OR (q.query_id = 7 AND f.show_name IN ('src2', 'src4', 'src6'))
+           OR (q.query_id = 21)
+           OR (q.query_id = 33 AND f.show_name IN ('src5', 'src7')
+               AND f.published_at >= 1577836800
+               AND f.published_at <= 1609459199)
+           OR (q.query_id = 44 AND f.show_name IN ('src0', 'src1', 'src2')
+               AND (f.title ILIKE '%vector%' OR f.body ILIKE '%vector%'))
+    ),
+    dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, video_id, start_time
+            ORDER BY score DESC, doc_id) AS rn
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score DESC, video_id, start_time, doc_id) AS rk
+        FROM dedup WHERE rn = 1
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           doc_id, video_id, start_time, score
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, score DESC, video_id, start_time
+    """,
+    doc=(
+        "Per-query metadata predicates in the batched tiered serving "
+        "arm (plans/rag.py retrieve_tiered_batch with a {query_id -> "
+        "ParsedQuery} mapping, round-10 verdict item #1): distinct "
+        "predicate templates compile to ONE CASE expression over "
+        "query_id applied after the candidate join binds it — the "
+        "codes scan stays one-per-round for ALL pending queries and "
+        "the corpus never shuffles, while each question retrieves "
+        "under its own show/year/topic filter. Hash-checked against "
+        "per-query brute retrieval with the same filters replayed as "
+        "a CASE in DuckDB."
+    ),
+)
+def q132_rag_tiered_batch_filters(spark, sf_dir):
+    from kfai_pipeline_spark.plans.rag import (
+        ParsedQuery,
+        retrieve_tiered_batch,
+    )
+
+    # same corpus + index as q126 (the _DONE marker serializes builds;
+    # the per-query-filter arm must serve from the IDENTICAL index to
+    # pin that only the predicate routing changed)
+    fixture, idx = _tiered_rag_fixture(spark, sf_dir, "sq8", "q126")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 7, 21, 33, 44])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    per_query = {
+        0: ParsedQuery(shows=["src1", "src3"]),
+        7: ParsedQuery(shows=["src2", "src4", "src6"]),
+        21: ParsedQuery(),  # unfiltered — the lit(True) template
+        33: ParsedQuery(shows=["src5", "src7"], exact_year=2020),
+        44: ParsedQuery(shows=["src0", "src1", "src2"], topics=["vector"]),
+    }
+    n = fixture.count()
+    out = retrieve_tiered_batch(
+        fixture, queries, per_query, k=10, id_col="doc_id",
+        index_path=idx, refine=max(64, -(-n // 10)),
+    )
+    return out.select(
+        "query_id", "doc_id", "video_id", "start_time", "score"
+    ).orderBy("query_id", F.desc("score"), "video_id", "start_time")
+
+
 # -------- Q124/Q127: reference-faithful multi-topic fan-out (+ tiered)
 # Shared oracle: the fan-out IS the reference's retrieval semantics
 # (ref query_agent.py:234-306) made deterministic with the q121 recipe

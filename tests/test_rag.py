@@ -545,6 +545,72 @@ def test_retrieve_tiered_batch_matches_per_query_loop(spark, tiered_docs):
     }
 
 
+def test_retrieve_tiered_batch_per_query_filters(spark, tiered_docs):
+    """Round-10 verdict item #1: a {query_id -> ParsedQuery} mapping
+    gives each query its own compiled predicate; per-query rows must
+    equal retrieve_tiered run with that query's OWN filter — including
+    two queries sharing one predicate template (one CASE branch), a
+    selective filter that needs the top-up loop, a topic ILIKE, and
+    the unfiltered template."""
+    from kfai_pipeline_spark.plans.rag import (
+        retrieve_tiered,
+        retrieve_tiered_batch,
+    )
+
+    docs, idx = tiered_docs
+    texts = ["topic 3 theme 2", "theme 4 doc", "topic 1 and 6", "doc 42"]
+    qvecs = [[float(x) for x in v] for v in hash_embed(texts)]
+    queries = spark.createDataFrame(
+        list(enumerate(qvecs)), "query_id int, embedding array<double>"
+    )
+    per_query = {
+        0: ParsedQuery(shows=["Show 1", "Show 4"]),
+        1: ParsedQuery(shows=["Show 2"]),  # selective: exercises top-up
+        2: ParsedQuery(topics=["topic 3"]),
+        3: ParsedQuery(shows=["Show 1", "Show 4"]),  # shares 0's template
+    }
+    cols = ["doc_id", "video_id", "start_time", "score"]
+    batch = retrieve_tiered_batch(
+        docs, queries, per_query, k=5, id_col="doc_id", index_path=idx,
+        refine=4, topup_factor=4, max_rounds=4,
+    )
+    got = {}
+    for r in batch.select("query_id", *cols).collect():
+        got.setdefault(r[0], []).append(tuple(r)[1:])
+    want = {}
+    for qid, qv in enumerate(qvecs):
+        out = retrieve_tiered(
+            docs, qv, per_query[qid], k=5, id_col="doc_id", tier="ann",
+            index_path=idx, refine=4, topup_factor=4, max_rounds=4,
+        )
+        rows_q = [tuple(r) for r in out.select(*cols).collect()]
+        if rows_q:
+            want[qid] = rows_q
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+
+
+def test_retrieve_tiered_batch_per_query_filters_unknown_id_raises(
+    spark, tiered_docs
+):
+    """A query id missing from the per-query mapping raises — silently
+    retrieving nothing for a typo'd mapping is the failure mode the
+    validation exists for."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered_batch
+
+    docs, idx = tiered_docs
+    qv = [float(x) for x in hash_embed(["topic 2"])[0]]
+    queries = spark.createDataFrame(
+        [(0, qv), (5, qv)], "query_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no ParsedQuery"):
+        retrieve_tiered_batch(
+            docs, queries, {0: ParsedQuery()}, k=5, id_col="doc_id",
+            index_path=idx, refine=16,
+        )
+
+
 def test_retrieve_tiered_batch_ivfpq_kind(spark, tiered_docs, tmp_path_factory):
     """The batched arm routes through the IVFPQ kind too, parity with
     the single-query ivfpq tier in the exhaustive regime."""
