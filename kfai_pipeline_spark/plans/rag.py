@@ -814,6 +814,47 @@ def retrieve_multi_topic(
         # winner among equal-rounded-score same-chunk rows would flap
         # with task order (round-9 review catch)
         eff_id = id_col or ("doc_id" if "doc_id" in docs.columns else None)
+        if tier == "ann":
+            # B branches ride the BATCHED arm as (query_id=branch)
+            # rows with per-branch predicates (round-10 verdict item
+            # #3): ONE codes scan per top-up round serves every
+            # branch, and per-branch probe depth still applies — B
+            # topics x 10^4 eval questions through the single-query
+            # loop would re-open the per-query-scan shape
+            # retrieve_tiered_batch exists to kill. Per-branch rows
+            # are identical to the loop (the batch arm's twin-sync
+            # contract + the q127 oracle), so only the scan count
+            # changes.
+            branch_rows = []
+            per_branch: dict[int, ParsedQuery] = {}
+            for i, topic in enumerate(parsed.topics):
+                others = [t for t in parsed.topics if t != topic]
+                branch_query = ", ".join(others) if others else question
+                branch_rows.append(
+                    (i, [float(x) for x in embedder([branch_query])[0]])
+                )
+                per_branch[i] = replace(parsed, topics=[topic])
+            qdf = docs.sparkSession.createDataFrame(
+                branch_rows, "query_id int, embedding array<double>"
+            )
+            unioned = retrieve_tiered_batch(
+                docs,
+                qdf,
+                per_branch,
+                k=k,
+                vec_col=vec_col,
+                id_col=eff_id or "doc_id",
+                index_path=index_path,
+                index_kind=index_kind,
+                nprobe=nprobe,
+                refine=refine,
+                topup_factor=topup_factor,
+                max_rounds=max_rounds,
+                round_to=round_to,
+            ).drop("query_id")
+            return _dedup_cap_resort(
+                unioned, k, deterministic=True, id_col=eff_id
+            )
         branches = []
         for topic in parsed.topics:
             others = [t for t in parsed.topics if t != topic]

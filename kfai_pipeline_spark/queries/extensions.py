@@ -3839,13 +3839,16 @@ def q124_rag_multi_topic(spark, sf_dir):
     # the exhaustive-probe regime must not change a single row
     oracle=_MULTI_TOPIC_ORACLE,
     doc=(
-        "Multi-topic fan-out THROUGH the serving tier (round-9 verdict "
-        "item #6): each branch's search routes through retrieve_tiered "
-        "(tier='ann') — the branch's ILIKE gate becomes the post-probe "
-        "predicate over the shared persisted SQ8 index, with the same "
-        "certificate-gated top-up — giving the reference lifecycle the "
-        "10^10-vector posture end-to-end. Hash-checked against the "
-        "q124 oracle verbatim."
+        "Multi-topic fan-out THROUGH the serving tier, batched "
+        "(round-10 verdict item #3): the branches ride "
+        "retrieve_tiered_batch as (query_id=branch) rows with "
+        "per-branch predicates — ONE codes scan per top-up round "
+        "serves every branch (B topics x 10^4 eval questions through "
+        "the single-query loop would re-open the per-query-scan shape "
+        "the batch arm killed), each branch's ILIKE gate applying "
+        "post-probe via the per-query CASE, with per-branch "
+        "certificate-gated probe depth. Hash-checked against the q124 "
+        "oracle verbatim."
     ),
 )
 def q127_rag_multi_topic_tiered(spark, sf_dir):
