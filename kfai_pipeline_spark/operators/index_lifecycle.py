@@ -1,0 +1,469 @@
+"""Committed serving-pointer lifecycle for ANN indexes (X53) — the
+streaming/rollup.py version protocol promoted to the index, closing the
+round-9 verdict's operational hazard: with a convention-only pointer
+flip, a compaction that lists codes while a streamed epoch commits
+silently omits that epoch from the new serving copy — data loss with no
+error anywhere, on exactly the N-ingest-days tables compaction exists
+for.
+
+Layout (one serving ROOT per index):
+
+.. code-block:: text
+
+    root/
+      _LATEST                   # serving pointer (rollup recipe: a
+                                # CACHE — readers recover from the
+                                # committed listing when it is lost)
+      v_0/  v_1/  ...           # immutable full index versions:
+        codes/                  #   compacted base codes
+        stats/ | centroids/ +   #   the kind's frozen artifacts
+          codebooks/
+        _MANIFEST               #   {"artifacts_id", "folded": [ids]}
+        _COMMITTED              #   version-level marker, written LAST
+      codes_batches/batch_<id>/ # streamed epochs, SHARED across
+                                # versions; parquet _SUCCESS +
+                                # _ARTIFACTS_ID stamp
+
+Race-freedom is by MEMBERSHIP, not by locking (the LSM shape: epochs
+are the L0, versions are compacted bases with manifests): a probe of
+version N reads ``v_N/codes`` plus every committed shared epoch that
+``v_N``'s manifest has NOT folded and whose artifacts stamp matches
+(similarity._codes_df). A compaction pins the epoch set it folds into
+``v_{N+1}`` and records it; an epoch committing at ANY point during the
+compaction is simply absent from that folded list and keeps being
+served from the shared directory — included-or-still-served, never
+silently dropped. No maintainer quiesce is needed.
+
+Rebuild (the drift trigger's action) bumps ``artifacts_id``: epochs
+stamped by the OLD artifacts hold incompatible codes and stop being
+served with the new version. That is correct because epochs are DERIVED
+data — the corpus table is the source of truth, and the rebuild's
+``docs`` frame must be the full current corpus (which includes every
+document the old epochs encoded).
+
+Exactly-once composition with streaming: the maintainer's epoch dirs
+stay overwrite-idempotent ((content, batch_id)-pure), so a replayed
+micro-batch rewrites itself; a replay of an epoch that a compaction
+already folded rewrites identical content that the manifest keeps
+excluded. Pointer flips are write-temp + rename with the boolean
+checked (rollup._write_latest_version), and a version is eligible to
+serve only after its ``_COMMITTED`` marker — a crash mid-build leaves
+an invisible directory, never a half-served index.
+
+Reference parity note: the reference rebuilds its pgvector store
+in-place under an advisory lock (ref build_vector_store.py:38-48
+resumes from the materialized store); at 10^10 vectors an in-place
+rewrite is neither atomic nor resumable, so this module keeps the
+reference's SEMANTICS (one logical index, fresh after maintenance)
+under lakehouse mechanics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kfai_pipeline_spark.operators.partitioning import _list_data_files
+from kfai_pipeline_spark.operators.similarity import (
+    _EPOCH_ARTIFACTS,
+    _compact_codes_write,
+    _copy_index_artifacts,
+    _fs_read_text,
+    _fs_write_text,
+    read_index_manifest,
+    write_index_manifest,
+)
+from kfai_pipeline_spark.streaming.rollup import (
+    _hadoop_path,
+    _read_latest_version,
+    _write_latest_version,
+)
+
+_COMMITTED = "_COMMITTED"
+
+
+def _commit_version(spark: SparkSession, vdir: str) -> None:
+    _fs_write_text(spark, f"{vdir}/{_COMMITTED}", "ok")
+
+
+def _uncommit_version(spark: SparkSession, vdir: str) -> None:
+    """Drop a stale ``_COMMITTED`` marker before REWRITING an orphaned
+    version dir (a prior attempt that crashed between commit and
+    pointer flip) — a pointer-less reader recovering from the listing
+    must not resolve a version that is mid-overwrite."""
+    fs, p, _ = _hadoop_path(spark, f"{vdir}/{_COMMITTED}")
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def serving_version(spark: SparkSession, root: str) -> int:
+    """The serving version number (pointer-first, committed-listing
+    recovery — rollup semantics), or -1 when ``root`` holds none."""
+    return _read_latest_version(spark, root, marker=_COMMITTED)
+
+
+def serving_index_path(spark: SparkSession, root: str) -> str:
+    """The serving version's index dir — what probes (``sq8_topk`` /
+    ``ivfpq_topk``) and ``index_drift_stats`` take as ``path``."""
+    v = serving_version(spark, root)
+    if v < 0:
+        raise FileNotFoundError(
+            f"no committed serving version under {root!r} — create one "
+            "with init_serving_index / rebuild_serving_index"
+        )
+    return f"{root}/v_{v}"
+
+
+def resolve_index_path(spark: SparkSession, path: str) -> str:
+    """``path`` if it is a plain index dir; its serving version when it
+    is a lifecycle ROOT. This is what lets every retrieval entry point
+    accept either form — the pointer read is one tiny FS call per
+    query, the same cost class as the stats-row collect the probes
+    already pay."""
+    v = serving_version(spark, path)
+    return f"{path}/v_{v}" if v >= 0 else path
+
+
+def _build_index(
+    docs: DataFrame,
+    path: str,
+    kind: str,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    m: int,
+) -> None:
+    # the rag.build_retrieval_index dispatch, local so operators/ does
+    # not import plans/ (same artifacts, same writers)
+    from kfai_pipeline_spark.operators import similarity as S
+
+    if kind == "sq8":
+        S.write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+    elif kind == "ivfpq":
+        vectors = docs.select(id_col, vec_col)
+        centroids, codebooks = S.train_ivfpq(
+            vectors, n_clusters=n_clusters, m=m,
+            vec_col=vec_col, id_col=id_col,
+        )
+        S.write_ivfpq_index(
+            vectors, path, centroids, codebooks,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown index kind: {kind!r}")
+
+
+def rebuild_serving_index(
+    docs: DataFrame,
+    root: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    n_clusters: int = 16,
+    m: int = 8,
+) -> str:
+    """(Re)train + encode ``docs`` into a fresh committed version and
+    flip the serving pointer — both the FIRST build (v_0) and the
+    drift-triggered rebuild are this one operation.
+
+    ``docs`` must be the FULL current corpus: the new version's
+    ``artifacts_id`` bumps, so epochs encoded against the old
+    artifacts stop being served (their codes are incompatible) and
+    their documents must come from the rebuild itself. Epochs are
+    derived data; the corpus table is the source of truth.
+
+    Returns the new serving version's path."""
+    spark = docs.sparkSession
+    cur = serving_version(spark, root)
+    new_v = cur + 1
+    dest = f"{root}/v_{new_v}"
+    old_manifest = (
+        read_index_manifest(spark, f"{root}/v_{cur}") if cur >= 0 else None
+    )
+    new_aid = (
+        int(old_manifest["artifacts_id"]) + 1 if old_manifest is not None else 0
+    )
+    _uncommit_version(spark, dest)
+    _build_index(docs, dest, kind, vec_col, id_col, n_clusters, m)
+    write_index_manifest(spark, dest, new_aid, [])
+    _commit_version(spark, dest)
+    _write_latest_version(spark, root, new_v)
+    return dest
+
+
+def init_serving_index(
+    docs: DataFrame,
+    root: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    n_clusters: int = 16,
+    m: int = 8,
+) -> str:
+    """First build of a serving root (v_0 + manifest + pointer) —
+    :func:`rebuild_serving_index` with intent-revealing spelling."""
+    return rebuild_serving_index(
+        docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
+        n_clusters=n_clusters, m=m,
+    )
+
+
+def write_serving_epoch(
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> None:
+    """Encode one ingest batch against the SERVING version's frozen
+    artifacts and commit it as shared epoch ``batch_<batch_id>``,
+    stamped with that version's ``artifacts_id`` (the stamp is what
+    keeps a pre-rebuild epoch from being served against post-rebuild
+    artifacts). Overwrite-idempotent: a replay rewrites itself. The
+    stamp lands AFTER the parquet ``_SUCCESS``; a reader in between
+    skips the epoch until the stamp exists — unserved-yet, never
+    wrong."""
+    spark = batch_df.sparkSession
+    vpath = serving_index_path(spark, root)
+    manifest = read_index_manifest(spark, vpath)
+    if manifest is None:
+        raise ValueError(
+            f"serving version {vpath!r} carries no _MANIFEST — not a "
+            "lifecycle-managed root (use maintain_ann_index_stream for "
+            "plain index dirs)"
+        )
+    from kfai_pipeline_spark.streaming.index_maintain import encode_epoch
+
+    dest = f"{root}/codes_batches/batch_{batch_id}"
+    encode_epoch(batch_df, vpath, dest, kind=kind, vec_col=vec_col, id_col=id_col)
+    _fs_write_text(
+        spark, f"{dest}/{_EPOCH_ARTIFACTS}", str(manifest["artifacts_id"])
+    )
+
+
+def maintain_serving_index_stream(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+):
+    """The versioned twin of streaming/index_maintain.py's maintainer:
+    each micro-batch lands as a SHARED root-level epoch stamped with
+    the serving artifacts lineage, so compaction and rebuild can run
+    concurrently with ingest (membership rules above). Returns the
+    started AvailableNow query."""
+    if kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {kind!r}")
+
+    from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        write_serving_epoch(
+            batch_df, root, batch_id, kind=kind, vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)
+
+
+def _committed_epochs(
+    spark: SparkSession, root: str
+) -> list[tuple[int, str, int | None]]:
+    """(batch_id, path, artifacts stamp) of every committed shared
+    epoch; stamp is None when the sidecar has not landed yet."""
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
+
+    out: list[tuple[int, str, int | None]] = []
+    for name, d in list_success_dirs(
+        spark, f"{root}/codes_batches", ("batch_",)
+    ):
+        try:
+            bid = int(name[len("batch_"):])
+        except ValueError:
+            continue
+        stamp = _fs_read_text(spark, f"{d}/{_EPOCH_ARTIFACTS}")
+        out.append((bid, d, int(stamp.strip()) if stamp is not None else None))
+    return out
+
+
+def compact_serving_index(
+    spark: SparkSession,
+    root: str,
+    kind: str = "sq8",
+    target_bytes: int = 128 * 1024 * 1024,
+    _after_pin=None,
+) -> dict:
+    """Fold the serving version's base + a PINNED snapshot of its
+    servable epochs into ``v_{N+1}`` and flip the pointer. Codes are
+    never re-encoded (artifacts copy verbatim), so probes over the new
+    version are bit-identical to the old one — compact_ann_index's
+    contract, now with the pointer flip COMMITTED instead of
+    conventional, and safe under a live maintainer: an epoch committing
+    after the pin is not folded, stays out of the new manifest, and
+    keeps being served from the shared directory (the
+    included-or-still-served rule in similarity._codes_df).
+
+    ``_after_pin`` is a test seam invoked after the epoch snapshot is
+    pinned — the race-injection point for the epoch-committed-
+    mid-compaction test.
+
+    Returns {version, files_before, files_after, n_rows,
+    folded_epochs}."""
+    if kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {kind!r}")
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
+
+    cur = serving_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"nothing to compact under {root!r}")
+    src = f"{root}/v_{cur}"
+    manifest = read_index_manifest(spark, src)
+    if manifest is None:
+        raise ValueError(
+            f"serving version {src!r} carries no _MANIFEST — compact "
+            "plain index dirs with compact_ann_index"
+        )
+    aid = int(manifest["artifacts_id"])
+    folded_old = set(manifest["folded"])
+    # pin the epoch set THIS compaction folds: committed, stamped with
+    # this artifacts lineage, not already in the base
+    pinned = [
+        (bid, d)
+        for bid, d, stamp in _committed_epochs(spark, root)
+        if bid not in folded_old and stamp == aid
+    ]
+    if _after_pin is not None:
+        _after_pin()
+    codes = spark.read.parquet(f"{src}/codes")
+    files = _list_data_files(spark, f"{src}/codes")
+    # legacy in-version epochs (a version dir that predates the shared
+    # layout) fold too — versions created here never carry them
+    for _, d in list_success_dirs(spark, f"{src}/codes_batches", ("batch_",)):
+        codes = codes.unionByName(spark.read.parquet(d))
+        files += _list_data_files(spark, d)
+    for _, d in pinned:
+        codes = codes.unionByName(spark.read.parquet(d))
+        files += _list_data_files(spark, d)
+    new_v = cur + 1
+    dest = f"{root}/v_{new_v}"
+    _uncommit_version(spark, dest)
+    files_before = _compact_codes_write(
+        spark, codes, files, dest, kind, target_bytes
+    )
+    _copy_index_artifacts(spark, src, dest, kind)
+    write_index_manifest(
+        spark, dest, aid, sorted(folded_old | {bid for bid, _ in pinned})
+    )
+    _commit_version(spark, dest)
+    _write_latest_version(spark, root, new_v)
+    return {
+        "version": new_v,
+        "files_before": files_before,
+        "files_after": len(_list_data_files(spark, f"{dest}/codes")),
+        "n_rows": spark.read.parquet(f"{dest}/codes").count(),
+        "folded_epochs": len(pinned),
+    }
+
+
+def rebuild_if_drifted(
+    docs: DataFrame,
+    incoming: DataFrame,
+    root: str,
+    kind: str = "sq8",
+    max_frac_out_of_range: float = 0.05,
+    min_p10_cos: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    n_clusters: int = 16,
+    m: int = 8,
+    scope=None,
+) -> dict:
+    """The drift DECISION wired to the drift MEASUREMENT
+    (similarity.index_drift_stats, q131) — the README decision table's
+    "REBUILD, not deeper appends" row as code: measure ``incoming``
+    against the serving version's frozen artifacts; on breach, rebuild
+    from ``docs`` (the FULL current corpus — see
+    :func:`rebuild_serving_index`) into a fresh version and flip the
+    pointer; otherwise change nothing.
+
+    Breach policy: sq8 — ``frac_out_of_range > max_frac_out_of_range``
+    (saturating rows degrade approximate scores); ivfpq —
+    ``p10_best_cos < min_p10_cos`` (routing confidence below the
+    caller's build-time baseline; REQUIRED for ivfpq since confidence
+    is corpus-relative). A quiet/empty ingest window reads as zero
+    drift by index_drift_stats' contract and never trips a rebuild.
+
+    Returns {rebuilt, stats, serving}."""
+    from kfai_pipeline_spark.operators.similarity import index_drift_stats
+
+    spark = docs.sparkSession
+    vpath = serving_index_path(spark, root)
+    if kind == "ivfpq" and min_p10_cos is None:
+        raise ValueError(
+            "ivfpq drift policy needs min_p10_cos — routing confidence "
+            "is corpus-relative, so the build-time baseline is the "
+            "caller's to supply"
+        )
+    stats = (
+        index_drift_stats(
+            incoming, vpath, kind=kind, vec_col=vec_col, id_col=id_col,
+            scope=scope,
+        )
+        .collect()[0]
+        .asDict()
+    )
+    if kind == "sq8":
+        breach = stats["frac_out_of_range"] > max_frac_out_of_range
+    else:
+        breach = stats["p10_best_cos"] < min_p10_cos
+    if not breach:
+        return {"rebuilt": False, "stats": stats, "serving": vpath}
+    new_path = rebuild_serving_index(
+        docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
+        n_clusters=n_clusters, m=m,
+    )
+    return {"rebuilt": True, "stats": stats, "serving": new_path}
+
+
+def prune_serving_index(
+    spark: SparkSession, root: str, retain_versions: int = 2
+) -> dict:
+    """Opt-in GC (the rollup ``retain_versions`` rationale applies
+    verbatim: pruning can delete a version out from under an in-flight
+    reader that resolved it, so size the window to cover your longest
+    reader). Deletes committed versions older than the newest
+    ``retain_versions``, then every shared epoch that NO retained
+    version can serve — i.e. for every retained version the epoch is
+    either folded into its base or stamped by a different artifacts
+    lineage. An unstamped epoch (sidecar not yet landed) is never
+    pruned.
+
+    Returns {versions_deleted, epochs_deleted}."""
+    if retain_versions <= 0:
+        raise ValueError("retain_versions must be >= 1")
+    from kfai_pipeline_spark.streaming.rollup import _list_committed_versions
+
+    fs, _, jvm = _hadoop_path(spark, root)
+    committed = _list_committed_versions(spark, root, marker=_COMMITTED)
+    keep = committed[-retain_versions:]
+    dropped = [v for v in committed if v not in keep]
+    for v in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v_{v}"), True)
+    manifests = [
+        read_index_manifest(spark, f"{root}/v_{v}") for v in keep
+    ]
+    manifests = [m for m in manifests if m is not None]
+    epochs_deleted = 0
+    for bid, d, stamp in _committed_epochs(spark, root):
+        if stamp is None:
+            continue
+        servable_somewhere = any(
+            stamp == int(m["artifacts_id"]) and bid not in set(m["folded"])
+            for m in manifests
+        )
+        if not servable_somewhere:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            epochs_deleted += 1
+    return {"versions_deleted": len(dropped), "epochs_deleted": epochs_deleted}

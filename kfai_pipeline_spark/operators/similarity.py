@@ -1224,6 +1224,69 @@ def _sq8_encoded(
     return src.mapInPandas(pack, schema=out_schema)
 
 
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """Small-text write through the Hadoop FS API (works on any
+    cluster-reachable filesystem — the rollup.py I/O rule)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str, max_bytes: int = 65536):
+    """Small-text read through the Hadoop FS API; ``None`` when the
+    file does not exist."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1 and len(out) < max_bytes:
+            out.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return bytes(out).decode("utf-8")
+
+
+_MANIFEST = "_MANIFEST"
+_EPOCH_ARTIFACTS = "_ARTIFACTS_ID"
+
+
+def read_index_manifest(spark: SparkSession, index_dir: str):
+    """The serving-version manifest (``<index_dir>/_MANIFEST``, JSON):
+    ``{"artifacts_id": int, "folded": [epoch batch ids]}`` — present
+    only on versions managed by operators/index_lifecycle.py. ``None``
+    on a plain (unversioned) index dir, which is what keeps every
+    pre-lifecycle index reading exactly as before."""
+    import json
+
+    txt = _fs_read_text(spark, f"{index_dir}/{_MANIFEST}")
+    return None if txt is None else json.loads(txt)
+
+
+def write_index_manifest(
+    spark: SparkSession, index_dir: str, artifacts_id: int, folded
+) -> None:
+    import json
+
+    _fs_write_text(
+        spark,
+        f"{index_dir}/{_MANIFEST}",
+        json.dumps(
+            {"artifacts_id": int(artifacts_id), "folded": sorted(folded)}
+        ),
+    )
+
+
 def _codes_df(spark: SparkSession, path: str) -> DataFrame:
     """The index codes table: ``<path>/codes`` (the batch build +
     any :func:`append_*_index` rows) unioned with every COMMITTED
@@ -1233,12 +1296,45 @@ def _codes_df(spark: SparkSession, path: str) -> DataFrame:
     crashed-midway writes, the list_success_dirs contract). Every
     probe reads through this, so batch-built, appended, and streamed
     codes serve as ONE index. Filters (e.g. ivfpq's cluster_id
-    partition prune) push into each member scan."""
+    partition prune) push into each member scan.
+
+    When ``path`` is a lifecycle-managed serving VERSION (it carries a
+    ``_MANIFEST`` — operators/index_lifecycle.py), the epochs live at
+    the serving ROOT (``<path>/../codes_batches``) shared across
+    versions, and the union takes exactly the committed epochs the
+    manifest has NOT folded into this version's base whose
+    ``_ARTIFACTS_ID`` matches the version's artifacts lineage. That
+    membership rule is what makes compaction race-free: an epoch
+    committing while a compaction runs is simply absent from the new
+    version's folded list and keeps being served from the shared
+    directory — included-or-still-served, never silently dropped. An
+    epoch stamped by OLDER artifacts (pre-rebuild) has incompatible
+    codes and is excluded; its documents come from the rebuild corpus
+    (epochs are derived data, the corpus table is the source of
+    truth)."""
     from kfai_pipeline_spark.operators.dedup import list_success_dirs
 
     df = spark.read.parquet(f"{path}/codes")
     for _, d in list_success_dirs(spark, f"{path}/codes_batches", ("batch_",)):
         df = df.unionByName(spark.read.parquet(d))
+    manifest = read_index_manifest(spark, path)
+    if manifest is not None:
+        root = path.rstrip("/").rsplit("/", 1)[0]
+        folded = set(manifest["folded"])
+        aid = int(manifest["artifacts_id"])
+        for name, d in list_success_dirs(
+            spark, f"{root}/codes_batches", ("batch_",)
+        ):
+            try:
+                bid = int(name[len("batch_"):])
+            except ValueError:
+                continue
+            if bid in folded:
+                continue
+            stamp = _fs_read_text(spark, f"{d}/{_EPOCH_ARTIFACTS}")
+            if stamp is None or int(stamp.strip()) != aid:
+                continue
+            df = df.unionByName(spark.read.parquet(d))
     return df
 
 
@@ -1432,7 +1528,12 @@ def compact_ann_index(
     probes over ``src``. ``dest`` is a NEW directory and the caller
     flips its serving pointer (the optimize_table/rollup convention —
     never an in-place rewrite, and never concurrent with a live
-    maintainer writing new epochs into ``src``).
+    maintainer writing new epochs into ``src``: an epoch committing
+    after the listing here would be silently absent from ``dest``).
+    For the COMMITTED pointer + live-maintainer-safe form use
+    operators/index_lifecycle.py's ``compact_serving_index`` — its
+    manifest membership rule makes a racing epoch
+    included-or-still-served by construction.
 
     Measured payoff (BASELINE §5y, 10M vectors): 16 streamed epochs =
     340 files -> 6, probe 1.21x; 64 epochs = 1300 files -> 6, probe
@@ -1453,7 +1554,30 @@ def compact_ann_index(
     files = _list_data_files(spark, f"{src}/codes")
     for _, d in list_success_dirs(spark, f"{src}/codes_batches", ("batch_",)):
         files += _list_data_files(spark, d)
-    files_before = len(files)
+    files_before = _compact_codes_write(
+        spark, codes, files, dest, kind, target_bytes
+    )
+    _copy_index_artifacts(spark, src, dest, kind)
+    n_rows = spark.read.parquet(f"{dest}/codes").count()
+    return {
+        "files_before": files_before,
+        "files_after": len(_list_data_files(spark, f"{dest}/codes")),
+        "n_rows": n_rows,
+    }
+
+
+def _compact_codes_write(
+    spark: SparkSession,
+    codes: DataFrame,
+    files: list[tuple[str, int]],
+    dest: str,
+    kind: str,
+    target_bytes: int,
+) -> int:
+    """The compaction write shared by :func:`compact_ann_index` (plain
+    dirs) and index_lifecycle.compact_serving_index (versioned roots).
+    Returns the pre-compaction file count (``files`` is the caller's
+    listing of every member the ``codes`` frame reads)."""
     total = sum(b for _, b in files) or 1
     n_out = max(1, -(-total // max(1, target_bytes)))  # ceil
     if kind == "ivfpq":
@@ -1477,20 +1601,22 @@ def compact_ann_index(
     else:
         writer = codes.repartition(n_out).write.mode("overwrite")
     writer.parquet(f"{dest}/codes")
-    # frozen artifacts copy verbatim (tiny one-row/one-file tables; a
-    # valid index of the kind always carries them, so a missing side
-    # fails loudly here rather than at first probe of dest)
+    return len(files)
+
+
+def _copy_index_artifacts(
+    spark: SparkSession, src: str, dest: str, kind: str
+) -> None:
+    """Copy the frozen artifacts verbatim (tiny one-row/one-file
+    tables; a valid index of the kind always carries them, so a
+    missing side fails loudly here rather than at first probe of
+    ``dest``). Codes are never re-encoded, so probes over ``dest``
+    stay bit-identical to probes over ``src``."""
     sides = ("stats",) if kind == "sq8" else ("centroids", "codebooks")
     for side in sides:
         spark.read.parquet(f"{src}/{side}").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{dest}/{side}")
-    n_rows = spark.read.parquet(f"{dest}/codes").count()
-    return {
-        "files_before": files_before,
-        "files_after": len(_list_data_files(spark, f"{dest}/codes")),
-        "n_rows": n_rows,
-    }
 
 
 def append_sq8_index(

@@ -387,9 +387,14 @@ def retrieve_tiered(
 
     from pyspark.sql.types import StructField, StructType
 
+    from kfai_pipeline_spark.operators.index_lifecycle import resolve_index_path
     from kfai_pipeline_spark.operators.similarity import ivfpq_topk, sq8_topk
 
     spark = docs.sparkSession
+    # a lifecycle serving ROOT resolves to its committed serving
+    # version; a plain index dir passes through (one FS pointer read,
+    # the same cost class as the probe's stats-row collect)
+    index_path = resolve_index_path(spark, index_path)
     qdf = spark.createDataFrame(
         [(0, list(map(float, query_vec)))],
         "query_id int, embedding array<double>",
@@ -589,9 +594,11 @@ def retrieve_tiered_batch(
     if id_col not in docs.columns:
         raise ValueError(f"batched tier needs the index id column {id_col!r}")
 
+    from kfai_pipeline_spark.operators.index_lifecycle import resolve_index_path
     from kfai_pipeline_spark.operators.similarity import ivfpq_topk, sq8_topk
 
     spark = docs.sparkSession
+    index_path = resolve_index_path(spark, index_path)
     qid = query_id_col
     if isinstance(parsed, dict):
         pred, known_ids = _per_query_predicate(parsed, qid)

@@ -4114,3 +4114,211 @@ def q131_index_drift(spark, sf_dir):
         .alias("embedding"),
     )
     return index_drift_stats(incoming, idx, kind="sq8")
+
+
+# ------ Q133: committed serving-pointer lifecycle (init/stream/compact)
+@register(
+    "q133_rag_serving_lifecycle",
+    # the q121 brute oracle VERBATIM: an index root initialized from
+    # half the corpus, maintained from an AvailableNow stream of the
+    # other half through the VERSIONED maintainer (shared stamped
+    # epochs), then COMPACTED (manifest fold + committed pointer flip)
+    # must serve the same rows as brute over the union — the proof
+    # that the whole maintenance lifecycle is semantics-free
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Committed serving-pointer lifecycle (operators/"
+        "index_lifecycle.py, round-10 verdict item #2 — rollup.py's "
+        "version protocol promoted to the ANN index): versions are "
+        "immutable v_N dirs gated by a _COMMITTED marker and a "
+        "recoverable _LATEST pointer; streamed epochs land in ONE "
+        "shared root directory stamped with their artifacts lineage; "
+        "compaction pins the epoch set it folds and records it in the "
+        "new version's manifest, so an epoch committing mid-compaction "
+        "is included-or-still-served — never silently dropped (the "
+        "round-9 operational hazard, closed by membership instead of "
+        "locking). Hash-checked: init(even half) + streamed odd half "
+        "+ compact serves the q121 brute oracle verbatim through the "
+        "root."
+    ),
+)
+def q133_rag_serving_lifecycle(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        compact_serving_index,
+        init_serving_index,
+        maintain_serving_index_stream,
+    )
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+
+    fixture, _ = _tiered_rag_fixture(spark, sf_dir, "sq8", "q121", build=False)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q133_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "serving")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done) and fixture.where(
+        F.col("doc_id") % 2 == 0
+    ).limit(1).count() == 0:
+        # empty seed half (the empty-input sweep): nothing to maintain
+        # against — initialize over the (empty) fixture and serve the
+        # contract empty frame (q130's degradation, versioned)
+        init_serving_index(fixture, idx, kind="sq8", id_col="doc_id")
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    if not os.path.exists(done):
+        init_serving_index(
+            fixture.where(F.col("doc_id") % 2 == 0), idx, kind="sq8",
+            id_col="doc_id",
+        )
+        src = os.path.join(root, "src")
+        odd = fixture.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "embedding"
+        )
+        mid = 500  # fixture doc_ids are contiguous from 1; any split works
+        odd.where(F.col("doc_id") < mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f0")
+        odd.where(F.col("doc_id") >= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = maintain_serving_index_stream(
+            stream, idx, os.path.join(root, "ckpt"), kind="sq8"
+        )
+        q.awaitTermination()
+        # fold the streamed epochs + flip the committed pointer; the
+        # serve below goes through the ROOT, so it proves resolution
+        # reads the post-compaction version
+        stats = compact_serving_index(spark, idx, kind="sq8")
+        assert stats["version"] == 1, stats
+        with open(done, "w") as fh:
+            fh.write("ok")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if (
+        qrow is None
+        or qrow[0] is None
+        or all(float(x) == 0.0 for x in qrow[0])
+    ):
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    qv = [float(x) for x in qrow[0]]
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    n = fixture.count()
+    out = retrieve_tiered(
+        fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
+        index_path=idx, refine=max(64, -(-n // 10)),
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )
+
+
+# --------- Q134: drift-triggered rebuild as a lifecycle op (the policy)
+@register(
+    "q134_rag_drift_rebuild",
+    # the q121 brute oracle VERBATIM again: a root seeded from half the
+    # corpus whose drift monitor FIRES (x3-scaled incoming, the q131
+    # injection) rebuilds from the full corpus table into a fresh
+    # version and flips the pointer — after which serving through the
+    # root is brute-identical over the full corpus. The builder
+    # asserts the policy CONTRACT (rebuilt fired, version bumped,
+    # fresh-regime incoming does NOT fire) — a no-op rebuild would
+    # still hash-match, so the row alone can't certify the trigger.
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Drift-triggered index rebuild (index_lifecycle."
+        "rebuild_if_drifted, round-10 verdict item #5 — the README "
+        "decision table's 'REBUILD, not deeper appends' row as code): "
+        "index_drift_stats measures the incoming batch against the "
+        "serving version's frozen artifacts; on breach the index "
+        "retrains from the corpus table into v_{N+1} with a bumped "
+        "artifacts lineage (stale epochs retire by stamp mismatch) "
+        "and the committed pointer flips. Hash-checked against the "
+        "q121 brute oracle through the root after the rebuild."
+    ),
+)
+def q134_rag_drift_rebuild(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        init_serving_index,
+        rebuild_if_drifted,
+        serving_version,
+    )
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+
+    fixture, _ = _tiered_rag_fixture(spark, sf_dir, "sq8", "q121", build=False)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q134_{_scratch_tag(spark, sf_dir)}"
+    )
+    idx = os.path.join(root, "serving")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done) and fixture.where(
+        F.col("embedding").isNotNull()
+    ).limit(1).count() == 0:
+        # empty corpus (the empty-input sweep): no index exists to
+        # drift from (index_drift_stats rightly raises on an
+        # empty-built index) — serve the contract empty frame
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    if not os.path.exists(done):
+        seed = fixture.where(F.col("doc_id") % 2 == 0)
+        if seed.where(F.col("embedding").isNotNull()).limit(1).count() == 0:
+            # seed half empty: no artifacts to measure drift against —
+            # degrade to the plain full build (rebuild never fires)
+            init_serving_index(fixture, idx, kind="sq8", id_col="doc_id")
+        else:
+            init_serving_index(seed, idx, kind="sq8", id_col="doc_id")
+            incoming_fresh = fixture.where(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "embedding"
+            )
+            quiet = rebuild_if_drifted(
+                fixture, incoming_fresh, idx, kind="sq8", id_col="doc_id",
+                max_frac_out_of_range=0.5,
+            )
+            assert quiet["rebuilt"] is False, quiet  # fresh regime: no fire
+            incoming_drifted = incoming_fresh.select(
+                "doc_id",
+                F.transform(
+                    S._as_double("embedding"), lambda x: x * 3.0
+                ).alias("embedding"),
+            )
+            fired = rebuild_if_drifted(
+                fixture, incoming_drifted, idx, kind="sq8", id_col="doc_id",
+                max_frac_out_of_range=0.05,
+            )
+            assert fired["rebuilt"] is True, fired
+            assert serving_version(spark, idx) == 1, fired
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if (
+        qrow is None
+        or qrow[0] is None
+        or all(float(x) == 0.0 for x in qrow[0])
+    ):
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    qv = [float(x) for x in qrow[0]]
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    n = fixture.count()
+    out = retrieve_tiered(
+        fixture, qv, parsed, k=10, id_col="doc_id", tier="ann",
+        index_path=idx, refine=max(64, -(-n // 10)),
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )

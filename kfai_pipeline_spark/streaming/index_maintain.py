@@ -33,6 +33,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def encode_epoch(
+    batch_df: DataFrame,
+    artifacts_path: str,
+    dest: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> None:
+    """Encode one micro-batch against the FROZEN artifacts at
+    ``artifacts_path`` (an index dir carrying stats / books) and land
+    it as the overwrite-idempotent epoch directory ``dest`` — the
+    shared kernel of :func:`maintain_ann_index_stream` (plain index
+    dirs) and operators/index_lifecycle.py's versioned maintainer
+    (root-level shared epochs). NULL / zero-norm vectors are excluded
+    by the encode kernels (the degenerate-vector contract); an
+    empty-built index raises (no artifacts to encode against)."""
+    import numpy as np
+
+    from kfai_pipeline_spark.operators import similarity as S
+
+    if kind not in ("sq8", "ivfpq"):
+        raise ValueError(f"unknown index kind: {kind!r}")
+    spark = batch_df.sparkSession
+    if kind == "sq8":
+        srow = spark.read.parquet(f"{artifacts_path}/stats").collect()[0]
+        mn = np.array(srow["__mn"], dtype=np.float64)
+        mx = np.array(srow["__mx"], dtype=np.float64)
+        if mn.size == 0:
+            raise ValueError(
+                "cannot maintain an empty-built SQ8 index (no stats "
+                "row) — seed it with write_sq8_index first"
+            )
+        S._sq8_encoded(batch_df, mn, mx, vec_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(dest)
+    else:
+        centroids, codebooks = S.load_ivfpq_meta(spark, artifacts_path)
+        if not centroids or not codebooks:
+            raise ValueError(
+                "cannot maintain an empty-built IVFPQ index (no "
+                "trained books) — seed it with write_ivfpq_index first"
+            )
+        encoded, bc = S._ivfpq_encoded(
+            batch_df, centroids, codebooks, vec_col, id_col
+        )
+        # UNPARTITIONED epoch write, cluster_id as a plain column:
+        # a zero-row dynamic-partition write emits NO part files
+        # but still commits _SUCCESS (write_ivfpq_index's
+        # documented hazard class), and one all-degenerate
+        # micro-batch would then poison every later _codes_df read
+        # with UNABLE_TO_INFER_SCHEMA. A plain write always leaves
+        # a schema-bearing footer. Epochs are small between
+        # compactions, so the probe's cluster filter row-filters
+        # them (row-group stats still prune); partition-level
+        # pruning applies to the compacted base, which compaction
+        # restores.
+        encoded.repartition("cluster_id").write.mode(
+            "overwrite"
+        ).parquet(dest)
+        bc.destroy()
+
+
 def maintain_ann_index_stream(
     stream_df: DataFrame,
     index_path: str,
@@ -47,55 +109,27 @@ def maintain_ann_index_stream(
     artifacts to encode against must exist; an empty-built index
     raises in the first epoch, same as the batch append). NULL /
     zero-norm vectors are excluded by the encode kernels (the
-    degenerate-vector contract). Returns the started query."""
+    degenerate-vector contract). Returns the started query.
+
+    ``index_path`` here is a PLAIN index dir and epochs land inside it
+    (``<index_path>/codes_batches``) — right for a single-writer index
+    that is never compacted concurrently. For the compaction-safe
+    versioned layout (shared root epochs + manifest membership + the
+    committed serving pointer) use index_lifecycle.
+    maintain_serving_index_stream."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
 
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        import numpy as np
-
-        from kfai_pipeline_spark.operators import similarity as S
-
-        spark = batch_df.sparkSession
-        dest = f"{index_path}/codes_batches/batch_{batch_id}"
-        if kind == "sq8":
-            srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
-            mn = np.array(srow["__mn"], dtype=np.float64)
-            mx = np.array(srow["__mx"], dtype=np.float64)
-            if mn.size == 0:
-                raise ValueError(
-                    "cannot maintain an empty-built SQ8 index (no stats "
-                    "row) — seed it with write_sq8_index first"
-                )
-            S._sq8_encoded(batch_df, mn, mx, vec_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(dest)
-        else:
-            centroids, codebooks = S.load_ivfpq_meta(spark, index_path)
-            if not centroids or not codebooks:
-                raise ValueError(
-                    "cannot maintain an empty-built IVFPQ index (no "
-                    "trained books) — seed it with write_ivfpq_index first"
-                )
-            encoded, bc = S._ivfpq_encoded(
-                batch_df, centroids, codebooks, vec_col, id_col
-            )
-            # UNPARTITIONED epoch write, cluster_id as a plain column:
-            # a zero-row dynamic-partition write emits NO part files
-            # but still commits _SUCCESS (write_ivfpq_index's
-            # documented hazard class), and one all-degenerate
-            # micro-batch would then poison every later _codes_df read
-            # with UNABLE_TO_INFER_SCHEMA. A plain write always leaves
-            # a schema-bearing footer. Epochs are small between
-            # compactions, so the probe's cluster filter row-filters
-            # them (row-group stats still prune); partition-level
-            # pruning applies to the compacted base, which compaction
-            # restores.
-            encoded.repartition("cluster_id").write.mode(
-                "overwrite"
-            ).parquet(dest)
-            bc.destroy()
+        encode_epoch(
+            batch_df,
+            index_path,
+            f"{index_path}/codes_batches/batch_{batch_id}",
+            kind=kind,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)

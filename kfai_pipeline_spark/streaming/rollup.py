@@ -47,10 +47,16 @@ def _hadoop_path(spark: SparkSession, path_str: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _list_committed_versions(spark: SparkSession, snapshot_dir: str) -> list[int]:
-    """Versions whose parquet write COMPLETED (``v_N/_SUCCESS`` exists).
-    A version directory without the marker is a crashed-midway write and
-    must not be treated as committed."""
+def _list_committed_versions(
+    spark: SparkSession, snapshot_dir: str, marker: str = "_SUCCESS"
+) -> list[int]:
+    """Versions whose write COMPLETED (``v_N/<marker>`` exists). A
+    version directory without the marker is a crashed-midway write and
+    must not be treated as committed. ``marker`` defaults to parquet's
+    ``_SUCCESS`` (the rollup snapshot layout); the ANN serving-index
+    lifecycle passes ``_COMMITTED`` (its versions are multi-table
+    directories whose parquet ``_SUCCESS`` files live in SUBdirs, so
+    the version-level marker is written separately, last)."""
     fs, root, jvm = _hadoop_path(spark, snapshot_dir)
     if not fs.exists(root):
         return []
@@ -63,19 +69,23 @@ def _list_committed_versions(spark: SparkSession, snapshot_dir: str) -> list[int
             v = int(name[2:])
         except ValueError:
             continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}/_SUCCESS")):
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{name}/{marker}")
+        ):
             versions.append(v)
     return sorted(versions)
 
 
-def _read_latest_version(spark: SparkSession, snapshot_dir: str) -> int:
+def _read_latest_version(
+    spark: SparkSession, snapshot_dir: str, marker: str = "_SUCCESS"
+) -> int:
     fs, p, _ = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
     if not fs.exists(p):
         # Pointer lost (crash between delete and rename) or never written.
         # The pointer is only a cache — recover from the committed-version
         # listing so a lost pointer degrades to re-resolution, never to
         # silently restarting history at -1.
-        committed = _list_committed_versions(spark, snapshot_dir)
+        committed = _list_committed_versions(spark, snapshot_dir, marker)
         return committed[-1] if committed else -1
     stream = fs.open(p)
     try:

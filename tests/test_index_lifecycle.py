@@ -1,0 +1,267 @@
+"""Committed serving-pointer lifecycle for ANN indexes (X53,
+operators/index_lifecycle.py): versioned roots, shared stamped epochs,
+race-free compaction (included-or-still-served), drift-triggered
+rebuild, and opt-in GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kfai_pipeline_spark.operators.embed import hash_embed
+from kfai_pipeline_spark.operators.index_lifecycle import (
+    compact_serving_index,
+    init_serving_index,
+    maintain_serving_index_stream,
+    prune_serving_index,
+    rebuild_if_drifted,
+    rebuild_serving_index,
+    resolve_index_path,
+    serving_index_path,
+    serving_version,
+    write_serving_epoch,
+)
+from kfai_pipeline_spark.operators.similarity import read_index_manifest
+from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+
+COLS = ["doc_id", "video_id", "start_time", "score"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """90-doc chunk-grain corpus, deterministic hash embeddings —
+    the test_rag tiered fixture's shape without a prebuilt index."""
+    texts = [f"doc {i} about topic {i % 7} and theme {i % 5}" for i in range(90)]
+    vecs = hash_embed(texts)
+    rows = [
+        (
+            i,
+            f"v{i % 12}",
+            float((i // 12) * 30),
+            f"Show {i % 6}",
+            1_600_000_000 + i * 3600,
+            f"Title {i}",
+            texts[i],
+            [float(x) for x in vecs[i]],
+        )
+        for i in range(90)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, video_id string, start_time double, show_name string, "
+        "published_at long, title string, text string, embedding array<double>",
+    ).cache()
+
+
+def _serve(docs, root, k=10, refine=16, **kw):
+    qv = [float(x) for x in hash_embed(["topic 3 theme 2"])[0]]
+    return retrieve_tiered(
+        docs, qv, ParsedQuery(), k=k, id_col="doc_id", tier="ann",
+        index_path=root, refine=refine, **kw,
+    )
+
+
+def _brute(docs, k=10):
+    qv = [float(x) for x in hash_embed(["topic 3 theme 2"])[0]]
+    return retrieve_tiered(docs, qv, ParsedQuery(), k=k, tier="brute")
+
+
+def test_init_resolve_and_plain_passthrough(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lc_init")) + "/idx"
+    vpath = init_serving_index(corpus, root, kind="sq8")
+    assert vpath.endswith("/v_0")
+    assert serving_index_path(spark, root) == vpath
+    assert resolve_index_path(spark, root) == vpath
+    # a plain dir (no committed versions) passes through untouched
+    plain = str(tmp_path_factory.mktemp("lc_plain"))
+    assert resolve_index_path(spark, plain) == plain
+    # retrieval accepts the ROOT and serves the version
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want and len(got) == 10
+
+
+def test_epoch_append_serves_through_root(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lc_epoch")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_compact_race_epoch_included_or_still_served(
+    spark, corpus, tmp_path_factory
+):
+    """The round-9 verdict hazard, closed: an epoch committing AFTER
+    the compaction pins its fold set must still be served by the new
+    version (it is absent from the folded manifest and remains in the
+    shared directory) — never silently dropped."""
+    root = str(tmp_path_factory.mktemp("lc_race")) + "/idx"
+    thirds = [corpus.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    init_serving_index(thirds[0], root, kind="sq8")
+    write_serving_epoch(thirds[1], root, 0, kind="sq8")
+
+    def racing_epoch():
+        write_serving_epoch(thirds[2], root, 1, kind="sq8")
+
+    stats = compact_serving_index(
+        spark, root, kind="sq8", _after_pin=racing_epoch
+    )
+    assert stats["version"] == 1 and stats["folded_epochs"] == 1
+    m = read_index_manifest(spark, f"{root}/v_1")
+    assert m["folded"] == [0]  # the racing epoch is NOT folded...
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want  # ...but IS still served through the root
+    # the next compaction folds it into the base
+    stats2 = compact_serving_index(spark, root, kind="sq8")
+    assert stats2["version"] == 2 and stats2["folded_epochs"] == 1
+    assert read_index_manifest(spark, f"{root}/v_2")["folded"] == [0, 1]
+    got2 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got2 == want
+
+
+def test_pointer_lost_recovers_from_committed_listing(
+    spark, corpus, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("lc_ptr")) + "/idx"
+    init_serving_index(corpus, root, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")
+    os.remove(os.path.join(root, "_LATEST"))
+    assert serving_version(spark, root) == 1  # listing recovery, not -1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_rebuild_bumps_artifacts_and_retires_stale_epochs(
+    spark, corpus, tmp_path_factory
+):
+    from kfai_pipeline_spark.operators.similarity import _codes_df
+
+    root = str(tmp_path_factory.mktemp("lc_rebuild")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    rebuild_serving_index(corpus, root, kind="sq8")
+    assert serving_version(spark, root) == 1
+    m = read_index_manifest(spark, f"{root}/v_1")
+    assert m["artifacts_id"] == 1 and m["folded"] == []
+    # the old-lineage epoch is retired: the new version's codes hold
+    # exactly the corpus once (no double-serving of epoch docs)
+    assert _codes_df(spark, f"{root}/v_1").count() == corpus.count()
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_rebuild_if_drifted_policy(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lc_drift")) + "/idx"
+    init_serving_index(corpus, root, kind="sq8")
+    fresh = corpus.select("doc_id", "embedding")
+    out = rebuild_if_drifted(corpus, fresh, root, kind="sq8")
+    assert out["rebuilt"] is False and out["serving"].endswith("/v_0")
+    assert serving_version(spark, root) == 0
+    drifted = corpus.select(
+        "doc_id",
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    out2 = rebuild_if_drifted(corpus, drifted, root, kind="sq8")
+    assert out2["rebuilt"] is True and out2["serving"].endswith("/v_1")
+    assert out2["stats"]["frac_out_of_range"] > 0.05
+    assert serving_version(spark, root) == 1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lc_ivfpq")) + "/idx"
+    init_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    with pytest.raises(ValueError, match="min_p10_cos"):
+        rebuild_if_drifted(
+            corpus, corpus.select("doc_id", "embedding"), root, kind="ivfpq"
+        )
+    out = rebuild_if_drifted(
+        corpus, corpus.select("doc_id", "embedding"), root, kind="ivfpq",
+        min_p10_cos=-1.1,  # unreachable: confidence always >= -1
+    )
+    assert out["rebuilt"] is False
+
+
+def test_maintain_serving_index_stream(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("lc_stream"))
+    root = f"{base}/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", "embedding")
+    init_serving_index(even, root, kind="sq8")
+    odd.where(F.col("doc_id") < 45).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/src/f0"
+    )
+    odd.where(F.col("doc_id") >= 45).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/src/f1"
+    )
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/f*")
+    )
+    q = maintain_serving_index_stream(stream, root, f"{base}/ckpt", kind="sq8")
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+    # streamed epochs are stamped + shared: a compaction folds both
+    stats = compact_serving_index(spark, root, kind="sq8")
+    assert stats["folded_epochs"] == 2
+    got2 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got2 == want
+
+
+def test_prune_serving_index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lc_prune")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")  # v_1 folds epoch 0
+    out = prune_serving_index(spark, root, retain_versions=1)
+    assert out["versions_deleted"] == 1  # v_0 gone
+    assert out["epochs_deleted"] == 1  # epoch 0 folded everywhere retained
+    assert not os.path.exists(os.path.join(root, "v_0"))
+    assert not os.path.exists(
+        os.path.join(root, "codes_batches", "batch_0")
+    )
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="retain_versions"):
+        prune_serving_index(spark, root, retain_versions=0)
+
+
+def test_prune_keeps_epoch_servable_by_retained_version(
+    spark, corpus, tmp_path_factory
+):
+    """An epoch NOT folded into the newest version (committed after its
+    compaction pinned) must survive a prune — deleting it would drop
+    served documents."""
+    root = str(tmp_path_factory.mktemp("lc_prune2")) + "/idx"
+    thirds = [corpus.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    init_serving_index(thirds[0], root, kind="sq8")
+    write_serving_epoch(thirds[1], root, 0, kind="sq8")
+    compact_serving_index(
+        spark, root, kind="sq8",
+        _after_pin=lambda: write_serving_epoch(thirds[2], root, 1, kind="sq8"),
+    )
+    out = prune_serving_index(spark, root, retain_versions=1)
+    assert out["epochs_deleted"] == 1  # epoch 0 (folded) only
+    assert os.path.exists(os.path.join(root, "codes_batches", "batch_1"))
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want

@@ -295,6 +295,8 @@ _NESTED_LOOP_OK = {
     "q128_rag_index_append_sq8",    # the q121 shape over an appended index
     "q129_rag_index_append_ivfpq",  # the q125 shape over an appended index
     "q130_rag_index_stream",        # the q121 shape over a streamed index
+    "q133_rag_serving_lifecycle",   # the q121 shape over a versioned root
+    "q134_rag_drift_rebuild",       # the q121 shape post drift-rebuild
 }
 
 
