@@ -195,6 +195,37 @@ def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory
     assert out["rebuilt"] is False
 
 
+def test_ivfpq_root_epoch_compact_serves(spark, corpus, tmp_path_factory):
+    """The lifecycle is kind-agnostic: an IVFPQ root serves epochs
+    (unpartitioned stamped dirs row-filtered by the probe) and a
+    compaction folds them back into the cluster_id partition layout —
+    parity with brute throughout (exhaustive-probe regime)."""
+    root = str(tmp_path_factory.mktemp("lc_ivfpq2")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="ivfpq", n_clusters=4)
+    write_serving_epoch(odd, root, 0, kind="ivfpq")
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    got = sorted(
+        tuple(r)
+        for r in _serve(corpus, root, index_kind="ivfpq", nprobe=4)
+        .select(*COLS)
+        .collect()
+    )
+    assert got == want
+    stats = compact_serving_index(spark, root, kind="ivfpq")
+    assert stats["folded_epochs"] == 1
+    # the compacted base restores the partition layout the probe prunes
+    assert os.path.isdir(os.path.join(root, "v_1", "codes", "cluster_id=0"))
+    got2 = sorted(
+        tuple(r)
+        for r in _serve(corpus, root, index_kind="ivfpq", nprobe=4)
+        .select(*COLS)
+        .collect()
+    )
+    assert got2 == want
+
+
 def test_maintain_serving_index_stream(spark, corpus, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("lc_stream"))
     root = f"{base}/idx"
