@@ -67,8 +67,9 @@ from kfai_pipeline_spark.operators.similarity import (
     _EPOCH_ARTIFACTS,
     _compact_codes_write,
     _copy_index_artifacts,
-    _fs_read_text,
+    _epoch_stamp,
     _fs_write_text,
+    build_ann_index,
     read_index_manifest,
     write_index_manifest,
 )
@@ -123,35 +124,6 @@ def resolve_index_path(spark: SparkSession, path: str) -> str:
     return f"{path}/v_{v}" if v >= 0 else path
 
 
-def _build_index(
-    docs: DataFrame,
-    path: str,
-    kind: str,
-    vec_col: str,
-    id_col: str,
-    n_clusters: int,
-    m: int,
-) -> None:
-    # the rag.build_retrieval_index dispatch, local so operators/ does
-    # not import plans/ (same artifacts, same writers)
-    from kfai_pipeline_spark.operators import similarity as S
-
-    if kind == "sq8":
-        S.write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
-    elif kind == "ivfpq":
-        vectors = docs.select(id_col, vec_col)
-        centroids, codebooks = S.train_ivfpq(
-            vectors, n_clusters=n_clusters, m=m,
-            vec_col=vec_col, id_col=id_col,
-        )
-        S.write_ivfpq_index(
-            vectors, path, centroids, codebooks,
-            vec_col=vec_col, id_col=id_col,
-        )
-    else:
-        raise ValueError(f"unknown index kind: {kind!r}")
-
-
 def rebuild_serving_index(
     docs: DataFrame,
     root: str,
@@ -169,7 +141,17 @@ def rebuild_serving_index(
     ``artifacts_id`` bumps, so epochs encoded against the old
     artifacts stop being served (their codes are incompatible) and
     their documents must come from the rebuild itself. Epochs are
-    derived data; the corpus table is the source of truth.
+    derived data; the corpus table is the source of truth — which is
+    exactly why a maintainer committing an epoch DURING the rebuild is
+    a hazard: that epoch's documents may postdate the ``docs`` frame,
+    and retiring its codes would silently un-serve them (round-10
+    review catch). The rebuild therefore snapshots the committed-epoch
+    set up front and REFUSES to flip the pointer if new epochs appeared
+    meanwhile (RuntimeError; the built version stays
+    committed-but-unpointed, and a re-run with a refreshed ``docs``
+    frame overwrites it) — quiesce the maintainer across rebuilds, or
+    re-run until quiet. Compaction needs no such guard (membership
+    keeps racing epochs served); only the lineage bump does.
 
     Returns the new serving version's path."""
     spark = docs.sparkSession
@@ -182,10 +164,24 @@ def rebuild_serving_index(
     new_aid = (
         int(old_manifest["artifacts_id"]) + 1 if old_manifest is not None else 0
     )
+    before = {bid for bid, _, _ in _committed_epochs(spark, root)}
     _uncommit_version(spark, dest)
-    _build_index(docs, dest, kind, vec_col, id_col, n_clusters, m)
+    build_ann_index(
+        docs, dest, kind=kind, vec_col=vec_col, id_col=id_col,
+        n_clusters=n_clusters, m=m,
+    )
     write_index_manifest(spark, dest, new_aid, [])
     _commit_version(spark, dest)
+    raced = {bid for bid, _, _ in _committed_epochs(spark, root)} - before
+    if raced:
+        raise RuntimeError(
+            f"epochs {sorted(raced)} committed during the rebuild of "
+            f"{root!r}: their documents may postdate the rebuild corpus, "
+            "and flipping the pointer would silently un-serve them. The "
+            f"new version v_{new_v} is committed but NOT serving — "
+            "quiesce the maintainer and re-run the rebuild with a "
+            "refreshed corpus frame (the re-run overwrites it)."
+        )
     _write_latest_version(spark, root, new_v)
     return dest
 
@@ -272,7 +268,8 @@ def _committed_epochs(
     spark: SparkSession, root: str
 ) -> list[tuple[int, str, int | None]]:
     """(batch_id, path, artifacts stamp) of every committed shared
-    epoch; stamp is None when the sidecar has not landed yet."""
+    epoch; stamp is None when the sidecar has not landed (or is
+    unparsable — similarity._epoch_stamp's not-servable-yet rule)."""
     from kfai_pipeline_spark.operators.dedup import list_success_dirs
 
     out: list[tuple[int, str, int | None]] = []
@@ -283,8 +280,7 @@ def _committed_epochs(
             bid = int(name[len("batch_"):])
         except ValueError:
             continue
-        stamp = _fs_read_text(spark, f"{d}/{_EPOCH_ARTIFACTS}")
-        out.append((bid, d, int(stamp.strip()) if stamp is not None else None))
+        out.append((bid, d, _epoch_stamp(spark, d)))
     return out
 
 
@@ -447,7 +443,15 @@ def prune_serving_index(
 
     fs, _, jvm = _hadoop_path(spark, root)
     committed = _list_committed_versions(spark, root, marker=_COMMITTED)
-    keep = committed[-retain_versions:]
+    keep = set(committed[-retain_versions:])
+    # ALWAYS retain the pointer-resolved serving version: a rebuild
+    # that committed v_{N+1} but crashed (or refused) before the flip
+    # leaves the pointer at v_N — pruning by committed-newest alone
+    # would delete the version readers actually resolve (round-10
+    # review catch; rollup's own prune anchors on `latest` too)
+    serving = serving_version(spark, root)
+    if serving >= 0:
+        keep.add(serving)
     dropped = [v for v in committed if v not in keep]
     for v in dropped:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v_{v}"), True)

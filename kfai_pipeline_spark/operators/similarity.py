@@ -1226,15 +1226,28 @@ def _sq8_encoded(
 
 def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
     """Small-text write through the Hadoop FS API (works on any
-    cluster-reachable filesystem — the rollup.py I/O rule)."""
+    cluster-reachable filesystem — the rollup.py I/O rule). Write-temp
+    + rename so a reader never observes a half-written file: create()
+    makes the path visible EMPTY immediately, and an empty artifacts
+    stamp would otherwise crash every probe of its serving version
+    (round-10 review catch) rather than skip the epoch."""
+    import uuid
+
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path_str}.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"small-text swap failed: rename {tmp} -> {p}")
 
 
 def _fs_read_text(spark: SparkSession, path_str: str, max_bytes: int = 65536):
@@ -1331,11 +1344,24 @@ def _codes_df(spark: SparkSession, path: str) -> DataFrame:
                 continue
             if bid in folded:
                 continue
-            stamp = _fs_read_text(spark, f"{d}/{_EPOCH_ARTIFACTS}")
-            if stamp is None or int(stamp.strip()) != aid:
+            if _epoch_stamp(spark, d) != aid:
                 continue
             df = df.unionByName(spark.read.parquet(d))
     return df
+
+
+def _epoch_stamp(spark: SparkSession, epoch_dir: str):
+    """The epoch's artifacts-lineage stamp, or ``None`` when absent OR
+    unparsable — a torn/garbled stamp must read as "not servable yet",
+    never crash the probe (the write side is temp+rename, so this is
+    belt-and-braces for foreign writers)."""
+    txt = _fs_read_text(spark, f"{epoch_dir}/{_EPOCH_ARTIFACTS}")
+    if txt is None:
+        return None
+    try:
+        return int(txt.strip())
+    except ValueError:
+        return None
 
 
 def write_sq8_index(
@@ -1366,6 +1392,36 @@ def write_sq8_index(
     _sq8_encoded(vectors, mn, mx, vec_col, id_col).write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
+
+
+def build_ann_index(
+    docs: DataFrame,
+    path: str,
+    kind: str = "sq8",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    m: int = 8,
+) -> None:
+    """The ONE kind dispatch for building a persisted ANN index —
+    ``rag.build_retrieval_index`` (serving plans) and
+    index_lifecycle's versioned builds both delegate here, so adding
+    an index kind is one edit (round-10 review catch: two hand-synced
+    dispatch copies)."""
+    if kind == "sq8":
+        write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
+    elif kind == "ivfpq":
+        vectors = docs.select(id_col, vec_col)
+        centroids, codebooks = train_ivfpq(
+            vectors, n_clusters=n_clusters, m=m,
+            vec_col=vec_col, id_col=id_col,
+        )
+        write_ivfpq_index(
+            vectors, path, centroids, codebooks,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown index kind: {kind!r}")
 
 
 def index_drift_stats(
@@ -1543,6 +1599,15 @@ def compact_ann_index(
     Returns {files_before, files_after, n_rows}."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
+    if read_index_manifest(spark, src) is not None:
+        # a lifecycle serving VERSION: _codes_df would fold the shared
+        # root epochs while the sizing below never lists their bytes
+        # (undersized n_out -> one oversized file, the round-9 hazard),
+        # and the dest would escape the manifest protocol entirely
+        raise ValueError(
+            f"{src!r} is a lifecycle-managed serving version — compact "
+            "its ROOT with index_lifecycle.compact_serving_index"
+        )
     from kfai_pipeline_spark.operators.dedup import list_success_dirs
     from kfai_pipeline_spark.operators.partitioning import _list_data_files
 

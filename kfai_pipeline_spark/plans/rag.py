@@ -223,27 +223,12 @@ def build_retrieval_index(
     Either kind is built over the UNFILTERED corpus: the index serves
     every query; metadata predicates apply post-probe (see
     retrieve_tiered's filter-ordering note)."""
-    if kind == "sq8":
-        from kfai_pipeline_spark.operators.similarity import write_sq8_index
+    from kfai_pipeline_spark.operators.similarity import build_ann_index
 
-        write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
-    elif kind == "ivfpq":
-        from kfai_pipeline_spark.operators.similarity import (
-            train_ivfpq,
-            write_ivfpq_index,
-        )
-
-        vectors = docs.select(id_col, vec_col)
-        centroids, codebooks = train_ivfpq(
-            vectors, n_clusters=n_clusters, m=m,
-            vec_col=vec_col, id_col=id_col,
-        )
-        write_ivfpq_index(
-            vectors, path, centroids, codebooks,
-            vec_col=vec_col, id_col=id_col,
-        )
-    else:
-        raise ValueError(f"unknown index kind: {kind!r}")
+    build_ann_index(
+        docs, path, kind=kind, vec_col=vec_col, id_col=id_col,
+        n_clusters=n_clusters, m=m,
+    )
 
 
 def append_retrieval_index(
@@ -602,15 +587,23 @@ def retrieve_tiered_batch(
     qid = query_id_col
     if isinstance(parsed, dict):
         pred, known_ids = _per_query_predicate(parsed, qid)
+        # NULL ids must fail too: ~isin(...) evaluates to NULL for a
+        # NULL id, which where() drops — the row would dodge this scan
+        # AND the CASE (NULL condition -> otherwise(False)), silently
+        # scoring zero recall for that question (round-10 review catch)
         unknown = (
-            queries.where(~F.col(qid).isin(known_ids)).limit(1).collect()
+            queries.where(
+                F.col(qid).isNull() | ~F.col(qid).isin(known_ids)
+            )
+            .limit(1)
+            .collect()
         )
         if unknown:
             raise ValueError(
-                f"query id {unknown[0][0]!r} has no ParsedQuery in the "
-                "per-query filter mapping — every query in the batch "
-                "needs its compiled predicate (a missing entry would "
-                "otherwise silently retrieve nothing)"
+                f"query id {unknown[0][qid]!r} has no ParsedQuery in "
+                "the per-query filter mapping — every query in the "
+                "batch needs its compiled predicate (a missing entry "
+                "would otherwise silently retrieve nothing)"
             )
         shared_pred = None
     else:

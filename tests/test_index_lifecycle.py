@@ -276,6 +276,92 @@ def test_prune_serving_index(spark, corpus, tmp_path_factory):
         prune_serving_index(spark, root, retain_versions=0)
 
 
+def test_torn_epoch_stamp_reads_not_servable(spark, corpus, tmp_path_factory):
+    """Round-10 review fix: an empty/garbled _ARTIFACTS_ID stamp must
+    read as 'not servable yet' (epoch skipped), never crash the probe
+    — the write side is temp+rename, this pins the reader guard."""
+    root = str(tmp_path_factory.mktemp("lc_torn")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    with open(os.path.join(root, "codes_batches", "batch_0", "_ARTIFACTS_ID"), "w"):
+        pass  # truncate to empty — the torn-write shape
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(even).select(*COLS).collect())
+    assert got == want  # epoch skipped, seed half still serves
+
+
+def test_rebuild_refuses_pointer_flip_on_raced_epoch(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """Round-10 review fix: an epoch committing DURING a rebuild may
+    hold documents the rebuild corpus predates — the rebuild must
+    refuse the flip (committed-but-unpointed new version; re-run
+    overwrites it) instead of silently un-serving them."""
+    from kfai_pipeline_spark.operators import index_lifecycle as L
+
+    root = str(tmp_path_factory.mktemp("lc_raced")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+
+    real_build = L.build_ann_index
+
+    def build_with_racing_epoch(docs, path, **kw):
+        real_build(docs, path, **kw)
+        if "v_1" in path:  # only the rebuild's own build races
+            write_serving_epoch(odd, root, 7, kind="sq8")
+
+    monkeypatch.setattr(L, "build_ann_index", build_with_racing_epoch)
+    with pytest.raises(RuntimeError, match="committed during the rebuild"):
+        rebuild_serving_index(even, root, kind="sq8")
+    assert serving_version(spark, root) == 0  # pointer never flipped
+    monkeypatch.setattr(L, "build_ann_index", real_build)
+    # quiet re-run with the refreshed corpus overwrites v_1 and flips
+    rebuild_serving_index(corpus, root, kind="sq8")
+    assert serving_version(spark, root) == 1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_prune_retains_pointer_resolved_version(
+    spark, corpus, tmp_path_factory
+):
+    """Round-10 review fix: retention anchors on the SERVING pointer,
+    not just the newest committed version — a committed-but-unpointed
+    rebuild must not let prune delete the version readers resolve."""
+    from kfai_pipeline_spark.operators.similarity import _fs_write_text
+
+    root = str(tmp_path_factory.mktemp("lc_prune3")) + "/idx"
+    init_serving_index(corpus, root, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")  # v_1, pointer -> 1
+    # simulate the crash-before-flip shape: pointer back at v_0 while
+    # v_1 stays committed
+    _fs_write_text(spark, f"{root}/_LATEST", "0")
+    out = prune_serving_index(spark, root, retain_versions=1)
+    assert out["versions_deleted"] == 0  # v_0 serving, v_1 newest — both stay
+    assert os.path.isdir(os.path.join(root, "v_0"))
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_compact_ann_index_rejects_lifecycle_version(
+    spark, corpus, tmp_path_factory
+):
+    """Round-10 review fix: the plain-dir compactor must refuse a
+    manifest-carrying serving version (its sizing never lists the
+    shared epochs' bytes and its dest escapes the protocol)."""
+    from kfai_pipeline_spark.operators.similarity import compact_ann_index
+
+    root = str(tmp_path_factory.mktemp("lc_reject")) + "/idx"
+    vpath = init_serving_index(corpus, root, kind="sq8")
+    with pytest.raises(ValueError, match="compact_serving_index"):
+        compact_ann_index(spark, vpath, f"{root}/nope", kind="sq8")
+
+
 def test_prune_keeps_epoch_servable_by_retained_version(
     spark, corpus, tmp_path_factory
 ):

@@ -609,6 +609,17 @@ def test_retrieve_tiered_batch_per_query_filters_unknown_id_raises(
             docs, queries, {0: ParsedQuery()}, k=5, id_col="doc_id",
             index_path=idx, refine=16,
         )
+    # a NULL query id must fail the same validation — ~isin(NULL) is
+    # NULL and would otherwise dodge both the scan and the CASE,
+    # silently scoring zero recall (round-10 review fix)
+    null_q = spark.createDataFrame(
+        [(None, qv)], "query_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no ParsedQuery"):
+        retrieve_tiered_batch(
+            docs, null_q, {0: ParsedQuery()}, k=5, id_col="doc_id",
+            index_path=idx, refine=16,
+        )
 
 
 def test_retrieve_tiered_batch_ivfpq_kind(spark, tiered_docs, tmp_path_factory):
