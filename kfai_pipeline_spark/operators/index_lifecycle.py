@@ -39,7 +39,14 @@ stamped by the OLD artifacts hold incompatible codes and stop being
 served with the new version. That is correct because epochs are DERIVED
 data — the corpus table is the source of truth, and the rebuild's
 ``docs`` frame must be the full current corpus (which includes every
-document the old epochs encoded).
+document the old epochs encoded). Unlike compaction, a REBUILD does
+need a quiesced maintainer: an epoch committed mid-rebuild may hold
+documents the rebuild corpus predates, so the rebuild refuses (before
+commit, and again after the flip with rollback) when it detects one —
+see :func:`rebuild_serving_index` for the guard and its residual
+window. Maintenance ops (rebuild/compact/prune) are SINGLE-WRITER —
+schedule them from one window; concurrent INGEST (the maintainer) is
+the concurrency the membership protocol handles.
 
 Exactly-once composition with streaming: the maintainer's epoch dirs
 stay overwrite-idempotent ((content, batch_id)-pure), so a replayed
@@ -67,9 +74,9 @@ from kfai_pipeline_spark.operators.similarity import (
     _EPOCH_ARTIFACTS,
     _compact_codes_write,
     _copy_index_artifacts,
-    _epoch_stamp,
     _fs_write_text,
     build_ann_index,
+    list_epoch_dirs,
     read_index_manifest,
     write_index_manifest,
 )
@@ -146,12 +153,25 @@ def rebuild_serving_index(
     a hazard: that epoch's documents may postdate the ``docs`` frame,
     and retiring its codes would silently un-serve them (round-10
     review catch). The rebuild therefore snapshots the committed-epoch
-    set up front and REFUSES to flip the pointer if new epochs appeared
-    meanwhile (RuntimeError; the built version stays
-    committed-but-unpointed, and a re-run with a refreshed ``docs``
-    frame overwrites it) — quiesce the maintainer across rebuilds, or
-    re-run until quiet. Compaction needs no such guard (membership
-    keeps racing epochs served); only the lineage bump does.
+    set up front and REFUSES to proceed if old-lineage epochs appear —
+    checked BEFORE the version commits (an aborted attempt stays
+    uncommitted and invisible even to pointer-loss listing recovery)
+    and AGAIN after the flip (an epoch whose ``_SUCCESS`` lands in the
+    check-to-flip window is caught post-hoc: the pointer restores to
+    the old version — where that epoch still serves — and the new
+    version uncommits). The residual window is an epoch that commits
+    after the post-flip re-list with a PRE-flip artifacts resolution:
+    FS-only protocols cannot fence an in-flight writer, so the
+    operational contract stands — QUIESCE the maintainer across
+    rebuilds (only rebuilds: compaction's membership rule needs no
+    quiesce). A refused rebuild is re-run with a refreshed corpus
+    frame once quiet; the re-run overwrites the aborted attempt.
+
+    Maintenance ops (rebuild/compact/prune) are SINGLE-WRITER: run
+    them from one scheduled window. The pointer-stability check below
+    turns the worst concurrent-maintenance interleaving into a loud
+    error, but two writers racing the same dest dir is outside the
+    protocol (there is no commit coordinator).
 
     Returns the new serving version's path."""
     spark = docs.sparkSession
@@ -164,25 +184,53 @@ def rebuild_serving_index(
     new_aid = (
         int(old_manifest["artifacts_id"]) + 1 if old_manifest is not None else 0
     )
-    before = {bid for bid, _, _ in _committed_epochs(spark, root)}
+    before = {bid for bid, _, _ in list_epoch_dirs(spark, root)}
     _uncommit_version(spark, dest)
     build_ann_index(
         docs, dest, kind=kind, vec_col=vec_col, id_col=id_col,
         n_clusters=n_clusters, m=m,
     )
     write_index_manifest(spark, dest, new_aid, [])
-    _commit_version(spark, dest)
-    raced = {bid for bid, _, _ in _committed_epochs(spark, root)} - before
+    raced = {bid for bid, _, _ in list_epoch_dirs(spark, root)} - before
     if raced:
+        # BEFORE the commit marker: an aborted attempt must stay
+        # invisible — a committed-but-unpointed version would be
+        # resolved by pointer-loss listing recovery, silently retiring
+        # the raced epoch (round-10 high-review catch)
         raise RuntimeError(
             f"epochs {sorted(raced)} committed during the rebuild of "
             f"{root!r}: their documents may postdate the rebuild corpus, "
-            "and flipping the pointer would silently un-serve them. The "
-            f"new version v_{new_v} is committed but NOT serving — "
-            "quiesce the maintainer and re-run the rebuild with a "
-            "refreshed corpus frame (the re-run overwrites it)."
+            "and serving the new lineage would silently un-serve them. "
+            f"v_{new_v} is left UNCOMMITTED — quiesce the maintainer and "
+            "re-run the rebuild with a refreshed corpus frame."
         )
+    if serving_version(spark, root) != cur:
+        raise RuntimeError(
+            f"serving pointer of {root!r} moved during the rebuild — "
+            "another maintenance writer is live; maintenance ops are "
+            f"single-writer. v_{new_v} is left UNCOMMITTED."
+        )
+    _commit_version(spark, dest)
     _write_latest_version(spark, root, new_v)
+    # post-flip re-list: an old-lineage epoch whose _SUCCESS landed
+    # between the pre-commit check and the flip escaped the guard —
+    # roll back (the old version still serves that epoch) and refuse.
+    # New-lineage epochs (a maintainer that already resolved the new
+    # version) are healthy and pass.
+    raced2 = {
+        bid
+        for bid, _, stamp in list_epoch_dirs(spark, root)
+        if stamp is not None and stamp != new_aid
+    } - before
+    if raced2:
+        _write_latest_version(spark, root, cur)
+        _uncommit_version(spark, dest)
+        raise RuntimeError(
+            f"epochs {sorted(raced2)} committed in the rebuild's "
+            f"check-to-flip window for {root!r}: pointer restored to "
+            f"v_{cur} (which still serves them) and v_{new_v} "
+            "uncommitted — quiesce the maintainer and re-run."
+        )
     return dest
 
 
@@ -264,26 +312,6 @@ def maintain_serving_index_stream(
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)
 
 
-def _committed_epochs(
-    spark: SparkSession, root: str
-) -> list[tuple[int, str, int | None]]:
-    """(batch_id, path, artifacts stamp) of every committed shared
-    epoch; stamp is None when the sidecar has not landed (or is
-    unparsable — similarity._epoch_stamp's not-servable-yet rule)."""
-    from kfai_pipeline_spark.operators.dedup import list_success_dirs
-
-    out: list[tuple[int, str, int | None]] = []
-    for name, d in list_success_dirs(
-        spark, f"{root}/codes_batches", ("batch_",)
-    ):
-        try:
-            bid = int(name[len("batch_"):])
-        except ValueError:
-            continue
-        out.append((bid, d, _epoch_stamp(spark, d)))
-    return out
-
-
 def compact_serving_index(
     spark: SparkSession,
     root: str,
@@ -325,9 +353,11 @@ def compact_serving_index(
     folded_old = set(manifest["folded"])
     # pin the epoch set THIS compaction folds: committed, stamped with
     # this artifacts lineage, not already in the base
+    listing = list_epoch_dirs(spark, root)
+    live_ids = {bid for bid, _, _ in listing}
     pinned = [
         (bid, d)
-        for bid, d, stamp in _committed_epochs(spark, root)
+        for bid, d, stamp in listing
         if bid not in folded_old and stamp == aid
     ]
     if _after_pin is not None:
@@ -349,9 +379,22 @@ def compact_serving_index(
         spark, codes, files, dest, kind, target_bytes
     )
     _copy_index_artifacts(spark, src, dest, kind)
-    write_index_manifest(
-        spark, dest, aid, sorted(folded_old | {bid for bid, _ in pinned})
-    )
+    # folded is bounded to epochs that still EXIST: membership only
+    # matters for dirs a probe could list, so ids of GC'd epochs drop
+    # out here — without this the list grows monotonically forever
+    # (~1440 epochs/day at a 1-minute trigger) until the manifest
+    # outgrows any read bound (round-10 high-review catch). An epoch
+    # committing after the pin is in live_ids but NOT pinned, so it
+    # stays out of folded and keeps being served — the race rule is
+    # untouched.
+    folded_new = (folded_old & live_ids) | {bid for bid, _ in pinned}
+    write_index_manifest(spark, dest, aid, sorted(folded_new))
+    if serving_version(spark, root) != cur:
+        raise RuntimeError(
+            f"serving pointer of {root!r} moved during the compaction — "
+            "another maintenance writer is live; maintenance ops are "
+            f"single-writer. v_{new_v} is left UNCOMMITTED."
+        )
     _commit_version(spark, dest)
     _write_latest_version(spark, root, new_v)
     return {
@@ -460,7 +503,7 @@ def prune_serving_index(
     ]
     manifests = [m for m in manifests if m is not None]
     epochs_deleted = 0
-    for bid, d, stamp in _committed_epochs(spark, root):
+    for bid, d, stamp in list_epoch_dirs(spark, root):
         if stamp is None:
             continue
         servable_somewhere = any(

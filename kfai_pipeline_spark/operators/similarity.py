@@ -1250,24 +1250,33 @@ def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
         raise IOError(f"small-text swap failed: rename {tmp} -> {p}")
 
 
-def _fs_read_text(spark: SparkSession, path_str: str, max_bytes: int = 65536):
+def _fs_read_text(
+    spark: SparkSession, path_str: str, max_bytes: int = 64 * 1024 * 1024
+):
     """Small-text read through the Hadoop FS API; ``None`` when the
-    file does not exist."""
+    file does not exist. Bulk-copied via IOUtils (a byte-per-py4j-call
+    loop costs O(bytes) JVM round trips — round-10 review catch), and
+    a file PAST ``max_bytes`` raises instead of silently truncating:
+    a manifest cut mid-JSON would otherwise crash every probe of its
+    serving version with a parse error that looks like corruption."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
+    size = fs.getFileStatus(p).getLen()
+    if size > max_bytes:
+        raise ValueError(
+            f"{path_str!r} is {size} bytes (> {max_bytes}) — refusing a "
+            "truncated read"
+        )
     stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
     try:
-        out = bytearray()
-        b = stream.read()
-        while b != -1 and len(out) < max_bytes:
-            out.append(b)
-            b = stream.read()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
     finally:
         stream.close()
-    return bytes(out).decode("utf-8")
+    return bytes(baos.toByteArray()).decode("utf-8")
 
 
 _MANIFEST = "_MANIFEST"
@@ -1335,16 +1344,8 @@ def _codes_df(spark: SparkSession, path: str) -> DataFrame:
         root = path.rstrip("/").rsplit("/", 1)[0]
         folded = set(manifest["folded"])
         aid = int(manifest["artifacts_id"])
-        for name, d in list_success_dirs(
-            spark, f"{root}/codes_batches", ("batch_",)
-        ):
-            try:
-                bid = int(name[len("batch_"):])
-            except ValueError:
-                continue
-            if bid in folded:
-                continue
-            if _epoch_stamp(spark, d) != aid:
+        for bid, d, stamp in list_epoch_dirs(spark, root):
+            if bid in folded or stamp != aid:
                 continue
             df = df.unionByName(spark.read.parquet(d))
     return df
@@ -1362,6 +1363,29 @@ def _epoch_stamp(spark: SparkSession, epoch_dir: str):
         return int(txt.strip())
     except ValueError:
         return None
+
+
+def list_epoch_dirs(
+    spark: SparkSession, root: str
+) -> list[tuple[int, str, int | None]]:
+    """(batch_id, path, artifacts stamp) of every COMMITTED shared
+    epoch under ``<root>/codes_batches`` — the ONE home of the
+    bid-parse + stamp-read rule, shared by the probe-side union above
+    and every index_lifecycle maintenance op (round-10 review catch:
+    two hand-synced copies). ``stamp`` is None when the sidecar has
+    not landed or is unparsable (not-servable-yet)."""
+    from kfai_pipeline_spark.operators.dedup import list_success_dirs
+
+    out: list[tuple[int, str, int | None]] = []
+    for name, d in list_success_dirs(
+        spark, f"{root}/codes_batches", ("batch_",)
+    ):
+        try:
+            bid = int(name[len("batch_"):])
+        except ValueError:
+            continue
+        out.append((bid, d, _epoch_stamp(spark, d)))
+    return out
 
 
 def write_sq8_index(

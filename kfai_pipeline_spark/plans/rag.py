@@ -825,15 +825,20 @@ def retrieve_multi_topic(
             # are identical to the loop (the batch arm's twin-sync
             # contract + the q127 oracle), so only the scan count
             # changes.
-            branch_rows = []
+            branch_queries = []
             per_branch: dict[int, ParsedQuery] = {}
             for i, topic in enumerate(parsed.topics):
                 others = [t for t in parsed.topics if t != topic]
-                branch_query = ", ".join(others) if others else question
-                branch_rows.append(
-                    (i, [float(x) for x in embedder([branch_query])[0]])
-                )
+                branch_queries.append(", ".join(others) if others else question)
                 per_branch[i] = replace(parsed, topics=[topic])
+            # ONE embedder call for all branches — the interface is
+            # list-in/list-out, and B sequential model round-trips per
+            # question would reintroduce on the embedding side the
+            # per-call latency the batched arm exists to kill
+            branch_rows = [
+                (i, [float(x) for x in v])
+                for i, v in enumerate(embedder(branch_queries))
+            ]
             qdf = docs.sparkSession.createDataFrame(
                 branch_rows, "query_id int, embedding array<double>"
             )
