@@ -405,6 +405,38 @@ SECTIONS = [
         "produces the monitor row -- no Python, no shuffle beyond the "
         "single-row final combine.",
     ),
+    (
+        "q132_rag_tiered_batch_filters",
+        "Per-query metadata predicates in the batched serving arm (X50e)",
+        "The q126 plan with the shared predicate replaced by ONE CASE "
+        "expression over query_id (a branch per DISTINCT predicate "
+        "template, evaluated inside WholeStageCodegen on the tiny "
+        "candidate frame after the broadcast doc join binds "
+        "query_id): the codes scan stays one-per-round for all "
+        "pending queries, the corpus never shuffles, and predicate "
+        "cost scales with templates, not query count.",
+    ),
+    (
+        "q133_rag_serving_lifecycle",
+        "Committed serving-pointer lifecycle (X53)",
+        "The q121 probe plan over a RESOLVED serving version: one "
+        "pointer read picks root/v_N, whose manifest admits exactly "
+        "the committed shared epochs it has not folded (membership, "
+        "not locking — a racing epoch stays served). Post-compaction "
+        "the member union collapses back to the compacted base scan; "
+        "the plan is byte-identical to q121's shape either way.",
+    ),
+    (
+        "q134_rag_drift_rebuild",
+        "Drift-triggered rebuild (X53b)",
+        "The q131 monitor aggregate decides; on breach the rebuild is "
+        "a fresh build_ann_index into v_{N+1} (encode map stage + "
+        "artifact writes, no touch of the old version) and an atomic "
+        "pointer flip — serving then probes the new version with the "
+        "unchanged q121 plan. The decision costs one narrow scan of "
+        "the incoming batch; the rebuild costs what the initial build "
+        "cost, never more.",
+    ),
 ]
 
 
