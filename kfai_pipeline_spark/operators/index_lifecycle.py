@@ -292,18 +292,73 @@ def maintain_serving_index_stream(
     kind: str = "sq8",
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    corpus_fn=None,
+    max_frac_out_of_range: float = 0.05,
+    min_p10_cos: float | None = None,
+    n_clusters: int = 16,
+    m: int = 8,
 ):
     """The versioned twin of streaming/index_maintain.py's maintainer:
     each micro-batch lands as a SHARED root-level epoch stamped with
     the serving artifacts lineage, so compaction and rebuild can run
     concurrently with ingest (membership rules above). Returns the
-    started AvailableNow query."""
+    started AvailableNow query.
+
+    ``corpus_fn`` (X53c — the SELF-HEALING maintainer) arms the drift
+    policy inside the fold: each micro-batch is measured against the
+    serving artifacts FIRST (:func:`rebuild_if_drifted` — the q131
+    measurement, the q134 policy); on breach the index retrains from
+    ``corpus_fn()`` into ``v_{N+1}`` and the batch's epoch is NOT
+    written (its documents serve from the rebuilt base); otherwise the
+    batch lands as a plain epoch. This is the one place the rebuild's
+    quiesce requirement holds BY CONSTRUCTION: the fold is the index's
+    only epoch writer and it is synchronous, so no epoch can commit
+    mid-rebuild.
+
+    Contract for ``corpus_fn``: a zero-arg callable returning the FULL
+    current corpus frame INCLUDING the triggering micro-batch's
+    documents — i.e. the ingest lands documents in the corpus table
+    before (or transactionally with) this maintainer's trigger, which
+    is the natural shape when ``stream_df`` is a stream OVER the corpus
+    table. Evaluated lazily, only on breach.
+
+    Replay residual (documented, not fenced): a crash after the
+    rebuild's pointer flip but before the streaming checkpoint commits
+    replays the boundary batch, which then measures fresh against the
+    NEW artifacts and lands as an epoch whose documents the rebuilt
+    base already serves. Duplicate id rows in the codes are collapsed
+    by the serving plan's dedup stage (retrieve_tiered's
+    (video_id, start_time) window), so results stay correct; the next
+    rebuild clears the duplicate codes. A rebuild inside a trigger also
+    means THAT trigger pays the full retrain — callers that need flat
+    trigger latency keep ``corpus_fn=None`` and schedule
+    :func:`rebuild_if_drifted` from the maintenance window instead.
+
+    Breach policy knobs mirror :func:`rebuild_if_drifted`:
+    ``max_frac_out_of_range`` (sq8), ``min_p10_cos`` (ivfpq —
+    REQUIRED when armed, checked eagerly so a misconfigured maintainer
+    fails at start, not at the first drifted batch)."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
+    if corpus_fn is not None and kind == "ivfpq" and min_p10_cos is None:
+        raise ValueError(
+            "ivfpq drift policy needs min_p10_cos — routing confidence "
+            "is corpus-relative, so the build-time baseline is the "
+            "caller's to supply"
+        )
 
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if corpus_fn is not None:
+            res = rebuild_if_drifted(
+                corpus_fn(), batch_df, root, kind=kind,
+                max_frac_out_of_range=max_frac_out_of_range,
+                min_p10_cos=min_p10_cos, vec_col=vec_col, id_col=id_col,
+                n_clusters=n_clusters, m=m,
+            )
+            if res["rebuilt"]:
+                return
         write_serving_epoch(
             batch_df, root, batch_id, kind=kind, vec_col=vec_col,
             id_col=id_col,

@@ -382,3 +382,130 @@ def test_prune_keeps_epoch_servable_by_retained_version(
     got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
     assert got == want
+
+
+def test_selfheal_stream_epoch_then_rebuild(spark, corpus, tmp_path_factory):
+    """X53c — the drift-ARMED maintainer: a fresh micro-batch lands as
+    a stamped epoch; a drifted one triggers an in-fold rebuild from the
+    corpus table (the fold is the only epoch writer, so the rebuild's
+    quiesce requirement holds by construction) and its epoch is
+    skipped. Two sequential AvailableNow runs over ONE checkpoint pin
+    the batch order deterministically (a two-file single run would
+    depend on the source's file ordering).
+
+    The fresh batch is CLIPPED into the seed's per-dim [min, max]: a
+    raw odd half legitimately overshoots a 45-doc seed's range (the
+    q134 quiet-arm lesson), so only clipping makes its no-fire decision
+    fixture-independent."""
+    import numpy as np
+
+    from kfai_pipeline_spark.operators.similarity import list_epoch_dirs
+
+    base = str(tmp_path_factory.mktemp("lc_heal"))
+    root = f"{base}/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    init_serving_index(even, root, kind="sq8")
+    srow = spark.read.parquet(f"{root}/v_0/stats").collect()[0]
+    mn = np.array(srow["__mn"], dtype=np.float64)
+    mx = np.array(srow["__mx"], dtype=np.float64)
+    odd_a = corpus.where(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 45)
+    )
+    odd_b = corpus.where(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 45)
+    )
+    clipped = {
+        r["doc_id"]: [
+            float(x) for x in np.clip(np.array(r["embedding"]), mn, mx)
+        ]
+        for r in odd_a.select("doc_id", "embedding").collect()
+    }
+    clip_df = spark.createDataFrame(
+        sorted(clipped.items()), "doc_id long, embedding array<double>"
+    )
+    # the corpus table the rebuild retrains from: odd_a carries its
+    # CLIPPED vectors (they are that document's content in this test)
+    corpus2 = (
+        corpus.drop("embedding")
+        .join(
+            clip_df.unionByName(
+                corpus.where(
+                    ~F.col("doc_id").isin(list(clipped))
+                ).select("doc_id", "embedding")
+            ),
+            "doc_id",
+        )
+    )
+    kw = dict(
+        kind="sq8", corpus_fn=lambda: corpus2, max_frac_out_of_range=0.05
+    )
+    # run 1: only the fresh (clipped) batch exists -> epoch, no rebuild
+    clip_df.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/f0")
+    schema = "doc_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/f*")
+    )
+    maintain_serving_index_stream(
+        stream, root, f"{base}/ckpt", **kw
+    ).awaitTermination()
+    assert serving_version(spark, root) == 0
+    epochs = list_epoch_dirs(spark, root)
+    assert [(bid, stamp) for bid, _, stamp in epochs] == [(0, 0)]
+    ingested = corpus2.where(F.col("doc_id") % 2 == 0).unionByName(
+        corpus2.where(F.col("doc_id").isin(list(clipped)))
+    )
+    got = sorted(
+        tuple(r) for r in _serve(ingested, root).select(*COLS).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _brute(ingested).select(*COLS).collect()
+    )
+    assert got == want
+    # run 2 (same checkpoint): the x3-drifted batch arrives -> the fold
+    # rebuilds from corpus2 into v_1 and skips the batch's epoch
+    odd_b.select(
+        "doc_id",
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/src/f1")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/f*")
+    )
+    maintain_serving_index_stream(
+        stream2, root, f"{base}/ckpt", **kw
+    ).awaitTermination()
+    assert serving_version(spark, root) == 1
+    assert read_index_manifest(spark, f"{root}/v_1")["artifacts_id"] == 1
+    # no epoch was written for the drifted batch, and the fresh batch's
+    # epoch is retired by stamp mismatch (its docs serve from v_1's base)
+    epochs2 = list_epoch_dirs(spark, root)
+    assert [(bid, stamp) for bid, _, stamp in epochs2] == [(0, 0)]
+    got2 = sorted(
+        tuple(r) for r in _serve(corpus2, root).select(*COLS).collect()
+    )
+    want2 = sorted(
+        tuple(r) for r in _brute(corpus2).select(*COLS).collect()
+    )
+    assert got2 == want2
+
+
+def test_selfheal_stream_ivfpq_needs_baseline_eagerly(
+    spark, corpus, tmp_path_factory
+):
+    """An armed ivfpq maintainer without min_p10_cos must fail at
+    START (misconfiguration), not at the first drifted batch."""
+    base = str(tmp_path_factory.mktemp("lc_heal_cfg"))
+    corpus.select("doc_id", "embedding").limit(1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/src/f0")
+    stream = spark.readStream.schema(
+        "doc_id long, embedding array<double>"
+    ).parquet(f"{base}/src/f*")
+    with pytest.raises(ValueError, match="min_p10_cos"):
+        maintain_serving_index_stream(
+            stream, f"{base}/idx", f"{base}/ckpt", kind="ivfpq",
+            corpus_fn=lambda: corpus,
+        )
