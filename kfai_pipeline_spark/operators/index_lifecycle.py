@@ -139,6 +139,7 @@ def rebuild_serving_index(
     id_col: str = "doc_id",
     n_clusters: int = 16,
     m: int = 8,
+    routing_sample_mod: int = 1,
 ) -> str:
     """(Re)train + encode ``docs`` into a fresh committed version and
     flip the serving pointer — both the FIRST build (v_0) and the
@@ -173,7 +174,21 @@ def rebuild_serving_index(
     error, but two writers racing the same dest dir is outside the
     protocol (there is no commit coordinator).
 
+    ``kind="ivfpq"`` also measures the build corpus's OWN routing
+    confidence against the freshly trained coarse book and stores its
+    p10 as ``routing_baseline`` in the version manifest — the
+    corpus-relative number :func:`rebuild_if_drifted`'s default policy
+    needs, captured at the only moment it is well-defined (build time,
+    same corpus, same artifacts). ``routing_sample_mod`` thins the
+    measurement to a deterministic 1/mod hash sample of ``docs``
+    (a p10 over an unbiased sample is the statistic itself; at 10^10
+    vectors the full-corpus pass would double the build's routing
+    GEMM for no extra information).
+
     Returns the new serving version's path."""
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+    from kfai_pipeline_spark.operators.similarity import index_drift_stats
+
     spark = docs.sparkSession
     cur = serving_version(spark, root)
     new_v = cur + 1
@@ -190,7 +205,27 @@ def rebuild_serving_index(
         docs, dest, kind=kind, vec_col=vec_col, id_col=id_col,
         n_clusters=n_clusters, m=m,
     )
-    write_index_manifest(spark, dest, new_aid, [])
+    extra = None
+    if kind == "ivfpq":
+        from pyspark.sql import functions as F
+
+        sample = docs
+        if routing_sample_mod > 1:
+            sample = docs.where(
+                F.xxhash64(F.col(id_col).cast("string"))
+                % routing_sample_mod
+                == 0
+            )
+        scope = CacheScope()
+        try:
+            brow = index_drift_stats(
+                sample, dest, kind="ivfpq", vec_col=vec_col, id_col=id_col,
+                scope=scope,
+            ).collect()[0]
+        finally:
+            scope.release()
+        extra = {"routing_baseline": float(brow["p10_best_cos"])}
+    write_index_manifest(spark, dest, new_aid, [], extra=extra)
     raced = {bid for bid, _, _ in list_epoch_dirs(spark, root)} - before
     if raced:
         # BEFORE the commit marker: an aborted attempt must stay
@@ -242,12 +277,13 @@ def init_serving_index(
     id_col: str = "doc_id",
     n_clusters: int = 16,
     m: int = 8,
+    routing_sample_mod: int = 1,
 ) -> str:
     """First build of a serving root (v_0 + manifest + pointer) —
     :func:`rebuild_serving_index` with intent-revealing spelling."""
     return rebuild_serving_index(
         docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
-        n_clusters=n_clusters, m=m,
+        n_clusters=n_clusters, m=m, routing_sample_mod=routing_sample_mod,
     )
 
 
@@ -295,8 +331,10 @@ def maintain_serving_index_stream(
     corpus_fn=None,
     max_frac_out_of_range: float = 0.05,
     min_p10_cos: float | None = None,
+    ivfpq_margin: float = 0.05,
     n_clusters: int = 16,
     m: int = 8,
+    routing_sample_mod: int = 1,
 ):
     """The versioned twin of streaming/index_maintain.py's maintainer:
     each micro-batch lands as a SHARED root-level epoch stamped with
@@ -335,17 +373,29 @@ def maintain_serving_index_stream(
     :func:`rebuild_if_drifted` from the maintenance window instead.
 
     Breach policy knobs mirror :func:`rebuild_if_drifted`:
-    ``max_frac_out_of_range`` (sq8), ``min_p10_cos`` (ivfpq —
-    REQUIRED when armed, checked eagerly so a misconfigured maintainer
-    fails at start, not at the first drifted batch)."""
+    ``max_frac_out_of_range`` (sq8); ``min_p10_cos`` / ``ivfpq_margin``
+    (ivfpq — when ``min_p10_cos`` is None the serving manifest must
+    carry a ``routing_baseline``, checked EAGERLY so a misconfigured
+    maintainer fails at start, not at the first drifted batch; the
+    in-fold policy then re-reads the CURRENT manifest each batch, so
+    the threshold tracks rebuilds). ``routing_sample_mod`` thins the
+    post-rebuild baseline measurement (see
+    :func:`rebuild_serving_index`)."""
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
     if corpus_fn is not None and kind == "ivfpq" and min_p10_cos is None:
-        raise ValueError(
-            "ivfpq drift policy needs min_p10_cos — routing confidence "
-            "is corpus-relative, so the build-time baseline is the "
-            "caller's to supply"
+        spark = stream_df.sparkSession
+        v = serving_version(spark, root)
+        manifest = (
+            read_index_manifest(spark, f"{root}/v_{v}") if v >= 0 else None
         )
+        if manifest is None or manifest.get("routing_baseline") is None:
+            raise ValueError(
+                "ivfpq drift policy needs min_p10_cos — routing "
+                "confidence is corpus-relative, and this root's serving "
+                "manifest carries no routing_baseline to default from "
+                "(build it with init_serving_index(kind='ivfpq') first)"
+            )
 
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
@@ -354,8 +404,10 @@ def maintain_serving_index_stream(
             res = rebuild_if_drifted(
                 corpus_fn(), batch_df, root, kind=kind,
                 max_frac_out_of_range=max_frac_out_of_range,
-                min_p10_cos=min_p10_cos, vec_col=vec_col, id_col=id_col,
+                min_p10_cos=min_p10_cos, ivfpq_margin=ivfpq_margin,
+                vec_col=vec_col, id_col=id_col,
                 n_clusters=n_clusters, m=m,
+                routing_sample_mod=routing_sample_mod,
             )
             if res["rebuilt"]:
                 return
@@ -443,7 +495,17 @@ def compact_serving_index(
     # stays out of folded and keeps being served — the race rule is
     # untouched.
     folded_new = (folded_old & live_ids) | {bid for bid, _ in pinned}
-    write_index_manifest(spark, dest, aid, sorted(folded_new))
+    # version-level facts beyond the two core keys (e.g. the ivfpq
+    # routing_baseline) describe the ARTIFACTS, which compaction copies
+    # verbatim — carry them into the new manifest unchanged
+    carried = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("artifacts_id", "folded")
+    }
+    write_index_manifest(
+        spark, dest, aid, sorted(folded_new), extra=carried or None
+    )
     if serving_version(spark, root) != cur:
         raise RuntimeError(
             f"serving pointer of {root!r} moved during the compaction — "
@@ -468,10 +530,12 @@ def rebuild_if_drifted(
     kind: str = "sq8",
     max_frac_out_of_range: float = 0.05,
     min_p10_cos: float | None = None,
+    ivfpq_margin: float = 0.05,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
     n_clusters: int = 16,
     m: int = 8,
+    routing_sample_mod: int = 1,
     scope=None,
 ) -> dict:
     """The drift DECISION wired to the drift MEASUREMENT
@@ -484,10 +548,16 @@ def rebuild_if_drifted(
 
     Breach policy: sq8 — ``frac_out_of_range > max_frac_out_of_range``
     (saturating rows degrade approximate scores); ivfpq —
-    ``p10_best_cos < min_p10_cos`` (routing confidence below the
-    caller's build-time baseline; REQUIRED for ivfpq since confidence
-    is corpus-relative). A quiet/empty ingest window reads as zero
-    drift by index_drift_stats' contract and never trips a rebuild.
+    ``p10_best_cos < min_p10_cos``. When ``min_p10_cos`` is None the
+    ivfpq threshold defaults to the serving manifest's
+    ``routing_baseline`` (the build corpus's own p10 confidence,
+    stored by :func:`rebuild_serving_index`) minus ``ivfpq_margin`` —
+    like-for-like by construction, no caller magic number. A manifest
+    WITHOUT a baseline (a root built before this field existed, or an
+    sq8-then-ivfpq mix) still raises: routing confidence is
+    corpus-relative, and guessing a threshold turns the policy into a
+    coin flip. A quiet/empty ingest window reads as zero drift by
+    index_drift_stats' contract and never trips a rebuild.
 
     Returns {rebuilt, stats, serving}."""
     from kfai_pipeline_spark.operators.similarity import index_drift_stats
@@ -495,11 +565,18 @@ def rebuild_if_drifted(
     spark = docs.sparkSession
     vpath = serving_index_path(spark, root)
     if kind == "ivfpq" and min_p10_cos is None:
-        raise ValueError(
-            "ivfpq drift policy needs min_p10_cos — routing confidence "
-            "is corpus-relative, so the build-time baseline is the "
-            "caller's to supply"
-        )
+        manifest = read_index_manifest(spark, vpath)
+        base = None if manifest is None else manifest.get("routing_baseline")
+        if base is None:
+            raise ValueError(
+                "ivfpq drift policy needs min_p10_cos — routing "
+                "confidence is corpus-relative. Either pass the "
+                "build-time baseline explicitly, or (re)build the root "
+                "via init_serving_index/rebuild_serving_index with "
+                "kind='ivfpq', which stores a routing_baseline in the "
+                "version manifest for this default to read"
+            )
+        min_p10_cos = float(base) - ivfpq_margin
     stats = (
         index_drift_stats(
             incoming, vpath, kind=kind, vec_col=vec_col, id_col=id_col,
@@ -516,7 +593,7 @@ def rebuild_if_drifted(
         return {"rebuilt": False, "stats": stats, "serving": vpath}
     new_path = rebuild_serving_index(
         docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
-        n_clusters=n_clusters, m=m,
+        n_clusters=n_clusters, m=m, routing_sample_mod=routing_sample_mod,
     )
     return {"rebuilt": True, "stats": stats, "serving": new_path}
 

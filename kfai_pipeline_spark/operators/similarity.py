@@ -1296,17 +1296,20 @@ def read_index_manifest(spark: SparkSession, index_dir: str):
 
 
 def write_index_manifest(
-    spark: SparkSession, index_dir: str, artifacts_id: int, folded
+    spark: SparkSession, index_dir: str, artifacts_id: int, folded,
+    extra: dict | None = None,
 ) -> None:
+    """``extra`` merges additional version-level facts into the
+    manifest — e.g. the ivfpq ``routing_baseline`` (the build corpus's
+    own p10 routing confidence, measured by index_lifecycle.
+    rebuild_serving_index) that rebuild_if_drifted's default policy
+    compares incoming batches against. The two core keys win on
+    collision."""
     import json
 
-    _fs_write_text(
-        spark,
-        f"{index_dir}/{_MANIFEST}",
-        json.dumps(
-            {"artifacts_id": int(artifacts_id), "folded": sorted(folded)}
-        ),
-    )
+    doc = dict(extra or {})
+    doc.update({"artifacts_id": int(artifacts_id), "folded": sorted(folded)})
+    _fs_write_text(spark, f"{index_dir}/{_MANIFEST}", json.dumps(doc))
 
 
 def _codes_df(spark: SparkSession, path: str) -> DataFrame:

@@ -182,8 +182,15 @@ def test_rebuild_if_drifted_policy(spark, corpus, tmp_path_factory):
 
 
 def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory):
+    """An ivfpq root WITHOUT a stored routing_baseline (pre-field
+    manifest) still refuses a default policy; an explicit threshold
+    always works."""
+    from kfai_pipeline_spark.operators.similarity import write_index_manifest
+
     root = str(tmp_path_factory.mktemp("lc_ivfpq")) + "/idx"
     init_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    # strip the baseline: simulate a root built before the field existed
+    write_index_manifest(spark, f"{root}/v_0", 0, [])
     with pytest.raises(ValueError, match="min_p10_cos"):
         rebuild_if_drifted(
             corpus, corpus.select("doc_id", "embedding"), root, kind="ivfpq"
@@ -193,6 +200,53 @@ def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory
         min_p10_cos=-1.1,  # unreachable: confidence always >= -1
     )
     assert out["rebuilt"] is False
+
+
+def test_ivfpq_routing_baseline_default_policy(spark, corpus, tmp_path_factory):
+    """The build stores its corpus's own p10 routing confidence in the
+    manifest (routing_baseline); rebuild_if_drifted's default ivfpq
+    policy reads it — no caller magic number. Compaction carries the
+    baseline verbatim (artifacts are copied verbatim); a rebuild
+    remeasures it against the new books."""
+    root = str(tmp_path_factory.mktemp("lc_base")) + "/idx"
+    init_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    m0 = read_index_manifest(spark, f"{root}/v_0")
+    assert 0.0 < m0["routing_baseline"] <= 1.0
+    # fresh incoming == the build corpus: p10 equals the baseline, so
+    # baseline - margin never breaches — deterministic no-fire
+    fresh = rebuild_if_drifted(
+        corpus, corpus.select("doc_id", "embedding"), root, kind="ivfpq"
+    )
+    assert fresh["rebuilt"] is False
+    assert fresh["stats"]["p10_best_cos"] >= m0["routing_baseline"] - 0.05
+    # margin 0 + an off-manifold batch: fires iff measured below the
+    # stored baseline — the wiring, asserted against the measurement
+    off = spark.createDataFrame(
+        [
+            (1000 + i, [1.0 if (j + i) % 2 == 0 else -1.0 for j in range(64)])
+            for i in range(8)
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = rebuild_if_drifted(corpus, off, root, kind="ivfpq", ivfpq_margin=0.0)
+    assert out["rebuilt"] == (
+        out["stats"]["p10_best_cos"] < m0["routing_baseline"]
+    )
+    # deterministic fire: a threshold above any reachable cosine
+    if not out["rebuilt"]:
+        out = rebuild_if_drifted(
+            corpus, off, root, kind="ivfpq", min_p10_cos=1.1
+        )
+        assert out["rebuilt"] is True
+    assert serving_version(spark, root) == 1
+    m1 = read_index_manifest(spark, f"{root}/v_1")
+    assert 0.0 < m1["routing_baseline"] <= 1.0  # remeasured on rebuild
+    # compaction carries the baseline into the folded version
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    write_serving_epoch(even, root, 0, kind="ivfpq")
+    compact_serving_index(spark, root, kind="ivfpq")
+    m2 = read_index_manifest(spark, f"{root}/v_2")
+    assert m2["routing_baseline"] == m1["routing_baseline"]
 
 
 def test_ivfpq_root_epoch_compact_serves(spark, corpus, tmp_path_factory):
