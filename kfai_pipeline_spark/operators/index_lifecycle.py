@@ -121,6 +121,25 @@ def serving_index_path(spark: SparkSession, root: str) -> str:
     return f"{root}/v_{v}"
 
 
+def _ivfpq_baseline_or_raise(spark: SparkSession, vpath: str) -> float:
+    """The serving version's stored ``routing_baseline`` — the ONE
+    lookup behind the default ivfpq drift policy (rebuild_if_drifted)
+    and the armed maintainer's eager start-time check, so the two can
+    never disagree about what counts as configured."""
+    manifest = read_index_manifest(spark, vpath)
+    base = None if manifest is None else manifest.get("routing_baseline")
+    if base is None:
+        raise ValueError(
+            "ivfpq drift policy needs min_p10_cos — routing confidence "
+            "is corpus-relative and this version's manifest carries no "
+            "routing_baseline to default from. Either pass the "
+            "build-time baseline explicitly, or (re)build the root via "
+            "init_serving_index/rebuild_serving_index with "
+            "kind='ivfpq', which stores one"
+        )
+    return float(base)
+
+
 def resolve_index_path(spark: SparkSession, path: str) -> str:
     """``path`` if it is a plain index dir; its serving version when it
     is a lifecycle ROOT. This is what lets every retrieval entry point
@@ -222,6 +241,18 @@ def rebuild_serving_index(
                 sample, dest, kind="ivfpq", vec_col=vec_col, id_col=id_col,
                 scope=scope,
             ).collect()[0]
+            if brow["n_rows"] == 0 and routing_sample_mod > 1:
+                # an over-thinned sample (mod > corpus/~10) selects no
+                # rows, and the empty-batch contract coalesces p10 to
+                # 1.0 — recording THAT as the baseline would make the
+                # default policy breach on every real batch (a rebuild
+                # storm whose every rebuild remeasures the same empty
+                # sample back to 1.0). Fall back to the full corpus:
+                # correctness over the thinning optimization.
+                brow = index_drift_stats(
+                    docs, dest, kind="ivfpq", vec_col=vec_col,
+                    id_col=id_col, scope=scope,
+                ).collect()[0]
         finally:
             scope.release()
         extra = {"routing_baseline": float(brow["p10_best_cos"])}
@@ -386,29 +417,36 @@ def maintain_serving_index_stream(
     if corpus_fn is not None and kind == "ivfpq" and min_p10_cos is None:
         spark = stream_df.sparkSession
         v = serving_version(spark, root)
-        manifest = (
-            read_index_manifest(spark, f"{root}/v_{v}") if v >= 0 else None
+        # the SAME lookup the in-fold policy performs — raises here, at
+        # start, when the root is uninitialized or pre-baseline
+        _ivfpq_baseline_or_raise(
+            spark, f"{root}/v_{v}" if v >= 0 else root
         )
-        if manifest is None or manifest.get("routing_baseline") is None:
-            raise ValueError(
-                "ivfpq drift policy needs min_p10_cos — routing "
-                "confidence is corpus-relative, and this root's serving "
-                "manifest carries no routing_baseline to default from "
-                "(build it with init_serving_index(kind='ivfpq') first)"
-            )
 
     from kfai_pipeline_spark.streaming.sinks import write_stream_foreach_batch
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if corpus_fn is not None:
-            res = rebuild_if_drifted(
-                corpus_fn(), batch_df, root, kind=kind,
-                max_frac_out_of_range=max_frac_out_of_range,
-                min_p10_cos=min_p10_cos, ivfpq_margin=ivfpq_margin,
-                vec_col=vec_col, id_col=id_col,
-                n_clusters=n_clusters, m=m,
-                routing_sample_mod=routing_sample_mod,
-            )
+            from kfai_pipeline_spark.operators.dedup import CacheScope
+
+            # per-fold scope: the ivfpq drift measurement broadcasts
+            # the coarse book each call — an armed maintainer at a
+            # 1-minute trigger is EXACTLY the per-ingest-batch monitor
+            # loop index_drift_stats' docstring warns about, so release
+            # deterministically every batch (sq8 ignores the scope)
+            drift_scope = CacheScope()
+            try:
+                res = rebuild_if_drifted(
+                    corpus_fn, batch_df, root, kind=kind,
+                    max_frac_out_of_range=max_frac_out_of_range,
+                    min_p10_cos=min_p10_cos, ivfpq_margin=ivfpq_margin,
+                    vec_col=vec_col, id_col=id_col,
+                    n_clusters=n_clusters, m=m,
+                    routing_sample_mod=routing_sample_mod,
+                    scope=drift_scope,
+                )
+            finally:
+                drift_scope.release()
             if res["rebuilt"]:
                 return
         write_serving_epoch(
@@ -524,7 +562,7 @@ def compact_serving_index(
 
 
 def rebuild_if_drifted(
-    docs: DataFrame,
+    docs,  # DataFrame, or a zero-arg callable invoked only on breach
     incoming: DataFrame,
     root: str,
     kind: str = "sq8",
@@ -559,24 +597,21 @@ def rebuild_if_drifted(
     coin flip. A quiet/empty ingest window reads as zero drift by
     index_drift_stats' contract and never trips a rebuild.
 
+    ``docs`` may be a DataFrame or a ZERO-ARG CALLABLE returning one —
+    the callable is invoked only on breach, so a caller whose corpus
+    frame is expensive to assemble (catalog lookups, multi-join) pays
+    that cost only when a rebuild actually happens (the armed
+    maintainer passes its ``corpus_fn`` through unevaluated).
+
     Returns {rebuilt, stats, serving}."""
     from kfai_pipeline_spark.operators.similarity import index_drift_stats
 
-    spark = docs.sparkSession
+    spark = incoming.sparkSession
     vpath = serving_index_path(spark, root)
     if kind == "ivfpq" and min_p10_cos is None:
-        manifest = read_index_manifest(spark, vpath)
-        base = None if manifest is None else manifest.get("routing_baseline")
-        if base is None:
-            raise ValueError(
-                "ivfpq drift policy needs min_p10_cos — routing "
-                "confidence is corpus-relative. Either pass the "
-                "build-time baseline explicitly, or (re)build the root "
-                "via init_serving_index/rebuild_serving_index with "
-                "kind='ivfpq', which stores a routing_baseline in the "
-                "version manifest for this default to read"
-            )
-        min_p10_cos = float(base) - ivfpq_margin
+        min_p10_cos = (
+            _ivfpq_baseline_or_raise(spark, vpath) - ivfpq_margin
+        )
     stats = (
         index_drift_stats(
             incoming, vpath, kind=kind, vec_col=vec_col, id_col=id_col,
@@ -592,8 +627,9 @@ def rebuild_if_drifted(
     if not breach:
         return {"rebuilt": False, "stats": stats, "serving": vpath}
     new_path = rebuild_serving_index(
-        docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
-        n_clusters=n_clusters, m=m, routing_sample_mod=routing_sample_mod,
+        docs() if callable(docs) else docs, root, kind=kind,
+        vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, m=m,
+        routing_sample_mod=routing_sample_mod,
     )
     return {"rebuilt": True, "stats": stats, "serving": new_path}
 
