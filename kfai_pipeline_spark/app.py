@@ -14,11 +14,18 @@ Stage map (reference menu number -> function):
 | 6 | interactive_qa.run             | ``interact`` — CLI QA REPL over the RAG plan (``query`` is the batch form) |
 | 7 | gradio_app.run                 | ``interact_gui`` (stage "8" here; "7" is curate) — optional Gradio chat |
 
+Maintenance stages beyond the reference menu: "9" ``optimize`` (X50b
+table maintenance over the store) and "10" ``index`` (X53 ANN
+serving-index lifecycle — init / incremental epoch / drift-triggered
+rebuild; the reference's build_vector_store resume shape under the
+committed version protocol).
+
 Workspace layout (all under ``workdir``):
     raw/        partitioned video-record JSON (stage 1 + 3 output)
     audio/      downloaded audio chunks {video_id}_chunk_{i}.* (stage 3 input)
     cleaned/    cleaned records (stage 4 output)
     store/      chunk-grain vector parquet — the pgvector mirror (stage 5)
+    index/      ANN serving root (stage 10; versioned, _LATEST pointer)
     skip.json   dead-letter list (I3)
 
 Every stage is incremental: rerunning any stage with unchanged inputs
@@ -249,11 +256,24 @@ def query(
     embedder,
     synthesizer,
     k: int = 120,
+    use_index: bool = False,
+    refine: int = 8,
 ):
-    """Stage 6 (batch form): the RAG plan over the loaded store."""
+    """Stage 6 (batch form): the RAG plan over the loaded store.
+    ``use_index=True`` serves through the stage-10 serving root
+    (``<workdir>/index``) — the tiered ANN arm with the lifecycle
+    pointer resolved per query (``refine`` sizes the probe pool; see
+    retrieve_tiered's exhaustive-probe note)."""
     from kfai_pipeline_spark.plans.rag import answer_query
 
     store = spark.read.parquet(_dir(workdir, "store"))
+    if use_index:
+        return answer_query(
+            _with_chunk_id(store), question, parser, embedder, synthesizer,
+            k=k, retrieval="tiered", tier="ann",
+            index_path=_dir(workdir, "index"), id_col="__chunk_id",
+            refine=refine,
+        )
     return answer_query(store, question, parser, embedder, synthesizer, k=k)
 
 
@@ -397,6 +417,99 @@ def optimize(
     )
 
 
+def _with_chunk_id(df: DataFrame) -> DataFrame:
+    """Deterministic 64-bit surrogate id over the store's composite
+    chunk key (video_id, start_time) — the serving-index lifecycle
+    keys codes by ONE id column. xxhash64's birthday bound is ~5x10^9
+    rows at even odds, far above any per-show store this app manages;
+    a deployment growing toward that scale should persist a real chunk
+    id at load time instead of synthesizing one here."""
+    return df.withColumn(
+        "__chunk_id",
+        F.xxhash64("video_id", F.col("start_time").cast("string")),
+    )
+
+
+def index_maintain(
+    spark: SparkSession,
+    workdir: str,
+    kind: str = "sq8",
+    table: str = "store",
+    max_frac_out_of_range: float = 0.05,
+    min_p10_cos: float | None = None,
+    n_clusters: int = 16,
+    m: int = 8,
+) -> dict:
+    """Stage 10: ANN serving-index maintenance over the vector store —
+    the X53 lifecycle as a pipeline stage (the reference resumes its
+    pgvector store from the materialized table, ref
+    build_vector_store.py:38-69; this is that resume shape under the
+    committed version protocol). Each run:
+
+    - no committed version under ``<workdir>/index`` → full build
+      (``init_serving_index``) → ``{"action": "init"}``;
+    - store rows not yet in the serving codes (left-anti on the chunk
+      id) → measure THEIR drift against the serving artifacts
+      (``rebuild_if_drifted``): on breach the index retrains from the
+      full store into v_{N+1} (``"rebuild"``), otherwise the delta
+      lands as one stamped epoch (``"epoch"``);
+    - nothing new → ``{"action": "none"}``.
+
+    This stage is the root's single ingest writer — do not point it at
+    a root a streaming maintainer (maintain_serving_index_stream) is
+    feeding. Serve through the root via ``query(use_index=True)`` or
+    any retrieval entry point (``resolve_index_path`` accepts it)."""
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        init_serving_index,
+        rebuild_if_drifted,
+        serving_index_path,
+        serving_version,
+        write_serving_epoch,
+    )
+    from kfai_pipeline_spark.operators.similarity import (
+        _codes_df,
+        list_epoch_dirs,
+    )
+
+    store = _with_chunk_id(spark.read.parquet(_dir(workdir, table)))
+    root = _dir(workdir, "index")
+    if serving_version(spark, root) < 0:
+        init_serving_index(
+            store, root, kind=kind, id_col="__chunk_id",
+            n_clusters=n_clusters, m=m,
+        )
+        return {"action": "init", "chunks_indexed": store.count()}
+    vpath = serving_index_path(spark, root)
+    seen = _codes_df(spark, vpath).select("__chunk_id")
+    delta = store.join(seen, "__chunk_id", "left_anti")
+    n = delta.count()
+    if n == 0:
+        return {"action": "none", "chunks_indexed": 0}
+    res = rebuild_if_drifted(
+        lambda: store,
+        delta.select("__chunk_id", "embedding"),
+        root,
+        kind=kind,
+        id_col="__chunk_id",
+        max_frac_out_of_range=max_frac_out_of_range,
+        min_p10_cos=min_p10_cos,
+        n_clusters=n_clusters,
+        m=m,
+    )
+    if res["rebuilt"]:
+        return {
+            "action": "rebuild",
+            "chunks_indexed": store.count(),
+            "stats": res["stats"],
+        }
+    next_id = (
+        max((bid for bid, _, _ in list_epoch_dirs(spark, root)), default=-1)
+        + 1
+    )
+    write_serving_epoch(delta, root, next_id, kind=kind, id_col="__chunk_id")
+    return {"action": "epoch", "chunks_indexed": n, "stats": res["stats"]}
+
+
 STAGES = {
     "1": ("extract", extract),
     "3": ("transcribe_failed", transcribe_failed),
@@ -406,6 +519,7 @@ STAGES = {
     "7": ("curate", curate),
     "8": ("interact_gui", interact_gui),
     "9": ("optimize", optimize),
+    "10": ("index", index_maintain),
 }
 
 # stages that take the source catalog (1 diffs it, 3 joins metadata back)

@@ -1040,6 +1040,7 @@ def answer_query(
     id_col: str = "doc_id",
     index_kind: str = "sq8",
     nprobe: int = 4,
+    refine: int = 8,
 ) -> tuple[str, DataFrame]:
     """The full §3.1 lifecycle with injected LLM boundaries. Returns
     (answer_text, sources DataFrame).
@@ -1073,6 +1074,7 @@ def answer_query(
             index_path=index_path,
             index_kind=index_kind,
             nprobe=nprobe,
+            refine=refine,
         )
     elif retrieval == "rrf":
         # BM25 matches whitespace tokens EXACTLY while the topic path

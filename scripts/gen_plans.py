@@ -437,6 +437,18 @@ SECTIONS = [
         "the incoming batch; the rebuild costs what the initial build "
         "cost, never more.",
     ),
+    (
+        "q135_rag_selfheal_stream",
+        "Self-healing streaming maintainer (X53c)",
+        "Per micro-batch: the q131 monitor aggregate (one narrow scan "
+        "of the batch, per-fold broadcast scope released "
+        "deterministically) decides; on breach the fold pays the q134 "
+        "rebuild (quiesce holds by construction — the fold is the "
+        "only epoch writer and is synchronous) and skips the epoch; "
+        "otherwise one shuffle-free mapInPandas encode lands the "
+        "epoch. Serving afterwards is the unchanged q121 plan through "
+        "the resolved version.",
+    ),
 ]
 
 

@@ -257,3 +257,71 @@ def test_curate_stage_in_chain(spark, catalog, workdir):
     assert set(curated.columns) == store_cols
     # exact-dedup held: no two curated rows share identical text
     assert curated.count() == curated.select("text").distinct().count()
+
+
+def test_index_stage_lifecycle(spark, catalog, workdir):
+    """Stage 10 (X53): first run builds the serving root, a rerun with
+    nothing new is a no-op, a new video's chunks land incrementally
+    (epoch, or rebuild when the tiny-corpus drift monitor legitimately
+    breaches — both are policy-correct), and query(use_index=True)
+    serves through the root identically to the brute stage-6 path."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import serving_version
+
+    app.run_chain(spark, catalog, workdir, "1>4>5")
+    s1 = app.run_chain(spark, catalog, workdir, "10")["index"]
+    assert s1["action"] == "init" and s1["chunks_indexed"] > 0
+    assert serving_version(spark, os.path.join(workdir, "index")) == 0
+    s2 = app.run_chain(spark, catalog, workdir, "10")["index"]
+    assert s2 == {"action": "none", "chunks_indexed": 0}
+
+    extra = (
+        catalog.where(F.col("transcript").isNotNull())
+        .limit(1)
+        .withColumn("video_id", F.lit("vidIDX00001"))
+        .withColumn("id", F.lit(1999).cast("long"))
+    )
+    app.run_chain(spark, catalog.unionByName(extra), workdir, "1>4>5")
+    s3 = app.run_chain(spark, catalog, workdir, "10")["index"]
+    assert s3["action"] in ("epoch", "rebuild"), s3
+    assert s3["chunks_indexed"] > 0
+    s4 = app.run_chain(spark, catalog, workdir, "10")["index"]
+    assert s4["action"] == "none"
+
+    def parser(q):
+        return ParsedQuery()
+
+    got_rows = {}
+
+    def synth_for(key):
+        def synth(q, rows):
+            got_rows[key] = sorted(
+                (r["video_id"], r["start_time"], r["score"]) for r in rows
+            )
+            return "answer", [
+                Citation(rows[0]["video_id"], rows[0]["start_time"])
+            ]
+
+        return synth
+
+    # exhaustive-probe regime so the index path is brute-identical
+    store_n = spark.read.parquet(os.path.join(workdir, "store")).count()
+    answer, _ = app.query(
+        spark, workdir, "anything", parser, hash_embed, synth_for("idx"),
+        k=10, use_index=True, refine=max(64, store_n),
+    )
+    assert answer == "answer"
+    # the brute twin of the SAME tiered arm (rounded-score ranking) —
+    # the q121 parity shape; stage 6's default multi_topic path ranks
+    # on unrounded scores, so it is not the comparator here
+    from kfai_pipeline_spark.plans.rag import answer_query
+
+    answer_query(
+        app._with_chunk_id(
+            spark.read.parquet(os.path.join(workdir, "store"))
+        ),
+        "anything", parser, hash_embed, synth_for("brute"), k=10,
+        retrieval="tiered", tier="brute", id_col="__chunk_id",
+    )
+    assert got_rows["idx"] == got_rows["brute"] and store_n > 0
