@@ -262,17 +262,24 @@ def query(
     """Stage 6 (batch form): the RAG plan over the loaded store.
     ``use_index=True`` serves through the stage-10 serving root
     (``<workdir>/index``) — the tiered ANN arm with the lifecycle
-    pointer resolved per query (``refine`` sizes the probe pool; see
+    pointer resolved per query and the index KIND read from the
+    serving manifest (sq8 and ivfpq roots both serve without the
+    caller restating the kind; ``refine`` sizes the probe pool — see
     retrieve_tiered's exhaustive-probe note)."""
     from kfai_pipeline_spark.plans.rag import answer_query
 
     store = spark.read.parquet(_dir(workdir, "store"))
     if use_index:
+        from kfai_pipeline_spark.operators.index_lifecycle import (
+            serving_index_kind,
+        )
+
+        root = _dir(workdir, "index")
         return answer_query(
             _with_chunk_id(store), question, parser, embedder, synthesizer,
             k=k, retrieval="tiered", tier="ann",
-            index_path=_dir(workdir, "index"), id_col="__chunk_id",
-            refine=refine,
+            index_path=root, id_col="__chunk_id", refine=refine,
+            index_kind=serving_index_kind(spark, root) or "sq8",
         )
     return answer_query(store, question, parser, embedder, synthesizer, k=k)
 
@@ -458,10 +465,18 @@ def index_maintain(
     This stage is the root's single ingest writer — do not point it at
     a root a streaming maintainer (maintain_serving_index_stream) is
     feeding. Serve through the root via ``query(use_index=True)`` or
-    any retrieval entry point (``resolve_index_path`` accepts it)."""
+    any retrieval entry point (``resolve_index_path`` accepts it).
+
+    ``kind`` applies to the FIRST build only: an existing root's
+    manifest records its kind, and maintenance follows the manifest —
+    so the CLI chain (which cannot pass kwargs) reruns correctly over
+    a root initialized with either kind."""
+    from kfai_pipeline_spark.operators.dedup import CacheScope
     from kfai_pipeline_spark.operators.index_lifecycle import (
         init_serving_index,
+        read_index_manifest,
         rebuild_if_drifted,
+        serving_index_kind,
         serving_index_path,
         serving_version,
         write_serving_epoch,
@@ -479,33 +494,43 @@ def index_maintain(
             n_clusters=n_clusters, m=m,
         )
         return {"action": "init", "chunks_indexed": store.count()}
+    kind = serving_index_kind(spark, root) or kind
     vpath = serving_index_path(spark, root)
     seen = _codes_df(spark, vpath).select("__chunk_id")
     delta = store.join(seen, "__chunk_id", "left_anti")
     n = delta.count()
     if n == 0:
         return {"action": "none", "chunks_indexed": 0}
-    res = rebuild_if_drifted(
-        lambda: store,
-        delta.select("__chunk_id", "embedding"),
-        root,
-        kind=kind,
-        id_col="__chunk_id",
-        max_frac_out_of_range=max_frac_out_of_range,
-        min_p10_cos=min_p10_cos,
-        n_clusters=n_clusters,
-        m=m,
-    )
+    scope = CacheScope()
+    try:
+        res = rebuild_if_drifted(
+            lambda: store,
+            delta.select("__chunk_id", "embedding"),
+            root,
+            kind=kind,
+            id_col="__chunk_id",
+            max_frac_out_of_range=max_frac_out_of_range,
+            min_p10_cos=min_p10_cos,
+            n_clusters=n_clusters,
+            m=m,
+            scope=scope,
+        )
+    finally:
+        scope.release()
     if res["rebuilt"]:
         return {
             "action": "rebuild",
             "chunks_indexed": store.count(),
             "stats": res["stats"],
         }
-    next_id = (
-        max((bid for bid, _, _ in list_epoch_dirs(spark, root)), default=-1)
-        + 1
-    )
+    # next epoch id clears BOTH the live dirs and the manifest's folded
+    # set: after a compact+prune cycle the folded ids outlive their
+    # (deleted) dirs until the next compaction, and reusing one would
+    # commit an epoch that _codes_df permanently skips — new chunks
+    # silently unserved while this stage reports success
+    manifest = read_index_manifest(spark, vpath) or {"folded": []}
+    live = (bid for bid, _, _ in list_epoch_dirs(spark, root))
+    next_id = max([*live, *manifest["folded"], -1]) + 1
     write_serving_epoch(delta, root, next_id, kind=kind, id_col="__chunk_id")
     return {"action": "epoch", "chunks_indexed": n, "stats": res["stats"]}
 

@@ -140,6 +140,17 @@ def _ivfpq_baseline_or_raise(spark: SparkSession, vpath: str) -> float:
     return float(base)
 
 
+def serving_index_kind(spark: SparkSession, root: str) -> str | None:
+    """The serving version's stored index kind (manifest ``kind``), or
+    None when the root holds no committed version or a pre-field
+    manifest — callers fall back to their own default then."""
+    v = serving_version(spark, root)
+    if v < 0:
+        return None
+    manifest = read_index_manifest(spark, f"{root}/v_{v}")
+    return None if manifest is None else manifest.get("kind")
+
+
 def resolve_index_path(spark: SparkSession, path: str) -> str:
     """``path`` if it is a plain index dir; its serving version when it
     is a lifecycle ROOT. This is what lets every retrieval entry point
@@ -256,6 +267,11 @@ def rebuild_serving_index(
         finally:
             scope.release()
         extra = {"routing_baseline": float(brow["p10_best_cos"])}
+    # the version knows its own kind: consumers (app stage 10, query
+    # serving, CLI reruns) default from the manifest instead of every
+    # caller restating it — a restated-wrong kind reads a missing
+    # artifacts dir and crashes looking like corruption
+    extra = {**(extra or {}), "kind": kind}
     write_index_manifest(spark, dest, new_aid, [], extra=extra)
     raced = {bid for bid, _, _ in list_epoch_dirs(spark, root)} - before
     if raced:

@@ -325,3 +325,85 @@ def test_index_stage_lifecycle(spark, catalog, workdir):
         retrieval="tiered", tier="brute", id_col="__chunk_id",
     )
     assert got_rows["idx"] == got_rows["brute"] and store_n > 0
+
+
+def _add_video(catalog, vid, id_):
+    return catalog.unionByName(
+        catalog.where(F.col("transcript").isNotNull())
+        .limit(1)
+        .withColumn("video_id", F.lit(vid))
+        .withColumn("id", F.lit(id_).cast("long"))
+    )
+
+
+def test_index_stage_epoch_id_clears_pruned_folded(
+    spark, catalog, tmp_path_factory
+):
+    """Review catch: after a compact+prune cycle the folded ids outlive
+    their deleted dirs; reusing one would commit an epoch _codes_df
+    permanently skips — the stage would report success while the new
+    chunks silently don't serve. The probe: a rerun right after an
+    epoch write must see nothing new ('none'); with the id-reuse bug it
+    re-detects the skipped chunks forever."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        compact_serving_index,
+        prune_serving_index,
+        serving_index_kind,
+    )
+
+    wd = str(tmp_path_factory.mktemp("ws_prune"))
+    app.run_chain(spark, catalog, wd, "1>4>5")
+    assert app.index_maintain(spark, wd)["action"] == "init"
+    root = os.path.join(wd, "index")
+    cat2 = _add_video(catalog, "vidPRN00001", 2999)
+    app.run_chain(spark, cat2, wd, "1>4>5")
+    s = app.index_maintain(spark, wd)
+    if s["action"] == "epoch":  # drift may legitimately rebuild at tiny n
+        kind = serving_index_kind(spark, root)
+        compact_serving_index(spark, root, kind=kind)
+        prune_serving_index(spark, root, retain_versions=1)
+    cat3 = _add_video(cat2, "vidPRN00002", 3999)
+    app.run_chain(spark, cat3, wd, "1>4>5")
+    s2 = app.index_maintain(spark, wd)
+    assert s2["action"] in ("epoch", "rebuild")
+    # the decisive assert: everything new is SERVED, so a rerun is a no-op
+    assert app.index_maintain(spark, wd)["action"] == "none"
+
+
+def test_index_stage_ivfpq_kind_follows_manifest(
+    spark, catalog, tmp_path_factory
+):
+    """An ivfpq root initialized explicitly keeps serving/maintaining
+    as ivfpq through the kwarg-less CLI chain and query(use_index=True)
+    — the manifest records the kind (and the routing baseline the
+    default drift policy needs), so no caller restates it."""
+    import os
+
+    wd = str(tmp_path_factory.mktemp("ws_ivfpq"))
+    app.run_chain(spark, catalog, wd, "1>4>5")
+    s1 = app.index_maintain(spark, wd, kind="ivfpq", n_clusters=4)
+    assert s1["action"] == "init"
+    assert app.run_chain(spark, catalog, wd, "10")["index"]["action"] == "none"
+    cat2 = _add_video(catalog, "vidIVF00001", 4999)
+    app.run_chain(spark, cat2, wd, "1>4>5")
+    # the CLI chain (kind defaults to sq8) must follow the manifest:
+    # with the bug this reads <v>/stats and crashes; the baseline
+    # default must come from the manifest too
+    s2 = app.run_chain(spark, catalog, wd, "10")["index"]
+    assert s2["action"] in ("epoch", "rebuild")
+
+    def parser(q):
+        return ParsedQuery()
+
+    def synth(q, rows):
+        assert rows
+        return "ok", [Citation(rows[0]["video_id"], rows[0]["start_time"])]
+
+    n = spark.read.parquet(os.path.join(wd, "store")).count()
+    answer, _ = app.query(
+        spark, wd, "anything", parser, hash_embed, synth, k=5,
+        use_index=True, refine=max(64, n),
+    )
+    assert answer == "ok"
