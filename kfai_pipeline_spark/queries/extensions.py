@@ -4359,6 +4359,103 @@ def q135_rag_selfheal_stream(spark, sf_dir):
     )
 
 
+# -------- Q136: the stage-10 pipeline entry (init -> delta -> serve)
+@register(
+    "q136_rag_index_stage",
+    # the q121 brute oracle VERBATIM a final time: the app's stage-10
+    # maintenance entry (index_maintain — the reference's
+    # build_vector_store RESUME over the materialized store,
+    # ref build_vector_store.py:38-69) run twice over a growing store
+    # (even half -> init; full store -> left-anti delta measured, then
+    # epoch or drift-rebuild) must serve brute-identical rows through
+    # the root. The builder asserts the stage CONTRACT (init ->
+    # epoch/rebuild -> none) — hash parity alone can't see the
+    # incremental path.
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "Index lifecycle as a pipeline stage (app.index_maintain, "
+        "X53d — stage '10' in the reference CLI chain): first run "
+        "builds the serving root from the store; later runs left-anti "
+        "the store's not-yet-indexed chunks against the serving codes "
+        "(deterministic xxhash64 surrogate over the composite chunk "
+        "key), drift-measure them (breach -> full-store rebuild into "
+        "v_{N+1}; fresh -> one stamped epoch), and no-op when nothing "
+        "is new. Hash-checked against the q121 brute oracle through "
+        "the root after the incremental run."
+    ),
+)
+def q136_rag_index_stage(spark, sf_dir):
+    import os
+
+    from kfai_pipeline_spark.app import _with_chunk_id, index_maintain
+    from kfai_pipeline_spark.plans.rag import ParsedQuery, retrieve_tiered
+
+    fixture, _ = _tiered_rag_fixture(spark, sf_dir, "sq8", "q136", build=False)
+    root = os.path.join(
+        _scratch_root(), f"kfai_q136_{_scratch_tag(spark, sf_dir)}"
+    )
+    wd = os.path.join(root, "ws")
+    done = os.path.join(root, "_DONE")
+    store_cols = [
+        "doc_id", "video_id", "start_time", "show_name", "published_at",
+        "title", "embedding",
+    ]
+    if not os.path.exists(done) and fixture.limit(1).count() == 0:
+        # empty corpus (the empty-input sweep): nothing to index or
+        # serve — the contract empty frame
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    if not os.path.exists(done):
+        store_path = os.path.join(wd, "store")
+        seed = fixture.where(F.col("doc_id") % 2 == 0).select(*store_cols)
+        if seed.limit(1).count() == 0:
+            # seed half empty: an empty-built index cannot measure the
+            # delta's drift (index_drift_stats rightly raises) — start
+            # the store FULL, so init covers everything and the second
+            # run exercises the no-op arm
+            fixture.select(*store_cols).write.mode("overwrite").parquet(
+                store_path
+            )
+            s1 = index_maintain(spark, wd)
+            assert s1["action"] == "init", s1
+        else:
+            seed.write.mode("overwrite").parquet(store_path)
+            s1 = index_maintain(spark, wd)
+            assert s1["action"] == "init", s1
+            fixture.where(F.col("doc_id") % 2 == 1).select(
+                *store_cols
+            ).write.mode("append").parquet(store_path)
+            s2 = index_maintain(spark, wd)
+            assert s2["action"] in ("epoch", "rebuild"), s2
+        s3 = index_maintain(spark, wd)
+        assert s3 == {"action": "none", "chunks_indexed": 0}, s3
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    if (
+        qrow is None
+        or qrow[0] is None
+        or all(float(x) == 0.0 for x in qrow[0])
+    ):
+        return spark.createDataFrame(
+            [], "doc_id long, video_id string, start_time double, score double"
+        )
+    qv = [float(x) for x in qrow[0]]
+    parsed = ParsedQuery(shows=["src1", "src3", "src5", "src7"])
+    n = fixture.count()
+    out = retrieve_tiered(
+        _with_chunk_id(fixture), qv, parsed, k=10, id_col="__chunk_id",
+        tier="ann", index_path=os.path.join(wd, "index"),
+        refine=max(64, -(-n // 10)),
+    )
+    return out.select("doc_id", "video_id", "start_time", "score").orderBy(
+        F.desc("score"), "video_id", "start_time"
+    )
+
+
 # --------- Q134: drift-triggered rebuild as a lifecycle op (the policy)
 @register(
     "q134_rag_drift_rebuild",
