@@ -170,6 +170,7 @@ def rebuild_serving_index(
     n_clusters: int = 16,
     m: int = 8,
     routing_sample_mod: int = 1,
+    opq_iters: int = 0,
 ) -> str:
     """(Re)train + encode ``docs`` into a fresh committed version and
     flip the serving pointer — both the FIRST build (v_0) and the
@@ -233,7 +234,7 @@ def rebuild_serving_index(
     _uncommit_version(spark, dest)
     build_ann_index(
         docs, dest, kind=kind, vec_col=vec_col, id_col=id_col,
-        n_clusters=n_clusters, m=m,
+        n_clusters=n_clusters, m=m, opq_iters=opq_iters,
     )
     extra = None
     if kind == "ivfpq":
@@ -267,11 +268,13 @@ def rebuild_serving_index(
         finally:
             scope.release()
         extra = {"routing_baseline": float(brow["p10_best_cos"])}
-    # the version knows its own kind: consumers (app stage 10, query
-    # serving, CLI reruns) default from the manifest instead of every
-    # caller restating it — a restated-wrong kind reads a missing
-    # artifacts dir and crashes looking like corruption
-    extra = {**(extra or {}), "kind": kind}
+    # the version knows its own kind AND training recipe: consumers
+    # (app stage 10, query serving, CLI reruns, drift rebuilds) default
+    # from the manifest instead of every caller restating them — a
+    # restated-wrong kind reads a missing artifacts dir and crashes
+    # looking like corruption; a drift rebuild that forgot the OPQ
+    # opt-in would silently regress the serving operating curve
+    extra = {**(extra or {}), "kind": kind, "opq_iters": opq_iters}
     write_index_manifest(spark, dest, new_aid, [], extra=extra)
     raced = {bid for bid, _, _ in list_epoch_dirs(spark, root)} - before
     if raced:
@@ -325,12 +328,14 @@ def init_serving_index(
     n_clusters: int = 16,
     m: int = 8,
     routing_sample_mod: int = 1,
+    opq_iters: int = 0,
 ) -> str:
     """First build of a serving root (v_0 + manifest + pointer) —
     :func:`rebuild_serving_index` with intent-revealing spelling."""
     return rebuild_serving_index(
         docs, root, kind=kind, vec_col=vec_col, id_col=id_col,
         n_clusters=n_clusters, m=m, routing_sample_mod=routing_sample_mod,
+        opq_iters=opq_iters,
     )
 
 
@@ -642,10 +647,16 @@ def rebuild_if_drifted(
         breach = stats["p10_best_cos"] < min_p10_cos
     if not breach:
         return {"rebuilt": False, "stats": stats, "serving": vpath}
+    # the rebuild preserves the serving version's TRAINING RECIPE: an
+    # OPQ root must not silently lose its rotation (and the operating
+    # curve it bought) because the drift policy's caller didn't restate
+    # the build-time opt-in
+    manifest = read_index_manifest(spark, vpath) or {}
     new_path = rebuild_serving_index(
         docs() if callable(docs) else docs, root, kind=kind,
         vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, m=m,
         routing_sample_mod=routing_sample_mod,
+        opq_iters=int(manifest.get("opq_iters", 0) or 0),
     )
     return {"rebuilt": True, "stats": stats, "serving": new_path}
 

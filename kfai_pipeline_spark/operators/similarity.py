@@ -1429,23 +1429,34 @@ def build_ann_index(
     id_col: str = "vec_id",
     n_clusters: int = 16,
     m: int = 8,
+    opq_iters: int = 0,
 ) -> None:
     """The ONE kind dispatch for building a persisted ANN index —
     ``rag.build_retrieval_index`` (serving plans) and
     index_lifecycle's versioned builds both delegate here, so adding
     an index kind is one edit (round-10 review catch: two hand-synced
-    dispatch copies)."""
+    dispatch copies). ``opq_iters > 0`` (ivfpq only) trains the X54
+    OPQ residual rotation into the index — every downstream consumer
+    (probe, append, streaming epoch encode, compaction copy) reads the
+    rotation from the artifacts, so the opt-in is build-time only."""
     if kind == "sq8":
         write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
     elif kind == "ivfpq":
         vectors = docs.select(id_col, vec_col)
-        centroids, codebooks = train_ivfpq(
-            vectors, n_clusters=n_clusters, m=m,
-            vec_col=vec_col, id_col=id_col,
-        )
+        rotation = None
+        if opq_iters > 0:
+            centroids, codebooks, rotation = train_ivfpq(
+                vectors, n_clusters=n_clusters, m=m,
+                vec_col=vec_col, id_col=id_col, opq_iters=opq_iters,
+            )
+        else:
+            centroids, codebooks = train_ivfpq(
+                vectors, n_clusters=n_clusters, m=m,
+                vec_col=vec_col, id_col=id_col,
+            )
         write_ivfpq_index(
             vectors, path, centroids, codebooks,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=vec_col, id_col=id_col, rotation=rotation,
         )
     else:
         raise ValueError(f"unknown index kind: {kind!r}")
@@ -1709,6 +1720,15 @@ def _copy_index_artifacts(
         spark.read.parquet(f"{src}/{side}").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{dest}/{side}")
+    if kind == "ivfpq":
+        # the OPQ rotation is OPTIONAL (only opq-trained builds carry
+        # one) — copy when present, unlike the required sides above
+        rot = load_ivfpq_rotation(spark, src)
+        if rot is not None:
+            spark.createDataFrame(
+                [(i, row) for i, row in enumerate(rot)],
+                "dim int, row array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{dest}/rotation")
 
 
 def append_sq8_index(
@@ -2343,6 +2363,38 @@ def pq_topk(
 
 
 # ----------------------------- IVF x PQ composition (IVFPQ, X44)
+def _fit_opq_numpy(X, m: int, n_codes: int, pq_iters: int, opq_iters: int):
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013
+    §4.2; the Faiss ``OPQx`` pre-transform): learn an orthogonal
+    rotation ``O`` so the PQ subspace split cuts across the data's
+    correlated directions. Alternating minimization on the driver-side
+    sample: fix O → fit codebooks on ``X @ O``; fix codebooks →
+    ``O = argmin ||X O - X̂||`` over orthogonal matrices, which is the
+    orthogonal Procrustes problem with the closed-form SVD solution
+    ``O = U Vᵀ`` of ``Xᵀ X̂``. Returns (O, codebooks) with codebooks
+    fit on the FINAL rotation. Quantization error is non-increasing
+    per iteration by construction (each half-step minimizes the same
+    objective), so small ``opq_iters`` (5-10) suffice."""
+    import numpy as np
+
+    d = X.shape[1]
+    sub = d // m
+    O = np.eye(d)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        Y = X @ O
+        books = _fit_pq_numpy(Y, m, n_codes, pq_iters)
+        Yhat = np.empty_like(Y)
+        for j, b in enumerate(books):
+            B = np.array(b, dtype=np.float64)
+            Ys = Y[:, j * sub : (j + 1) * sub]
+            d2 = (B * B).sum(axis=1)[None, :] - 2.0 * (Ys @ B.T)
+            Yhat[:, j * sub : (j + 1) * sub] = B[d2.argmin(axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        O = U @ Vt
+    return O, _fit_pq_numpy(X @ O, m, n_codes, pq_iters)
+
+
 def train_ivfpq(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -2354,7 +2406,8 @@ def train_ivfpq(
     kmeans_iters: int = 3,
     pq_iters: int = 10,
     seed: int = 42,
-) -> tuple[list[list[float]], list]:
+    opq_iters: int = 0,
+):
     """Train the full IVFPQ model (Jégou et al. 2011 §V; the Faiss
     ``IVFx,PQy`` production index): coarse spherical-k-means centroids
     for routing, then ONE shared PQ codebook set fit on coarse
@@ -2375,20 +2428,32 @@ def train_ivfpq(
     ~``sample_rows`` sample :func:`train_pq_codebooks` uses (Faiss
     trains on samples too), coarse-assigned and residualized with two
     matmuls. Returns (centroids, codebooks) — the driver holds
-    (n_clusters + m*n_codes/m) * dim floats total."""
+    (n_clusters + m*n_codes/m) * dim floats total.
+
+    ``opq_iters > 0`` (X54): also learn an orthogonal RESIDUAL
+    rotation via :func:`_fit_opq_numpy` (Ge et al. 2013; Faiss
+    ``OPQx,IVFy,PQz``) and return a 3-TUPLE (centroids, codebooks,
+    rotation) — codes are then fit on ``residual @ O``, the encode and
+    probe kernels rotate symmetrically, and the exhaustive-regime
+    results are identical to the unrotated index (the re-rank is
+    exact; rotation only moves the operating curve). Opt-in keeps the
+    2-tuple API and every existing artifact layout unchanged."""
     import numpy as np
 
     centroids = kmeans_centroids(vectors, n_clusters, vec_col, id_col, kmeans_iters)
     if not centroids:
-        return [], []
+        return ([], [], None) if opq_iters > 0 else ([], [])
     sample = _hash_sample_rows(vectors, vec_col, sample_rows, seed)
     X = np.array([list(r["__v"]) for r in sample], dtype=np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
     X = X[norms > 0] / norms[norms > 0, None]
     if not len(X):
-        return centroids, []
+        return (centroids, [], None) if opq_iters > 0 else (centroids, [])
     C = np.array(centroids, dtype=np.float64)
     R = X - C[np.argmax(X @ C.T, axis=1)]
+    if opq_iters > 0:
+        O, books = _fit_opq_numpy(R, m, n_codes, pq_iters, opq_iters)
+        return centroids, books, [list(map(float, row)) for row in O]
     return centroids, _fit_pq_numpy(R, m, n_codes, pq_iters)
 
 
@@ -2400,6 +2465,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     colocate: bool = True,
+    rotation: list | None = None,
 ) -> None:
     """Persist the IVFPQ index: ``<path>/codes`` (id, pq_bytes — m
     packed uint8 residual codes) PARTITIONED BY cluster_id, plus
@@ -2441,13 +2507,13 @@ def write_ivfpq_index(
                 ]
             ),
         ).write.mode("overwrite").parquet(f"{path}/codes")
-        _save_ivfpq_meta(spark, path, centroids, codebooks)
+        _save_ivfpq_meta(spark, path, centroids, codebooks, rotation)
         return
     _ivfpq_encode_write(
         vectors, path, centroids, codebooks, vec_col, id_col, colocate,
-        mode="overwrite",
+        mode="overwrite", rotation=rotation,
     )
-    _save_ivfpq_meta(spark, path, centroids, codebooks)
+    _save_ivfpq_meta(spark, path, centroids, codebooks, rotation)
 
 
 def _ivfpq_encoded(
@@ -2456,10 +2522,13 @@ def _ivfpq_encoded(
     codebooks: list,
     vec_col: str,
     id_col: str,
+    rotation: list | None = None,
 ):
     """The IVFPQ assign+residual+encode kernel shared by the batch
     build, the incremental append, and the streaming maintainer:
-    encode ``vectors`` against a FIXED coarse book + codebooks.
+    encode ``vectors`` against a FIXED coarse book + codebooks (+ the
+    optional frozen OPQ ``rotation`` — residuals encode as
+    ``r @ O``; the probe rotates the query side symmetrically).
     Returns (encoded_df, broadcast_handle) — the caller writes the
     frame (an action) and then destroys the broadcast."""
     import numpy as np
@@ -2478,6 +2547,7 @@ def _ivfpq_encoded(
         (
             np.array(centroids, dtype=np.float64),
             [np.array(b, dtype=np.float64) for b in codebooks],
+            None if rotation is None else np.array(rotation, dtype=np.float64),
         )
     )
     id_pd = (
@@ -2497,7 +2567,7 @@ def _ivfpq_encoded(
     ).where(F.col("__v").isNotNull())
 
     def encode(batches):
-        C, books = bc.value
+        C, books, O = bc.value
         sub = books[0].shape[1]
         for pdf in batches:
             if not len(pdf):
@@ -2512,6 +2582,8 @@ def _ivfpq_encoded(
             V = np.array(pdf["__v"].tolist(), dtype=np.float64)
             assign = np.argmax(V @ C.T, axis=1)
             R = V - C[assign]
+            if O is not None:
+                R = R @ O
             codes = np.empty((len(V), m), dtype=np.uint8)
             for j, B in enumerate(books):
                 Rs = R[:, j * sub : (j + 1) * sub]
@@ -2537,11 +2609,14 @@ def _ivfpq_encode_write(
     id_col: str,
     colocate: bool,
     mode: str,
+    rotation: list | None = None,
 ) -> None:
     """Encode and write packed residual codes partitioned by
     cluster_id — :func:`write_ivfpq_index` (mode="overwrite") and
     :func:`append_ivfpq_index` (mode="append")."""
-    encoded, bc = _ivfpq_encoded(vectors, centroids, codebooks, vec_col, id_col)
+    encoded, bc = _ivfpq_encoded(
+        vectors, centroids, codebooks, vec_col, id_col, rotation=rotation
+    )
     if colocate:
         encoded = encoded.repartition("cluster_id")
     encoded.write.mode(mode).partitionBy("cluster_id").parquet(
@@ -2584,18 +2659,39 @@ def append_ivfpq_index(
         )
     _ivfpq_encode_write(
         vectors, path, centroids, codebooks, vec_col, id_col, colocate,
-        mode="append",
+        mode="append", rotation=load_ivfpq_rotation(spark, path),
     )
 
 
 def _save_ivfpq_meta(
-    spark: SparkSession, path: str, centroids: list, codebooks: list
+    spark: SparkSession, path: str, centroids: list, codebooks: list,
+    rotation: list | None = None,
 ) -> None:
     spark.createDataFrame(
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     save_pq_index(spark, path, codebooks)
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, list(map(float, row))) for i, row in enumerate(rotation)],
+            "dim int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+
+
+def load_ivfpq_rotation(spark: SparkSession, path: str):
+    """The optional OPQ residual rotation (``<path>/rotation``,
+    written only by opq-trained builds) as a d x d nested float list,
+    or None for every pre-OPQ / unrotated index — absence is the
+    normal case, never an error."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/rotation").collect()
+    except (AnalysisException, Py4JJavaError):
+        return None
+    return [list(r["row"]) for r in sorted(rows, key=lambda r: r["dim"])]
 
 
 def load_ivfpq_meta(
@@ -2671,6 +2767,11 @@ def ivfpq_topk(
     # stable argsort matches the assignment argmax's low-id tie-break
     probes = np.argsort(-qc, axis=1, kind="stable")[:, :np_]  # q x nprobe
     probed_union = sorted({int(c) for row in probes for c in row})
+    # OPQ (X54): codes hold ŷ ≈ r @ O, so dot(q, r̂) = dot(q O, ŷ) —
+    # rotate the LUT's query side; routing (qc) stays unrotated since
+    # the rotation applies to residuals only
+    rot = load_ivfpq_rotation(spark, path)
+    Qr = Q if rot is None else Q @ np.array(rot, dtype=np.float64)
     luts = np.stack(
         [
             np.stack(
@@ -2680,7 +2781,7 @@ def ivfpq_topk(
                     for j in range(m)
                 ]
             )
-            for q in Q
+            for q in Qr
         ]
     )  # q x m x n_codes
     n_cand = k * refine

@@ -204,6 +204,7 @@ def build_retrieval_index(
     kind: str = "sq8",
     n_clusters: int = 16,
     m: int = 8,
+    opq_iters: int = 0,
 ) -> None:
     """Persist the serving-tier ANN index for :func:`retrieve_tiered`.
 
@@ -222,12 +223,17 @@ def build_retrieval_index(
 
     Either kind is built over the UNFILTERED corpus: the index serves
     every query; metadata predicates apply post-probe (see
-    retrieve_tiered's filter-ordering note)."""
+    retrieve_tiered's filter-ordering note).
+
+    ``opq_iters > 0`` (ivfpq only, X54): train the OPQ residual
+    rotation into the index — probes/appends/epochs read it from the
+    artifacts; results are identical in the exhaustive-probe regime
+    and the operating curve improves on clustered corpora."""
     from kfai_pipeline_spark.operators.similarity import build_ann_index
 
     build_ann_index(
         docs, path, kind=kind, vec_col=vec_col, id_col=id_col,
-        n_clusters=n_clusters, m=m,
+        n_clusters=n_clusters, m=m, opq_iters=opq_iters,
     )
 
 

@@ -3195,7 +3195,7 @@ def q121_rag_tiered(spark, sf_dir):
 
 
 def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
-                        two_phase=False, build=True):
+                        two_phase=False, build=True, opq_iters=0):
     """Shared fixture for the tiered-retrieval rows (q121/q125/q126/
     q128/q129): the doc+embedding serving corpus and a ``kind`` index
     persisted once per (sf_dir, qname). NULL and zero-norm embeddings
@@ -3255,6 +3255,7 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
             build_retrieval_index(
                 fixture.where(F.col("doc_id") % 2 == 0), idx,
                 id_col="doc_id", kind=kind, n_clusters=n_clusters,
+                opq_iters=opq_iters,
             )
             append_retrieval_index(
                 fixture.where(F.col("doc_id") % 2 == 1), idx,
@@ -3268,7 +3269,7 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
             # the retrieval serves the contract-schema empty frame
             build_retrieval_index(
                 fixture, idx, id_col="doc_id", kind=kind,
-                n_clusters=n_clusters,
+                n_clusters=n_clusters, opq_iters=opq_iters,
             )
         os.makedirs(root, exist_ok=True)
         with open(done, "w") as fh:
@@ -3276,7 +3277,8 @@ def _tiered_rag_fixture(spark, sf_dir, kind, qname, n_clusters=8,
     return fixture, idx
 
 
-def _tiered_rag_parity(spark, sf_dir, kind, two_phase=False):
+def _tiered_rag_parity(spark, sf_dir, kind, two_phase=False,
+                       opq_iters=0):
     """Shared builder for the tiered-retrieval parity rows (q121 sq8 /
     q125 ivfpq, and their incremental-index twins q128/q129 via
     ``two_phase``): run retrieve_tiered over the shared fixture in the
@@ -3289,13 +3291,13 @@ def _tiered_rag_parity(spark, sf_dir, kind, two_phase=False):
     n_clusters = 8
     qname = {
         ("sq8", False): "q121",
-        ("ivfpq", False): "q125",
+        ("ivfpq", False): "q137" if opq_iters else "q125",
         ("sq8", True): "q128",
         ("ivfpq", True): "q129",
     }[(kind, two_phase)]
     fixture, idx = _tiered_rag_fixture(
         spark, sf_dir, kind, qname, n_clusters=n_clusters,
-        two_phase=two_phase,
+        two_phase=two_phase, opq_iters=opq_iters,
     )
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
@@ -4357,6 +4359,33 @@ def q135_rag_selfheal_stream(spark, sf_dir):
     return out.select("doc_id", "video_id", "start_time", "score").orderBy(
         F.desc("score"), "video_id", "start_time"
     )
+
+
+# ------------- Q137: OPQ-rotated IVFPQ serving (X54 — Ge et al. 2013)
+@register(
+    "q137_rag_tiered_opq",
+    # the q121 brute oracle VERBATIM with the OPQ rotation on: an
+    # orthogonal residual rotation trained into the index (codes hold
+    # r@O, the probe LUT rotates the query side symmetrically) must be
+    # semantics-free in the exhaustive-probe regime — rotation moves
+    # the OPERATING CURVE (measured on the clustered fixture,
+    # BASELINE §5aa), never the exact-re-rank result
+    oracle=_TIERED_RAG_ORACLE,
+    doc=(
+        "OPQ-rotated IVFPQ serving (X54 — Ge et al., 'Optimized "
+        "Product Quantization', CVPR 2013; the Faiss OPQx,IVFy,PQz "
+        "pre-transform): train_ivfpq(opq_iters>0) learns an orthogonal "
+        "residual rotation by alternating PQ fits with orthogonal-"
+        "Procrustes updates (closed-form SVD) on the driver sample; "
+        "codes encode r@O, probes rotate the query side of the ADC "
+        "LUT, appends/epochs/compaction read the frozen rotation from "
+        "the artifacts. Hash-checked against the q121 brute oracle "
+        "through retrieve_tiered(index_kind='ivfpq') in the "
+        "exhaustive-probe regime."
+    ),
+)
+def q137_rag_tiered_opq(spark, sf_dir):
+    return _tiered_rag_parity(spark, sf_dir, kind="ivfpq", opq_iters=5)
 
 
 # -------- Q136: the stage-10 pipeline entry (init -> delta -> serve)

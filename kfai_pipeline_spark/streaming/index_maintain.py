@@ -76,7 +76,8 @@ def encode_epoch(
                 "trained books) — seed it with write_ivfpq_index first"
             )
         encoded, bc = S._ivfpq_encoded(
-            batch_df, centroids, codebooks, vec_col, id_col
+            batch_df, centroids, codebooks, vec_col, id_col,
+            rotation=S.load_ivfpq_rotation(spark, artifacts_path),
         )
         # UNPARTITIONED epoch write, cluster_id as a plain column:
         # a zero-row dynamic-partition write emits NO part files

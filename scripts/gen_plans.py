@@ -449,6 +449,25 @@ SECTIONS = [
         "epoch. Serving afterwards is the unchanged q121 plan through "
         "the resolved version.",
     ),
+    (
+        "q136_rag_index_stage",
+        "Index lifecycle as a pipeline stage (X53d)",
+        "The incremental arm's one extra cost over q133 is the "
+        "left-anti delta join of the store against the serving codes' "
+        "id column (codes are m-or-d bytes/row, the join keys are the "
+        "only bytes read); the drift decision and epoch encode are the "
+        "q131/q130 plans; serving is the q121 plan keyed on the "
+        "xxhash64 chunk surrogate.",
+    ),
+    (
+        "q137_rag_tiered_opq",
+        "OPQ-rotated IVFPQ serving (X54)",
+        "The q125 plan exactly: the rotation folds into the driver's "
+        "LUT construction (one q x d matmul before the per-block "
+        "codebook GEMMs) and into the encode kernel's residual GEMM "
+        "— zero extra distributed stages, zero extra bytes scanned; "
+        "routing and partition pruning are untouched.",
+    ),
 ]
 
 

@@ -890,3 +890,81 @@ def test_compact_and_append_reject_unknown_kind(spark, tmp_path_factory):
     )
     with _pytest.raises(ValueError, match="index kind"):
         append_retrieval_index(docs, f"{root}/c", kind="hnsw")
+
+
+def test_opq_rotation_orthogonal_and_error_no_worse(spark):
+    """X54 (Ge et al. 2013 OPQ): the learned rotation must be
+    orthogonal, and the rotated-space quantization error must not
+    exceed plain PQ's on CORRELATED data (the case OPQ exists for —
+    a product split that cuts across correlated dims wastes its code
+    budget; the rotation re-axes the split)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # anisotropic + mixed: latent 4-dim signal linearly spread over 16
+    # dims, so every PQ sub-block sees correlated coordinates
+    latent = rng.randn(4000, 4)
+    mix = rng.randn(4, 16)
+    X = latent @ mix + 0.05 * rng.randn(4000, 16)
+    X /= np.sqrt((X * X).sum(axis=1))[:, None]
+    O, books = S._fit_opq_numpy(X, m=4, n_codes=16, pq_iters=6, opq_iters=8)
+    assert np.allclose(O @ O.T, np.eye(16), atol=1e-8)
+
+    def err(Xs, bks, rot):
+        Y = Xs @ rot
+        out = 0.0
+        for j, b in enumerate(bks):
+            B = np.array(b)
+            Ys = Y[:, j * 4 : (j + 1) * 4]
+            d2 = (B * B).sum(axis=1)[None, :] - 2.0 * (Ys @ B.T)
+            out += float(
+                ((Ys - B[d2.argmin(axis=1)]) ** 2).sum()
+            )
+        return out
+
+    plain = S._fit_pq_numpy(X, 4, 16, 6)
+    e_opq = err(X, books, O)
+    e_plain = err(X, plain, np.eye(16))
+    assert e_opq <= e_plain * 1.001, (e_opq, e_plain)
+    # and on THIS fixture the win is material, not epsilon
+    assert e_opq < 0.9 * e_plain, (e_opq, e_plain)
+
+
+def test_opq_ivfpq_exhaustive_parity_append_and_copy(spark, tmp_path):
+    """An OPQ-rotated IVFPQ index is semantics-free in the exhaustive
+    regime (the q113 contract with rotation on), the rotation is
+    FROZEN across appends (appended codes probe correctly), and
+    artifact copies carry it."""
+    corpus, queries = _corpus_queries(spark)
+    n = corpus.count()
+    idx = str(tmp_path / "opq")
+    S.build_ann_index(
+        corpus.where(F.col("vec_id") % 2 == 1),
+        idx, kind="ivfpq", id_col="vec_id", n_clusters=8, opq_iters=5,
+    )
+    assert S.load_ivfpq_rotation(spark, idx) is not None
+    S.append_ivfpq_index(
+        corpus.where(F.col("vec_id") % 2 == 0), idx, id_col="vec_id"
+    )
+    got = [
+        (r.query_id, r.vec_id, r.score)
+        for r in S.ivfpq_topk(
+            spark, idx, queries, k=5, nprobe=8, refine=n, vectors=corpus
+        ).collect()
+    ]
+    exact = [
+        (r.query_id, r.vec_id, r.score)
+        for r in S.cosine_topk(corpus, queries, k=5, round_to=4).collect()
+    ]
+    assert sorted(got) == sorted(exact) and len(got) == 25
+    # artifact copy carries the optional rotation verbatim
+    dest = str(tmp_path / "copy")
+    S._copy_index_artifacts(spark, idx, dest, "ivfpq")
+    assert S.load_ivfpq_rotation(spark, dest) == S.load_ivfpq_rotation(
+        spark, idx
+    )
+    # an unrotated index still loads None (absence is the normal case)
+    plain_idx = str(tmp_path / "plain")
+    S.build_ann_index(corpus, plain_idx, kind="ivfpq", id_col="vec_id",
+                      n_clusters=8)
+    assert S.load_ivfpq_rotation(spark, plain_idx) is None
