@@ -268,13 +268,20 @@ def rebuild_serving_index(
         finally:
             scope.release()
         extra = {"routing_baseline": float(brow["p10_best_cos"])}
-    # the version knows its own kind AND training recipe: consumers
-    # (app stage 10, query serving, CLI reruns, drift rebuilds) default
-    # from the manifest instead of every caller restating them — a
-    # restated-wrong kind reads a missing artifacts dir and crashes
-    # looking like corruption; a drift rebuild that forgot the OPQ
-    # opt-in would silently regress the serving operating curve
-    extra = {**(extra or {}), "kind": kind, "opq_iters": opq_iters}
+    # the version knows its own kind AND full training recipe:
+    # consumers (app stage 10, query serving, CLI reruns, drift
+    # rebuilds) default from the manifest instead of every caller
+    # restating them — a restated-wrong kind reads a missing artifacts
+    # dir and crashes looking like corruption; a drift rebuild that
+    # forgot the OPQ opt-in, the coarse-book size, or the code width
+    # would silently regress the serving operating curve
+    extra = {
+        **(extra or {}),
+        "kind": kind,
+        "opq_iters": opq_iters,
+        "n_clusters": n_clusters,
+        "m": m,
+    }
     write_index_manifest(spark, dest, new_aid, [], extra=extra)
     raced = {bid for bid, _, _ in list_epoch_dirs(spark, root)} - before
     if raced:
@@ -647,14 +654,17 @@ def rebuild_if_drifted(
         breach = stats["p10_best_cos"] < min_p10_cos
     if not breach:
         return {"rebuilt": False, "stats": stats, "serving": vpath}
-    # the rebuild preserves the serving version's TRAINING RECIPE: an
-    # OPQ root must not silently lose its rotation (and the operating
-    # curve it bought) because the drift policy's caller didn't restate
-    # the build-time opt-in
+    # the rebuild preserves the serving version's FULL TRAINING RECIPE
+    # (coarse-book size, code width, OPQ opt-in): a root built with
+    # n_clusters=256/m=16/opq must not silently retrain at the policy
+    # caller's defaults and regress the operating curve. Pre-recipe
+    # manifests fall back to this call's arguments.
     manifest = read_index_manifest(spark, vpath) or {}
     new_path = rebuild_serving_index(
         docs() if callable(docs) else docs, root, kind=kind,
-        vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, m=m,
+        vec_col=vec_col, id_col=id_col,
+        n_clusters=int(manifest.get("n_clusters", n_clusters)),
+        m=int(manifest.get("m", m)),
         routing_sample_mod=routing_sample_mod,
         opq_iters=int(manifest.get("opq_iters", 0) or 0),
     )

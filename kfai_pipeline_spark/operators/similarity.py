@@ -1443,17 +1443,13 @@ def build_ann_index(
         write_sq8_index(docs, path, vec_col=vec_col, id_col=id_col)
     elif kind == "ivfpq":
         vectors = docs.select(id_col, vec_col)
-        rotation = None
-        if opq_iters > 0:
-            centroids, codebooks, rotation = train_ivfpq(
-                vectors, n_clusters=n_clusters, m=m,
-                vec_col=vec_col, id_col=id_col, opq_iters=opq_iters,
-            )
-        else:
-            centroids, codebooks = train_ivfpq(
-                vectors, n_clusters=n_clusters, m=m,
-                vec_col=vec_col, id_col=id_col,
-            )
+        res = train_ivfpq(
+            vectors, n_clusters=n_clusters, m=m,
+            vec_col=vec_col, id_col=id_col, opq_iters=opq_iters,
+        )
+        centroids, codebooks, rotation = (
+            res if opq_iters > 0 else (*res, None)
+        )
         write_ivfpq_index(
             vectors, path, centroids, codebooks,
             vec_col=vec_col, id_col=id_col, rotation=rotation,
@@ -1722,13 +1718,9 @@ def _copy_index_artifacts(
         ).parquet(f"{dest}/{side}")
     if kind == "ivfpq":
         # the OPQ rotation is OPTIONAL (only opq-trained builds carry
-        # one) — copy when present, unlike the required sides above
-        rot = load_ivfpq_rotation(spark, src)
-        if rot is not None:
-            spark.createDataFrame(
-                [(i, row) for i, row in enumerate(rot)],
-                "dim int, row array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(f"{dest}/rotation")
+        # one) — copy when present; on None the shared saver REMOVES a
+        # stale dest rotation (a reused dest dir must not keep one)
+        _save_ivfpq_rotation(spark, dest, load_ivfpq_rotation(spark, src))
 
 
 def append_sq8_index(
@@ -2663,6 +2655,29 @@ def append_ivfpq_index(
     )
 
 
+def _save_ivfpq_rotation(
+    spark: SparkSession, path: str, rotation: list | None
+) -> None:
+    """Persist (or, for ``None``, REMOVE) the optional OPQ rotation
+    artifact — the one layout definition shared by builds and artifact
+    copies. Removal on None matters: an overwrite-rebuild of a path
+    that previously held an OPQ index would otherwise leave the stale
+    rotation in place, and probes would rotate the query LUT against
+    unrotated codes — silently wrong scores, no error (round-10 review
+    catch)."""
+    from kfai_pipeline_spark.streaming.rollup import _hadoop_path
+
+    if rotation is None:
+        fs, p, _ = _hadoop_path(spark, f"{path}/rotation")
+        if fs.exists(p):
+            fs.delete(p, True)
+        return
+    spark.createDataFrame(
+        [(i, list(map(float, row))) for i, row in enumerate(rotation)],
+        "dim int, row array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+
+
 def _save_ivfpq_meta(
     spark: SparkSession, path: str, centroids: list, codebooks: list,
     rotation: list | None = None,
@@ -2672,25 +2687,26 @@ def _save_ivfpq_meta(
         "cluster_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     save_pq_index(spark, path, codebooks)
-    if rotation is not None:
-        spark.createDataFrame(
-            [(i, list(map(float, row))) for i, row in enumerate(rotation)],
-            "dim int, row array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    _save_ivfpq_rotation(spark, path, rotation)
 
 
 def load_ivfpq_rotation(spark: SparkSession, path: str):
     """The optional OPQ residual rotation (``<path>/rotation``,
     written only by opq-trained builds) as a d x d nested float list,
-    or None for every pre-OPQ / unrotated index — absence is the
-    normal case, never an error."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import AnalysisException
+    or None for every pre-OPQ / unrotated index. Absence is detected
+    by an explicit FS existence probe — NEVER by swallowing read
+    exceptions: a transient failure reading an EXISTING rotation must
+    raise, because encoding a batch of an OPQ index without its
+    rotation would land permanently-garbage codes with no error
+    anywhere (round-10 review catch). The exists() probe also keeps
+    the common unrotated case to one cheap FS call instead of a
+    parquet read attempt on the serving hot path."""
+    from kfai_pipeline_spark.streaming.rollup import _hadoop_path
 
-    try:
-        rows = spark.read.parquet(f"{path}/rotation").collect()
-    except (AnalysisException, Py4JJavaError):
+    fs, p, _ = _hadoop_path(spark, f"{path}/rotation")
+    if not fs.exists(p):
         return None
+    rows = spark.read.parquet(f"{path}/rotation").collect()
     return [list(r["row"]) for r in sorted(rows, key=lambda r: r["dim"])]
 
 

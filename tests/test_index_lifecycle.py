@@ -241,6 +241,10 @@ def test_ivfpq_routing_baseline_default_policy(spark, corpus, tmp_path_factory):
     assert serving_version(spark, root) == 1
     m1 = read_index_manifest(spark, f"{root}/v_1")
     assert 0.0 < m1["routing_baseline"] <= 1.0  # remeasured on rebuild
+    # the full training recipe persists and the drift rebuild read it
+    # (review catch: a policy-triggered rebuild at caller defaults
+    # would silently retrain n_clusters=16/m=8 over a 4-cluster root)
+    assert m1["kind"] == "ivfpq" and m1["n_clusters"] == 4 and m1["m"] == 8
     # compaction carries the baseline into the folded version
     even = corpus.where(F.col("doc_id") % 2 == 0)
     write_serving_epoch(even, root, 0, kind="ivfpq")

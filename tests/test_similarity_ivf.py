@@ -968,3 +968,17 @@ def test_opq_ivfpq_exhaustive_parity_append_and_copy(spark, tmp_path):
     S.build_ann_index(corpus, plain_idx, kind="ivfpq", id_col="vec_id",
                       n_clusters=8)
     assert S.load_ivfpq_rotation(spark, plain_idx) is None
+    # overwrite-rebuild WITHOUT opq on the SAME path removes the stale
+    # rotation (review catch: a left-behind O would rotate the LUT
+    # against unrotated codes — silently wrong scores, no error), and
+    # the rebuilt index still probes exactly
+    S.build_ann_index(corpus, idx, kind="ivfpq", id_col="vec_id",
+                      n_clusters=8)
+    assert S.load_ivfpq_rotation(spark, idx) is None
+    got2 = [
+        (r.query_id, r.vec_id, r.score)
+        for r in S.ivfpq_topk(
+            spark, idx, queries, k=5, nprobe=8, refine=n, vectors=corpus
+        ).collect()
+    ]
+    assert sorted(got2) == sorted(exact)
