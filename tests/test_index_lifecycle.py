@@ -567,3 +567,132 @@ def test_selfheal_stream_ivfpq_needs_baseline_eagerly(
             stream, f"{base}/idx", f"{base}/ckpt", kind="ivfpq",
             corpus_fn=lambda: corpus,
         )
+
+
+def test_compact_single_writer_cas(spark, corpus, tmp_path_factory):
+    """Round-11: maintenance-vs-maintenance is CHECKED, not prose. Two
+    interleaved compactions of one root — the inner (racing) writer
+    commits v_1; the outer, whose pointer read predates it, REFUSES
+    instead of uncommitting and rewriting the committed dir (the shape
+    that could commit one writer's manifest over the other's codes)."""
+    root = str(tmp_path_factory.mktemp("lc_cas")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    inner = {}
+
+    def racing_compact():
+        inner.update(compact_serving_index(spark, root, kind="sq8"))
+
+    with pytest.raises(RuntimeError, match="already a COMMITTED version"):
+        compact_serving_index(
+            spark, root, kind="sq8", _after_pin=racing_compact
+        )
+    assert inner["version"] == 1 and serving_version(spark, root) == 1
+    # the inner writer's committed version was never rewritten
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+    # a fresh run (pointer read post-flip) proceeds normally to v_2
+    compact_serving_index(spark, root, kind="sq8")
+    assert serving_version(spark, root) == 2
+    got2 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got2 == want
+
+
+def test_maintenance_refuses_claimed_version_dir(
+    spark, corpus, tmp_path_factory
+):
+    """A v_{N+1} claimed by another writer (live, or crashed mid-build)
+    refuses BOTH maintenance ops; force_reclaim is the operator
+    override once no writer is confirmed live."""
+    root = str(tmp_path_factory.mktemp("lc_claim")) + "/idx"
+    init_serving_index(corpus, root, kind="sq8")
+    os.makedirs(os.path.join(root, "v_1"), exist_ok=True)
+    claim = os.path.join(root, "v_1", "_CLAIM")
+    open(claim, "w").close()
+    with pytest.raises(RuntimeError, match="claimed by another"):
+        compact_serving_index(spark, root, kind="sq8")
+    with pytest.raises(RuntimeError, match="claimed by another"):
+        rebuild_serving_index(corpus, root, kind="sq8")
+    assert os.path.exists(claim)  # the refusals never steal the claim
+    assert serving_version(spark, root) == 0
+    rebuild_serving_index(corpus, root, kind="sq8", force_reclaim=True)
+    assert serving_version(spark, root) == 1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_claim_persists_in_committed_version(spark, corpus, tmp_path_factory):
+    """The claim stays in committed version dirs: a stale writer that
+    read the pre-flip pointer can never re-claim (and rewrite) a dir
+    that committed meanwhile — and deliberate refusals release it so a
+    quiet re-run needs no operator action (the raced-epoch test's
+    re-run contract still holds)."""
+    from kfai_pipeline_spark.operators.index_lifecycle import _claim_version
+
+    root = str(tmp_path_factory.mktemp("lc_persist")) + "/idx"
+    vpath = init_serving_index(corpus, root, kind="sq8")
+    assert os.path.exists(os.path.join(vpath, "_CLAIM"))
+    assert _claim_version(spark, vpath) is False
+
+
+def test_ivfpq_empty_build_commits_baselineless(
+    spark, corpus, tmp_path_factory
+):
+    """Round-10 advice: an ivfpq init over an EMPTY corpus must not
+    raise mid-build from the routing_baseline measurement after dest is
+    already written — it commits baseline-less (consistent with the sq8
+    arm's empty commit), and the default drift policy on such a root
+    still refuses with the no-baseline message."""
+    root = str(tmp_path_factory.mktemp("lc_empty_ivf")) + "/idx"
+    empty = spark.createDataFrame(
+        [], "doc_id long, embedding array<double>"
+    )
+    vpath = init_serving_index(empty, root, kind="ivfpq", n_clusters=4)
+    assert serving_version(spark, root) == 0
+    m = read_index_manifest(spark, vpath)
+    assert m["kind"] == "ivfpq" and "routing_baseline" not in m
+    with pytest.raises(ValueError, match="min_p10_cos"):
+        rebuild_if_drifted(
+            corpus, corpus.select("doc_id", "embedding"), root, kind="ivfpq"
+        )
+    # recovery is one rebuild over the real corpus: baseline appears
+    rebuild_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    m1 = read_index_manifest(spark, f"{root}/v_1")
+    assert 0.0 < m1["routing_baseline"] <= 1.0
+
+
+def test_maintain_stream_kind_follows_manifest(
+    spark, corpus, tmp_path_factory
+):
+    """Round-10 advice: the streaming maintainer resolves kind from the
+    root's manifest (like app stage 10) — an explicit mismatch raises
+    at START, and the kwarg-less default maintains an ivfpq root as
+    ivfpq instead of crashing in-fold reading sq8 artifacts."""
+    base = str(tmp_path_factory.mktemp("lc_kindfollow"))
+    root = f"{base}/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", "embedding")
+    init_serving_index(even, root, kind="ivfpq", n_clusters=4)
+    odd.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/f0")
+    schema = "doc_id long, embedding array<double>"
+    stream = spark.readStream.schema(schema).parquet(f"{base}/src/f*")
+    with pytest.raises(ValueError, match="follows the manifest"):
+        maintain_serving_index_stream(
+            stream, root, f"{base}/ckpt_bad", kind="sq8"
+        )
+    stream2 = spark.readStream.schema(schema).parquet(f"{base}/src/f*")
+    maintain_serving_index_stream(
+        stream2, root, f"{base}/ckpt"
+    ).awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in _serve(corpus, root, index_kind="ivfpq", nprobe=4)
+        .select(*COLS)
+        .collect()
+    )
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
