@@ -34,40 +34,26 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 7 (the names r8's and r9's windows did
-    # not re-run — the r6 bucket emptied into CORRECTNESS_r09 and the
-    # r9 window also re-confirmed q01-q16 from this bucket)
+    # last official row: round 8 (the names r9's and r10's windows did
+    # not re-run — the r7 bucket emptied into CORRECTNESS_r10)
     frozenset({
-        "q113_ivfpq_index", "q114_rolling_bucketed", "q115_bloom_decontam",
-        "q116_zorder_scan", "q117_hard_negatives", "q118_compact_roundtrip",
-        "q119_leakage_split", "q120_hard_negatives_blas",
-        "q70_fixed_chunks", "q71_curation_funnel", "q73_mixture_sample",
-        "q74_semantic_dedup", "q75_unigram_logprob", "q77_context_pack",
-        "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
-        "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
-        "q99_source_curation", "q101_hybrid_rrf",
-        "q17", "q18", "q19", "q20", "q21", "q21_dedup", "q22", "q23",
-        "q41_cube", "q42_fullouter", "q43_cross",
+        "q104_simhash_dedup", "q105_neardup_index", "q121_rag_tiered",
+        "q122_optimize_table", "q123_json_deadletter", "q29_tokens",
+        "q30_corpus", "q31_bigrams", "q32_langid", "q33_fingerprint",
+        "q34_minhash", "q35_simhash", "q36_neardup_emb", "q37_chunk_docs",
+        "q38_embed_pipeline", "q47_simsearch_ivf", "q48_ngram_jaccard",
+        "q49_fingerprint_md5", "q50_simhash_md5",
+        "q51_partitioned_roundtrip", "q52_multimodal_meta",
+        "q53_multimodal_asr", "q54_sessionize_terminator", "q55_minhash_md5",
+        "q56_connected_components", "q57_duration_format_roundtrip",
+        "q58_sliding_window", "q59_salted_join", "q69_radius_search",
+        "q72_interval_join", "q76_simsearch_blas", "q78_mixture_epochs",
+        "q79_stat_aggs", "q80_rolling_range", "q82_merge_records",
+        "q83_llm_clean", "q84_funnel", "q85_retention",
+        "q86_integrity_deadletter",
     }),
-    # last official row: round 8 (CORRECTNESS_r08.json's 50-entry window)
-    frozenset({
-        "q121_rag_tiered", "q122_optimize_table", "q123_json_deadletter",
-        "q24", "q25", "q26", "q27", "q28", "q29_tokens", "q30_corpus",
-        "q31_bigrams", "q32_langid", "q39_asof", "q40_quality",
-        "q44_grouping_sets", "q45_stats", "q46_sketch", "q48_ngram_jaccard",
-        "q53_multimodal_asr", "q57_duration_format_roundtrip",
-        "q60_correlated_subquery", "q69_radius_search", "q78_mixture_epochs",
-        "q104_simhash_dedup", "q105_neardup_index",
-        "q33_fingerprint", "q34_minhash", "q35_simhash", "q36_neardup_emb",
-        "q37_chunk_docs", "q38_embed_pipeline", "q47_simsearch_ivf",
-        "q49_fingerprint_md5", "q50_simhash_md5", "q51_partitioned_roundtrip",
-        "q52_multimodal_meta", "q54_sessionize_terminator", "q55_minhash_md5",
-        "q56_connected_components", "q58_sliding_window", "q59_salted_join",
-        "q72_interval_join", "q76_simsearch_blas", "q79_stat_aggs",
-        "q80_rolling_range", "q82_merge_records", "q83_llm_clean",
-        "q84_funnel", "q85_retention", "q86_integrity_deadletter",
-    }),
-    # last official row: round 9 (CORRECTNESS_r09.json's 50-entry window)
+    # last official row: round 9 (CORRECTNESS_r09.json's window, minus
+    # the names round 10 re-confirmed)
     frozenset({
         "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07",
         "q08", "q09", "q10", "q11", "q12", "q13", "q14", "q15", "q16",
@@ -85,6 +71,24 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q126_rag_tiered_batch", "q127_rag_multi_topic_tiered",
         "q128_rag_index_append_sq8", "q129_rag_index_append_ivfpq",
         "q130_rag_index_stream", "q131_index_drift",
+    }),
+    # last official row: round 10 (CORRECTNESS_r10.json's 50-entry window)
+    frozenset({
+        "q101_hybrid_rrf", "q113_ivfpq_index", "q114_rolling_bucketed",
+        "q115_bloom_decontam", "q116_zorder_scan", "q117_hard_negatives",
+        "q118_compact_roundtrip", "q119_leakage_split",
+        "q120_hard_negatives_blas", "q132_rag_tiered_batch_filters",
+        "q133_rag_serving_lifecycle", "q134_rag_drift_rebuild",
+        "q135_rag_selfheal_stream", "q136_rag_index_stage",
+        "q137_rag_tiered_opq", "q17", "q18", "q19", "q20", "q21",
+        "q21_dedup", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
+        "q39_asof", "q40_quality", "q41_cube", "q42_fullouter", "q43_cross",
+        "q44_grouping_sets", "q45_stats", "q46_sketch",
+        "q60_correlated_subquery", "q70_fixed_chunks", "q71_curation_funnel",
+        "q73_mixture_sample", "q74_semantic_dedup", "q75_unigram_logprob",
+        "q77_context_pack", "q81_tfidf_terms", "q91_training_order",
+        "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
+        "q98_heavy_hitters", "q99_source_curation",
     }),
 )
 

@@ -79,24 +79,41 @@ def _list_committed_versions(
 def _read_latest_version(
     spark: SparkSession, snapshot_dir: str, marker: str = "_SUCCESS"
 ) -> int:
-    fs, p, _ = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
-    if not fs.exists(p):
-        # Pointer lost (crash between delete and rename) or never written.
-        # The pointer is only a cache — recover from the committed-version
-        # listing so a lost pointer degrades to re-resolution, never to
-        # silently restarting history at -1.
-        committed = _list_committed_versions(spark, snapshot_dir, marker)
-        return committed[-1] if committed else -1
-    stream = fs.open(p)
-    try:
-        out = bytearray()
-        b = stream.read()
-        while b != -1 and len(out) < 64:  # pointer is a small integer
-            out.append(b)
-            b = stream.read()
-    finally:
-        stream.close()
-    return int(bytes(out).decode("utf-8").strip())
+    fs, p, jvm = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
+    if fs.exists(p):
+        try:
+            stream = fs.open(p)
+            try:
+                out = bytearray()
+                b = stream.read()
+                while b != -1 and len(out) < 64:  # pointer: small integer
+                    out.append(b)
+                    b = stream.read()
+            finally:
+                stream.close()
+            v = int(bytes(out).decode("utf-8", errors="replace").strip())
+        except Exception:
+            # torn/garbled/checksum-failed pointer: the write side is
+            # temp+rename, but rename is NOT atomic on every store this
+            # protocol targets (object-store rename is copy+delete) — a
+            # reader crossing a flip there can observe a half-written
+            # pointer, and a corrupted one fails the FS checksum. The
+            # pointer is only a cache; fall through to listing recovery
+            # instead of crashing every reader (round-11).
+            v = None
+        if v is not None and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v_{v}/{marker}")
+        ):
+            return v
+        # a pointer at a version with no committed marker (externally
+        # pruned dir, or a flip raced by maintenance) would send every
+        # reader into a missing directory — recover instead
+    # Pointer lost (crash between delete and rename), never written, or
+    # unusable (above). The pointer is only a cache — recover from the
+    # committed-version listing so a bad pointer degrades to
+    # re-resolution, never to silently restarting history at -1.
+    committed = _list_committed_versions(spark, snapshot_dir, marker)
+    return committed[-1] if committed else -1
 
 
 def _write_latest_version(spark: SparkSession, snapshot_dir: str, version: int) -> None:

