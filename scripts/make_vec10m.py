@@ -13,7 +13,7 @@ vectors are the near neighbours by construction). Deterministic
 (vec_id long, embedding array<float>, label int).
 
 Output: ./bench_vec10m/embeddings.parquet/ as ~64 MB files.
-Usage: python scripts/make_vec10m.py [n_rows] [--clustered]
+Usage: python scripts/make_vec10m.py [n_rows] [--clustered|--correlated]
 
 --clustered [sigma] (round-8 verdict item #2): the default
 SIGMA=0.25 noise has norm sigma*sqrt(64) = 2.0 against unit centers —
@@ -30,6 +30,21 @@ quantizer can resolve and no application needs: recall pinned at
 0.125 independent of nprobe. Over-clustering is as degenerate as
 uniformity.) Writes to ./bench_vec10m_clustered/ so both fixtures
 coexist.
+
+--correlated [rank] (round-11 verdict item #3): the clustered arm's
+noise is a spherical Gaussian — residuals after coarse quantization
+are ISOTROPIC by construction, so the OPQ rotation has nothing to
+re-axis and §5aa's 10M measurement was a (recorded) null. This arm
+makes the residuals CORRELATED the way real text-embedding residuals
+are (decaying PCA spectrum): noise = z @ M with z ~ N(0, I_rank)
+(default rank 8) and M a fixed random rank x 64 mixing matrix scaled
+to the clustered arm's noise energy (||noise|| ~ 0.8), so every PQ
+sub-block sees linearly mixed coordinates — the OPQ objective's
+regime (the unit-test construction at 10M scale). Centers drop to 256
+(== the spot's coarse-book size) so the coarse book can resolve them
+~1:1 and the residual is the low-rank noise itself, not inter-center
+scatter that would re-isotropize it. Writes to
+./bench_vec10m_correlated/.
 """
 from __future__ import annotations
 
@@ -49,27 +64,47 @@ CHUNK = 500_000
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--clustered", "--correlated")
+    ]
     clustered = "--clustered" in sys.argv[1:]
+    correlated = "--correlated" in sys.argv[1:]
     n = int(args[0]) if args else 10_000_000
     sigma = (float(args[1]) if len(args) > 1 else 0.10) if clustered else SIGMA
-    dirname = "bench_vec10m_clustered" if clustered else "bench_vec10m"
+    rank = int(args[1]) if (correlated and len(args) > 1) else 8
+    dirname = (
+        "bench_vec10m_correlated"
+        if correlated
+        else "bench_vec10m_clustered" if clustered else "bench_vec10m"
+    )
     out = os.path.join(REPO, dirname, "embeddings.parquet")
     if os.path.isdir(out):
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
 
+    n_centers = 256 if correlated else N_CENTERS
     rng = np.random.default_rng(42)
-    centers = rng.standard_normal((N_CENTERS, DIM))
+    centers = rng.standard_normal((n_centers, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mixing = None
+    if correlated:
+        # fixed rank x DIM mixing, scaled so E||z @ M||^2 == 0.8^2 (the
+        # clustered arm's noise energy): E||zM||^2 = ||M||_F^2 for
+        # z ~ N(0, I)
+        mixing = np.random.default_rng(7).standard_normal((rank, DIM))
+        mixing *= 0.8 / np.linalg.norm(mixing)
 
     written = 0
     fidx = 0
     while written < n:
         m = min(CHUNK, n - written)
         crng = np.random.default_rng(1000 + fidx)
-        labels = crng.integers(0, N_CENTERS, size=m)
-        vecs = centers[labels] + sigma * crng.standard_normal((m, DIM))
+        labels = crng.integers(0, n_centers, size=m)
+        if correlated:
+            noise = crng.standard_normal((m, rank)) @ mixing
+        else:
+            noise = sigma * crng.standard_normal((m, DIM))
+        vecs = centers[labels] + noise
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs.astype(np.float32)
         tbl = pa.table(
