@@ -11,6 +11,14 @@ cost shows up in train_s (one driver-side SVD loop over the 100k
 sample) and NOWHERE else (the encode adds one sample-side GEMM).
 
 Usage: python scripts/opq_vec_spot.py [dir] [n_q] [k] [opq_iters]
+       [refines]
+
+``refines`` (round-11): comma list, default "32". The exact re-rank
+absorbs code error when refine >> k — at refine=32/k=10 a candidate
+set from EITHER codebook nearly always contains the true top-10, so
+recall is insensitive to the quantizer's quality and the OPQ delta
+reads ~0 even where its quantization error is measurably lower. The
+thin-slack point (refine=k) is where code quality IS the recall.
 """
 from __future__ import annotations
 
@@ -33,10 +41,15 @@ def main() -> None:
     n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     opq_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    refines = (
+        [int(x) for x in sys.argv[5].split(",")]
+        if len(sys.argv) > 5
+        else [32]
+    )
     spark = get_spark()
     scratch = tempfile.mkdtemp(prefix="opq_spot_")
     out: dict = {"metric": "vec10m_opq_spot", "k": k, "n_queries": n_q,
-                 "opq_iters": opq_iters}
+                 "opq_iters": opq_iters, "refines": refines}
     try:
         vectors = spark.read.parquet(f"{fixture}/embeddings.parquet")
         out["n_vectors"] = vectors.count()
@@ -71,23 +84,26 @@ def main() -> None:
         out["brute_blas_s"] = round(time.perf_counter() - t0, 1)
 
         out["nprobe_curve"] = []
-        for nprobe in (8, 16, 32, 64):
-            row = {"nprobe": nprobe}
-            for name, idx in (("plain", plain), ("opq", opq)):
-                t0 = time.perf_counter()
-                got = topk_set(
-                    S.ivfpq_topk(
-                        spark, idx, queries, k, nprobe=nprobe, refine=32,
-                        vectors=vectors,
+        for refine in refines:
+            for nprobe in (8, 16, 32, 64):
+                row = {"nprobe": nprobe, "refine": refine}
+                for name, idx in (("plain", plain), ("opq", opq)):
+                    t0 = time.perf_counter()
+                    got = topk_set(
+                        S.ivfpq_topk(
+                            spark, idx, queries, k, nprobe=nprobe,
+                            refine=refine, vectors=vectors,
+                        )
                     )
+                    row[f"recall_{name}"] = round(
+                        len(got & exact) / max(len(exact), 1), 3
+                    )
+                    row[f"s_{name}"] = round(time.perf_counter() - t0, 1)
+                row["delta"] = round(
+                    row["recall_opq"] - row["recall_plain"], 3
                 )
-                row[f"recall_{name}"] = round(
-                    len(got & exact) / max(len(exact), 1), 3
-                )
-                row[f"s_{name}"] = round(time.perf_counter() - t0, 1)
-            row["delta"] = round(row["recall_opq"] - row["recall_plain"], 3)
-            out["nprobe_curve"].append(row)
-            print(json.dumps(row), file=sys.stderr)
+                out["nprobe_curve"].append(row)
+                print(json.dumps(row), file=sys.stderr)
         print(json.dumps(out))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
