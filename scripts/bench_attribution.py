@@ -53,7 +53,15 @@ def main() -> None:
     from kfai_pipeline_spark.catalog import TABLES, register_views
     from kfai_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-attribution")
+    # BENCH_ATTR_CONF_JSON: optional {"spark.conf.key": "value"} overrides
+    # so a flag measured under bench.py's interactive conf (AQE off, small
+    # shuffle-partition count, split-sized scans) can be attributed under
+    # the SAME conf — cross-conf comparisons are not attribution evidence.
+    import os
+
+    conf_env = os.environ.get("BENCH_ATTR_CONF_JSON")
+    extra_conf = json.loads(conf_env) if conf_env else None
+    spark = get_spark(app_name="bench-attribution", extra_conf=extra_conf)
     register_views(spark, sf_dir)
 
     # parity check: variants should produce the same rows (sorted).
