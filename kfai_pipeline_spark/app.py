@@ -466,10 +466,15 @@ def index_maintain(
       lands as one stamped epoch (``"epoch"``);
     - nothing new → ``{"action": "none"}``.
 
-    This stage is the root's single ingest writer — do not point it at
-    a root a streaming maintainer (maintain_serving_index_stream) is
-    feeding. Serve through the root via ``query(use_index=True)`` or
-    any retrieval entry point (``resolve_index_path`` accepts it).
+    Ingest-writer concurrency (round-12): this stage writes epochs as
+    writer ``app-stage10`` and allocates ids past every epoch-id CLAIM
+    (a streaming maintainer's in-flight or crashed batches included),
+    so pointing it at a root a maintain_serving_index_stream feeds can
+    no longer silently overwrite a streamed batch — the id sequences
+    stay disjoint, and a true collision refuses loudly at the fence
+    (write_serving_epoch) instead of un-serving documents. Serve
+    through the root via ``query(use_index=True)`` or any retrieval
+    entry point (``resolve_index_path`` accepts it).
 
     ``kind`` applies to the FIRST build only: an existing root's
     manifest records its kind, and maintenance follows the manifest —
@@ -478,6 +483,7 @@ def index_maintain(
     from kfai_pipeline_spark.operators.dedup import CacheScope
     from kfai_pipeline_spark.operators.index_lifecycle import (
         init_serving_index,
+        list_epoch_claims,
         read_index_manifest,
         rebuild_if_drifted,
         rebuild_serving_index,
@@ -554,15 +560,23 @@ def index_maintain(
             "chunks_indexed": store.count(),
             "stats": res["stats"],
         }
-    # next epoch id clears BOTH the live dirs and the manifest's folded
-    # set: after a compact+prune cycle the folded ids outlive their
-    # (deleted) dirs until the next compaction, and reusing one would
-    # commit an epoch that _codes_df permanently skips — new chunks
-    # silently unserved while this stage reports success
+    # next epoch id clears the live dirs, the manifest's folded set,
+    # AND every claim sidecar: after a compact+prune cycle the folded
+    # ids outlive their (deleted) dirs until the next compaction, and
+    # reusing one would commit an epoch that _codes_df permanently
+    # skips — new chunks silently unserved while this stage reports
+    # success; a CLAIMED id (a streaming maintainer's in-flight or
+    # crashed batch — round-12) belongs to that writer forever, so
+    # allocating past it keeps the two id sequences disjoint instead of
+    # tripping the epoch-id fence
     manifest = read_index_manifest(spark, vpath) or {"folded": []}
     live = (bid for bid, _, _ in list_epoch_dirs(spark, root))
-    next_id = max([*live, *manifest["folded"], -1]) + 1
-    write_serving_epoch(delta, root, next_id, kind=kind, id_col="__chunk_id")
+    claimed = (bid for bid, _ in list_epoch_claims(spark, root))
+    next_id = max([*live, *claimed, *manifest["folded"], -1]) + 1
+    write_serving_epoch(
+        delta, root, next_id, kind=kind, id_col="__chunk_id",
+        writer="app-stage10",
+    )
     return {"action": "epoch", "chunks_indexed": n, "stats": res["stats"]}
 
 

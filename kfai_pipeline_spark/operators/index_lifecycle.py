@@ -44,14 +44,22 @@ need a quiesced maintainer: an epoch committed mid-rebuild may hold
 documents the rebuild corpus predates, so the rebuild refuses (before
 commit, and again after the flip with rollback) when it detects one —
 see :func:`rebuild_serving_index` for the guard and its residual
-window. Maintenance ops (rebuild/compact) are SINGLE-WRITER and that
-is ENFORCED (round-11): the next version dir is acquired by CAS —
+window. Maintenance ops (rebuild/compact) are SINGLE-WRITER, enforced
+(round-11) on filesystems with atomic create-if-absent — HDFS
+(namenode-side) and local: the next version dir is acquired by CAS —
 ``v_{N+1}/_CLAIM`` exclusive-create, refuse-on-committed, pointer
 re-read under the claim (:func:`_acquire_version_dir`) — so two
 concurrent maintainers refuse loudly instead of interleaving writes
 into one committed dir; the claim persists in committed versions to
-fence stale writers. Concurrent INGEST (the maintainer) is the
-concurrency the membership protocol handles.
+fence stale writers. On object stores, ``createNewFile`` is an
+exists-check + PUT, NOT atomic: the claim narrows the interleaving
+window to one round-trip but cannot close it — deployments there
+should back the claim with the store's conditional-put/etag primitive
+or schedule maintenance from one window (the pre-round-11 rule, which
+remains the documented posture off atomic-create filesystems).
+Concurrent INGEST (the maintainer) is the concurrency the membership
+protocol handles; concurrent ingest WRITERS are fenced per epoch id
+by the same primitive (round-12 — see :func:`write_serving_epoch`).
 
 Exactly-once composition with streaming: the maintainer's epoch dirs
 stay overwrite-idempotent ((content, batch_id)-pure), so a replayed
@@ -88,6 +96,7 @@ from kfai_pipeline_spark.operators.similarity import (
 from kfai_pipeline_spark.streaming.rollup import (
     _hadoop_path,
     _read_latest_version,
+    _read_pointer_raw,
     _write_latest_version,
 )
 
@@ -103,15 +112,27 @@ def _claim_version(spark: SparkSession, vdir: str) -> bool:
     """Exclusive-create ``vdir/_CLAIM`` — True iff THIS caller now holds
     the dir. FileSystem.createNewFile is the namenode-atomic
     create-if-absent on HDFS and the same check-then-create every other
-    FS-level marker in this protocol already relies on locally."""
+    FS-level marker in this protocol already relies on locally.
+
+    A create that RAISES is re-probed (round-11 advice): when the claim
+    file exists afterward it was genuine contention (False — another
+    writer holds it); when it does not, the failure was a filesystem
+    I/O error and is surfaced AS one — swallowing it as "claimed by
+    another writer" would read as permanent contention to a retrying
+    scheduler on a flaky FS."""
     fs, p, _ = _hadoop_path(spark, f"{vdir}/{_CLAIM}")
     parent = p.getParent()
     if not fs.exists(parent):
         fs.mkdirs(parent)
     try:
         return bool(fs.createNewFile(p))
-    except Exception:
-        return False
+    except Exception as exc:
+        if fs.exists(p):
+            return False
+        raise IOError(
+            f"claim probe on {vdir!r} failed with a filesystem error "
+            "(not contention — no claim file exists after the failure)"
+        ) from exc
 
 
 def _release_version_claim(spark: SparkSession, vdir: str) -> None:
@@ -146,15 +167,54 @@ def _acquire_version_dir(
     a stale writer that read the old pointer from ever re-claiming (and
     rewriting) a dir that committed meanwhile. Deliberate refusal paths
     and clean failures release it, so a quiet re-run reclaims without
-    operator action; only a crash leaves one behind."""
+    operator action; only a crash leaves one behind.
+
+    Round-11 advice hardening on the committed-``dest`` branch:
+
+    - a committed ``dest`` while the pointer STILL resolves ``cur`` is
+      the crash-between-commit-and-flip orphan — without repair it
+      wedges all future maintenance (every re-run recomputes the same
+      ``dest`` and refuses; "re-run to pick up the new version" never
+      comes true because the pointer never moves). The missing step is
+      only the pointer flip, and flipping to a committed version is
+      always safe (a racing writer mid-flip writes the same value), so
+      this REPAIRS the pointer, then refuses so the caller re-runs
+      against the now-served version;
+    - ``force_reclaim`` checks the RAW pointer word BEFORE uncommitting
+      ``dest``: uncommitting first would push the validated pointer
+      read into committed-listing recovery (marker gone), which returns
+      the OLD version and lets the reclaim rewrite a dir a racing
+      writer's flip is actively serving."""
+    dest_v = int(dest.rstrip("/").rsplit("/v_", 1)[1])
     fs, p, _ = _hadoop_path(spark, f"{dest}/{_COMMITTED}")
     if fs.exists(p):
         if not force_reclaim:
+            if serving_version(spark, root) == cur:
+                _write_latest_version(spark, root, dest_v)
+                raise RuntimeError(
+                    f"{dest!r} was a COMMITTED version the serving "
+                    "pointer never reached — a prior maintenance run "
+                    "crashed between commit and pointer flip (or a "
+                    "racing writer is mid-flip; the flip is idempotent "
+                    "either way). The pointer has been repaired to "
+                    "serve it; re-run to maintain against the new "
+                    "serving version."
+                )
             raise RuntimeError(
                 f"{dest!r} is already a COMMITTED version — another "
                 "maintenance writer produced it after this one read the "
                 "pointer. Maintenance ops are single-writer; re-run to "
-                "pick up the new serving version."
+                "pick up the new serving version (a re-run that keeps "
+                "refusing here with NO live writer is a crashed orphan "
+                "— recover with force_reclaim=True)."
+            )
+        if _read_pointer_raw(spark, root) == dest_v:
+            raise RuntimeError(
+                f"the serving pointer already names {dest!r} — it is "
+                "the LIVE serving version (a racing writer committed "
+                "and flipped after this run read the pointer); refusing "
+                "to reclaim and rewrite it. Re-run against the new "
+                "serving version."
             )
         _uncommit_version(spark, dest)
     if force_reclaim:
@@ -463,6 +523,122 @@ def init_serving_index(
     )
 
 
+_EPOCH_WRITER_SEP = "._WRITER."
+
+
+def _writer_tag(writer: str) -> str:
+    """A filename-safe, per-writer-unique tag: the sanitized writer
+    string (readable in claim filenames and collision errors) plus a
+    short hash of the UNsanitized one (so two writers that sanitize to
+    the same text still get distinct tags)."""
+    import hashlib
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_-]", "-", writer)[:80]
+    return f"{safe}-{hashlib.sha256(writer.encode()).hexdigest()[:8]}"
+
+
+def list_epoch_claims(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """(batch_id, writer tag) of every epoch-id claim sidecar under
+    ``<root>/codes_batches`` — committed epochs, in-flight writes, and
+    crashed attempts alike. Id allocators (app stage 10) include these
+    in their max so a fresh id never lands on one another writer holds
+    (committed-or-not)."""
+    base = f"{root}/codes_batches"
+    fs, bp, _ = _hadoop_path(spark, base)
+    if not fs.exists(bp):
+        return []
+    out: list[tuple[int, str]] = []
+    for status in fs.listStatus(bp):
+        name = status.getPath().getName()
+        if status.isDirectory() or _EPOCH_WRITER_SEP not in name:
+            continue
+        head, tag = name.split(_EPOCH_WRITER_SEP, 1)
+        if not head.startswith("batch_"):
+            continue
+        try:
+            out.append((int(head[len("batch_"):]), tag))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _claim_epoch_id(
+    spark: SparkSession, root: str, batch_id: int, writer: str
+) -> None:
+    """Fence epoch id ``batch_id`` to ``writer`` (round-11 verdict
+    carry: epoch-writer concurrency was convention — stage 10 allocates
+    ids by read-then-max+1 while a streaming maintainer's checkpoint
+    ids come from an unrelated sequence, and ``write_serving_epoch``
+    overwrites its dest unconditionally, so a collision silently
+    un-serves one batch's documents; stage 10's left-anti self-heals on
+    re-run, a stream's checkpoint never replays a committed batch).
+
+    The claim is an EMPTY exclusive-created sidecar FILE whose NAME
+    carries the writer tag — ``batch_<id>._WRITER.<tag>`` — sibling of
+    the epoch dir so the parquet overwrite never touches it, a file so
+    the ``list_success_dirs`` epoch listing (isDirectory) never sees
+    it, atomic claim+identity in the one ``createNewFile`` (no
+    create-then-write-token window where a racer reads an empty token).
+    Same-writer replays pass (the overwrite-idempotent streaming
+    contract); a foreign claim refuses loudly, naming both writers.
+    Claims PERSIST for the root's lifetime — they are what keeps an id
+    from being reused after a compact+prune cycle deletes the folded
+    dirs — at one empty file per epoch. Atomicity scope is the same as
+    every claim in this protocol (module docstring): namenode-atomic on
+    HDFS/local; conditional-put territory on object stores."""
+    tag = _writer_tag(writer)
+    base = f"{root}/codes_batches"
+    fs, bp, _ = _hadoop_path(spark, base)
+    if not fs.exists(bp):
+        fs.mkdirs(bp)
+
+    def holders() -> list[str]:
+        return [t for bid, t in list_epoch_claims(spark, root) if bid == batch_id]
+
+    cur = holders()
+    if tag in cur:
+        return  # our id — a replay of our own batch
+    if cur:
+        raise RuntimeError(
+            f"epoch id {batch_id} under {root!r} is claimed by writer "
+            f"{cur[0]!r} but writer {writer!r} (tag {tag!r}) tried to "
+            "write it — two ingest writers' id sequences collided, and "
+            "an overwrite would silently un-serve the other writer's "
+            "batch. Give each writer its own id sequence (stage 10 "
+            "already skips claimed ids), or point them at different "
+            "roots."
+        )
+    _, cp, _ = _hadoop_path(spark, f"{base}/batch_{batch_id}{_EPOCH_WRITER_SEP}{tag}")
+    try:
+        created = bool(fs.createNewFile(cp))
+    except Exception as exc:
+        cur = holders()  # distinguish contention from I/O (round-12 hygiene)
+        if tag in cur:
+            return
+        if cur:
+            raise RuntimeError(
+                f"epoch id {batch_id} under {root!r} was claimed by "
+                f"writer {cur[0]!r} while writer {writer!r} raced it — "
+                "refusing to overwrite the winner's batch."
+            ) from None
+        raise IOError(
+            f"epoch-id claim probe on {root!r} batch {batch_id} failed "
+            "with a filesystem error (not contention — no claim exists "
+            "after the failure)"
+        ) from exc
+    if created:
+        return
+    cur = holders()
+    if tag in cur:
+        return
+    raise RuntimeError(
+        f"epoch id {batch_id} under {root!r} was claimed by writer "
+        f"{cur[0] if cur else '<unknown>'!r} while writer {writer!r} "
+        "raced it — refusing to overwrite the winner's batch."
+    )
+
+
 def write_serving_epoch(
     batch_df: DataFrame,
     root: str,
@@ -470,12 +646,20 @@ def write_serving_epoch(
     kind: str = "sq8",
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    writer: str = "adhoc",
 ) -> None:
     """Encode one ingest batch against the SERVING version's frozen
     artifacts and commit it as shared epoch ``batch_<batch_id>``,
     stamped with that version's ``artifacts_id`` (the stamp is what
     keeps a pre-rebuild epoch from being served against post-rebuild
-    artifacts). Overwrite-idempotent: a replay rewrites itself. The
+    artifacts). Overwrite-idempotent PER WRITER: the epoch id is fenced
+    to ``writer`` by an exclusive-created claim sidecar
+    (:func:`_claim_epoch_id`), so a replay by the SAME writer rewrites
+    itself while a different writer whose id sequence collided refuses
+    loudly instead of silently un-serving this batch (round-11 verdict
+    carry). Stage 10 writes as ``app-stage10``; the streaming
+    maintainer writes as ``stream:<checkpoint dir>``; direct callers
+    share the ``adhoc`` identity (the pre-round-12 semantics). The
     stamp lands AFTER the parquet ``_SUCCESS``; a reader in between
     skips the epoch until the stamp exists — unserved-yet, never
     wrong."""
@@ -490,6 +674,7 @@ def write_serving_epoch(
         )
     from kfai_pipeline_spark.streaming.index_maintain import encode_epoch
 
+    _claim_epoch_id(spark, root, batch_id, writer)
     dest = f"{root}/codes_batches/batch_{batch_id}"
     encode_epoch(batch_df, vpath, dest, kind=kind, vec_col=vec_col, id_col=id_col)
     _fs_write_text(
@@ -616,6 +801,12 @@ def maintain_serving_index_stream(
         write_serving_epoch(
             batch_df, root, batch_id, kind=kind, vec_col=vec_col,
             id_col=id_col,
+            # writer identity = the checkpoint (stable across restarts
+            # of THIS stream, distinct from stage 10 and from any other
+            # stream): replays of our own batch ids pass the epoch-id
+            # fence; a collision with another writer's sequence refuses
+            # loudly instead of silently un-serving a batch
+            writer=f"stream:{checkpoint_dir.rstrip('/')}",
         )
 
     return write_stream_foreach_batch(stream_df, fold, checkpoint_dir)

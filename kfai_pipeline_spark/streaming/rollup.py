@@ -76,32 +76,48 @@ def _list_committed_versions(
     return sorted(versions)
 
 
+def _read_pointer_raw(spark: SparkSession, snapshot_dir: str) -> int | None:
+    """The ``_LATEST`` pointer's RAW integer word — no committed-marker
+    validation, no listing recovery; ``None`` when the pointer is
+    absent, unreadable, or garbled. Readers want the validated
+    :func:`_read_latest_version`; this raw read exists for the
+    maintenance force-reclaim path (round-11 advice): that path is
+    about to UNCOMMIT a version, after which a validated read would
+    degrade to listing recovery and return an older version — hiding
+    that a racing writer's flip already points at the dir being
+    reclaimed."""
+    fs, p, _ = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
+    if not fs.exists(p):
+        return None
+    try:
+        stream = fs.open(p)
+        try:
+            out = bytearray()
+            b = stream.read()
+            while b != -1 and len(out) < 64:  # pointer: small integer
+                out.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return int(bytes(out).decode("utf-8", errors="replace").strip())
+    except Exception:
+        # torn/garbled/checksum-failed pointer: the write side is
+        # temp+rename, but rename is NOT atomic on every store this
+        # protocol targets (object-store rename is copy+delete) — a
+        # reader crossing a flip there can observe a half-written
+        # pointer, and a corrupted one fails the FS checksum. The
+        # pointer is only a cache; callers fall through to listing
+        # recovery instead of crashing every reader (round-11).
+        return None
+
+
 def _read_latest_version(
     spark: SparkSession, snapshot_dir: str, marker: str = "_SUCCESS"
 ) -> int:
-    fs, p, jvm = _hadoop_path(spark, f"{snapshot_dir}/{_LATEST}")
-    if fs.exists(p):
-        try:
-            stream = fs.open(p)
-            try:
-                out = bytearray()
-                b = stream.read()
-                while b != -1 and len(out) < 64:  # pointer: small integer
-                    out.append(b)
-                    b = stream.read()
-            finally:
-                stream.close()
-            v = int(bytes(out).decode("utf-8", errors="replace").strip())
-        except Exception:
-            # torn/garbled/checksum-failed pointer: the write side is
-            # temp+rename, but rename is NOT atomic on every store this
-            # protocol targets (object-store rename is copy+delete) — a
-            # reader crossing a flip there can observe a half-written
-            # pointer, and a corrupted one fails the FS checksum. The
-            # pointer is only a cache; fall through to listing recovery
-            # instead of crashing every reader (round-11).
-            v = None
-        if v is not None and fs.exists(
+    fs, _, jvm = _hadoop_path(spark, snapshot_dir)
+    v = _read_pointer_raw(spark, snapshot_dir)
+    if v is not None:
+        if fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/v_{v}/{marker}")
         ):
             return v

@@ -486,3 +486,113 @@ def test_index_stage_empty_committed_base_rebuilds(spark, tmp_path_factory):
     assert s["action"] == "rebuild" and s["chunks_indexed"] == 20
     assert serving_version(spark, os.path.join(wd, "index")) == 1
     assert app.index_maintain(spark, wd)["action"] == "none"
+
+
+def test_index_stage_racing_stream_maintainer_no_silent_overwrite(
+    spark, tmp_path_factory
+):
+    """Round-11 verdict carry (#2): stage 10 allocates epoch ids by
+    max+1 while a streaming maintainer's ids come from its checkpoint's
+    unrelated sequence — pre-fence, a collision silently un-served the
+    streamed batch (write_serving_epoch overwrote unconditionally, and
+    a stream's checkpoint never replays a committed batch). Now: both
+    writers land on one root with disjoint ids (stage 10 allocates past
+    the stream's CLAIMS, committed or in-flight), every document
+    serves, and a forced id collision refuses loudly."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        list_epoch_claims,
+        serving_version,
+    )
+
+    wd = str(tmp_path_factory.mktemp("ws_race"))
+    root = os.path.join(wd, "index")
+    schema = "video_id string, start_time double, embedding array<double>"
+    store = os.path.join(wd, "store")
+
+    def rows(n0, n1):
+        return spark.createDataFrame(
+            [
+                (
+                    f"v{i}",
+                    float(i * 30),
+                    [float(1 + (i * (j + 3)) % 7) for j in range(8)],
+                )
+                for i in range(n0, n1)
+            ],
+            schema,
+        )
+
+    rows(0, 20).write.mode("overwrite").parquet(store)
+    assert app.index_maintain(spark, wd)["action"] == "init"  # v_0, no epochs
+
+    # a STREAMING maintainer feeds the same root; its checkpoint id
+    # sequence starts at 0 — exactly the id a max+1 stage 10 would pick
+    chunks = app._with_chunk_id(rows(20, 30)).select("__chunk_id", "embedding")
+    src = os.path.join(wd, "src")
+    chunks.coalesce(1).write.mode("overwrite").parquet(src)
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        maintain_serving_index_stream,
+    )
+
+    stream = spark.readStream.schema(chunks.schema).parquet(src)
+    q = maintain_serving_index_stream(
+        stream, root, os.path.join(wd, "ckpt"), id_col="__chunk_id"
+    )
+    q.awaitTermination()
+    claims = list_epoch_claims(spark, root)
+    assert [bid for bid, _ in claims] == [0]
+    assert claims[0][1].startswith("stream-")
+    stream_codes = set(
+        r[0]
+        for r in spark.read.parquet(
+            os.path.join(root, "codes_batches", "batch_0")
+        ).select("__chunk_id").collect()
+    )
+
+    # the streamed docs must land in the corpus table too (the stage-10
+    # left-anti's source of truth), plus NEW rows only stage 10 sees
+    rows(0, 36).write.mode("overwrite").parquet(store)
+    s = app.index_maintain(spark, wd)
+    if s["action"] == "epoch":
+        # stage 10 skipped the stream's claimed id: its epoch is batch_1
+        assert s["chunks_indexed"] == 6  # ONLY the un-streamed delta
+        claims = list_epoch_claims(spark, root)
+        assert [bid for bid, _ in claims] == [0, 1]
+        assert claims[1][1].startswith("app-stage10-")
+        # the streamed batch was NOT overwritten
+        now = set(
+            r[0]
+            for r in spark.read.parquet(
+                os.path.join(root, "codes_batches", "batch_0")
+            ).select("__chunk_id").collect()
+        )
+        assert now == stream_codes
+    else:  # drift may legitimately rebuild at tiny n — still no loss
+        assert s["action"] == "rebuild"
+    # every document serves: an idle rerun detects nothing unserved
+    assert app.index_maintain(spark, wd)["action"] == "none"
+    assert serving_version(spark, root) >= 0
+
+    # the direct collision arm: a writer landing on the stream's id
+    # refuses loudly instead of overwriting
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        write_serving_epoch,
+    )
+
+    if s["action"] == "epoch":
+        delta = app._with_chunk_id(rows(36, 40)).select(
+            "__chunk_id", "embedding"
+        )
+        with pytest.raises(RuntimeError, match="claimed by writer"):
+            write_serving_epoch(
+                delta, root, 0, id_col="__chunk_id", writer="app-stage10"
+            )
+        now = set(
+            r[0]
+            for r in spark.read.parquet(
+                os.path.join(root, "codes_batches", "batch_0")
+            ).select("__chunk_id").collect()
+        )
+        assert now == stream_codes

@@ -743,3 +743,162 @@ def test_reader_resolving_pointer_during_flip(spark, corpus, tmp_path_factory):
     _fs_write_text(spark, f"{root}/_LATEST", "99")
     assert serving_version(spark, root) == 1
     serve_ok()
+
+
+def test_epoch_writer_fence(spark, corpus, tmp_path_factory):
+    """Round-11 verdict carry: epoch-writer concurrency was convention.
+    Two ingest writers whose id sequences collide on one epoch id must
+    never silently overwrite each other — the loser refuses loudly,
+    naming both writers; a replay by the SAME writer still passes (the
+    overwrite-idempotent streaming contract)."""
+    root = str(tmp_path_factory.mktemp("lc_fence")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    first = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 45))
+    other = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 45))
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(first, root, 0, kind="sq8", writer="stream:ckptA")
+    served = corpus.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") < 45))
+    want = sorted(tuple(r) for r in _brute(served).select(*COLS).collect())
+
+    # a DIFFERENT writer colliding on id 0 refuses and changes nothing
+    with pytest.raises(RuntimeError, match="claimed by writer"):
+        write_serving_epoch(other, root, 0, kind="sq8", writer="app-stage10")
+    got = sorted(tuple(r) for r in _serve(served, root).select(*COLS).collect())
+    assert got == want  # the winner's batch still serves, un-overwritten
+
+    # the SAME writer replaying its own id passes (exactly-once replay)
+    write_serving_epoch(first, root, 0, kind="sq8", writer="stream:ckptA")
+    got2 = sorted(tuple(r) for r in _serve(served, root).select(*COLS).collect())
+    assert got2 == want
+
+    # the other writer lands cleanly on its OWN id
+    write_serving_epoch(other, root, 1, kind="sq8", writer="app-stage10")
+    got3 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want3 = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got3 == want3
+
+    from kfai_pipeline_spark.operators.index_lifecycle import list_epoch_claims
+
+    claims = list_epoch_claims(spark, root)
+    assert [bid for bid, _ in claims] == [0, 1]
+    assert claims[0][1].startswith("stream-ckptA-")
+    assert claims[1][1].startswith("app-stage10-")
+
+
+def test_committed_unpointed_orphan_repairs_pointer(
+    spark, corpus, tmp_path_factory
+):
+    """Round-11 advice (medium): a writer crashing between
+    _commit_version and the pointer flip left a committed-but-unpointed
+    v_{N+1} that wedged ALL future maintenance (every re-run recomputes
+    the same dest, refuses, and advises a re-run that can never
+    succeed). The refusal now REPAIRS the pointer (the only missing
+    step; flipping to a committed version is always safe), so an
+    unattended schedule self-heals across two runs."""
+    from kfai_pipeline_spark.streaming.rollup import _write_latest_version
+
+    root = str(tmp_path_factory.mktemp("lc_orphan")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")
+    assert serving_version(spark, root) == 1
+    # simulate the crash: v_1 committed, pointer never flipped
+    _write_latest_version(spark, root, 0)
+    assert serving_version(spark, root) == 0
+    with pytest.raises(RuntimeError, match="repaired"):
+        compact_serving_index(spark, root, kind="sq8")
+    assert serving_version(spark, root) == 1  # the flip was completed
+    # the advised re-run now actually proceeds (the old wedge)
+    stats = compact_serving_index(spark, root, kind="sq8")
+    assert stats["version"] == 2 and serving_version(spark, root) == 2
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+def test_force_reclaim_refuses_live_served_dest(
+    spark, corpus, tmp_path_factory
+):
+    """Round-11 advice (low): a force_reclaim whose caller's pointer
+    read predates a racing writer's commit+flip must NOT uncommit and
+    rewrite the version readers are being served — the raw pointer word
+    is checked BEFORE the uncommit (checking after would find the
+    marker gone and degrade to listing recovery, hiding the flip)."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        _acquire_version_dir,
+    )
+
+    root = str(tmp_path_factory.mktemp("lc_livegd")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8")
+    compact_serving_index(spark, root, kind="sq8")  # v_1, pointer -> 1
+    with pytest.raises(RuntimeError, match="LIVE serving version"):
+        _acquire_version_dir(spark, root, f"{root}/v_1", 0, True)
+    assert os.path.exists(os.path.join(root, "v_1", "_COMMITTED"))
+    assert serving_version(spark, root) == 1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want
+
+
+class _FaultyFS:
+    """Python double for the Hadoop FileSystem surface the claim
+    helpers touch — createNewFile raises; `claim_exists` controls
+    whether the post-failure probe reports contention or I/O."""
+
+    def __init__(self, claim_exists: bool):
+        self.claim_exists = claim_exists
+
+    def exists(self, p):
+        return True if getattr(p, "is_parent", False) else self.claim_exists
+
+    def mkdirs(self, p):
+        return True
+
+    def createNewFile(self, p):
+        raise RuntimeError("transient filesystem fault")
+
+    def listStatus(self, p):
+        return []
+
+
+class _FakePath:
+    def __init__(self, is_parent=False):
+        self.is_parent = is_parent
+
+    def getParent(self):
+        return _FakePath(is_parent=True)
+
+
+def test_claim_io_error_surfaces_as_io_error(spark, monkeypatch):
+    """Round-11 'what's wrong' #3: _claim_version swallowed every
+    createNewFile failure as 'claimed by another writer' — a flaky FS
+    read as permanent contention to a retrying scheduler. An exception
+    with NO claim file present must surface as the I/O error it is;
+    with the claim present it is genuine contention (False)."""
+    from kfai_pipeline_spark.operators import index_lifecycle as il
+
+    def fake_hadoop_path(faulty):
+        def _fake(_spark, _path):
+            return faulty, _FakePath(), None
+
+        return _fake
+
+    monkeypatch.setattr(
+        il, "_hadoop_path", fake_hadoop_path(_FaultyFS(claim_exists=False))
+    )
+    with pytest.raises(IOError, match="filesystem error"):
+        il._claim_version(spark, "/fake/v_1")
+    with pytest.raises(IOError, match="filesystem error"):
+        il._claim_epoch_id(spark, "/fake", 0, "app-stage10")
+
+    monkeypatch.setattr(
+        il, "_hadoop_path", fake_hadoop_path(_FaultyFS(claim_exists=True))
+    )
+    assert il._claim_version(spark, "/fake/v_1") is False
