@@ -525,6 +525,7 @@ def retrieve_tiered_batch(
     query_vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scope=None,
+    max_pending: int | None = 1024,
 ) -> DataFrame:
     """Batched tiered retrieval: per-query rows identical to calling
     :func:`retrieve_tiered` with ``tier="ann"`` once per query, plus a
@@ -532,6 +533,23 @@ def retrieve_tiered_batch(
     curves, the X22 classifier, hard-negative mining), where 10^4
     queries through the interactive loop would mean 10^4 x rounds
     driver round-trips and codes scans.
+
+    ``max_pending`` caps how many queries one batch pass serves at
+    once: a larger batch is split into chunks of at most this many
+    queries, each run through the full top-up loop independently, and
+    the results unioned (then re-sorted). The default 1024 sits at the
+    MEASURED amortization peak (BASELINE §5x addendum 2: the batch arm
+    goes GEMM-bound near ~1k pending queries — 4x1024 chunks beat one
+    4096-query pass by 1.5x wall-clock), so 10^4-query evals get the
+    faster shape without the caller having read the measurement.
+    Chunking is semantics-free: every stage — certificate, top-up,
+    dedup/cap windows, per-query CASE predicates — partitions by
+    ``query_id``, so chunked == unchunked rows (parity-pinned);
+    rows whose query id is NULL ride with the first chunk so the
+    single-pass NULL behavior (no output rows under a shared filter —
+    the probe kernels key by id; a loud raise under a dict filter) is
+    preserved. ``None`` disables chunking (the pre-round-12
+    single-pass shape, and what each chunk runs internally).
 
     Scale shape (the q76/q120 per-batch local top-k pattern): each
     top-up round runs ONE probe over the codes table serving ALL
@@ -591,6 +609,44 @@ def retrieve_tiered_batch(
     spark = docs.sparkSession
     index_path = resolve_index_path(spark, index_path)
     qid = query_id_col
+    if max_pending is not None and max_pending > 0:
+        # O(#queries) driver traffic — the same order as one round's
+        # status frame; only the DISTINCT id list travels
+        id_rows = queries.select(qid).distinct().collect()
+        has_null = any(r[0] is None for r in id_rows)
+        ids = sorted(r[0] for r in id_rows if r[0] is not None)
+        if len(ids) + int(has_null) > max_pending:
+            parts: list[DataFrame] = []
+            for i in range(0, len(ids), max_pending):
+                chunk = ids[i : i + max_pending]
+                cond = F.col(qid).isin(chunk)
+                if i == 0 and has_null:
+                    cond = cond | F.col(qid).isNull()
+                # a dict filter thins to this chunk's ids so the CASE
+                # compiles per chunk (its cost is per-branch); ids the
+                # mapping lacks still raise inside the chunk pass
+                sub = (
+                    {q: parsed[q] for q in chunk if q in parsed}
+                    if isinstance(parsed, dict)
+                    else parsed
+                )
+                parts.append(
+                    retrieve_tiered_batch(
+                        docs, queries.where(cond), sub, k=k,
+                        vec_col=vec_col, id_col=id_col,
+                        index_path=index_path, index_kind=index_kind,
+                        nprobe=nprobe, refine=refine,
+                        topup_factor=topup_factor, max_rounds=max_rounds,
+                        round_to=round_to, query_vec_col=query_vec_col,
+                        query_id_col=qid, scope=scope, max_pending=None,
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # each chunk pass ends ordered; re-assert the contract's
+            # global order over the union
+            return out.orderBy(qid, "published_at", "video_id", "start_time")
     if isinstance(parsed, dict):
         pred, known_ids = _per_query_predicate(parsed, qid)
         # NULL ids must fail too: ~isin(...) evaluates to NULL for a

@@ -825,3 +825,66 @@ def test_retrieve_tiered_arms_agree_on_all_null_pool(spark, tmp_path_factory):
         refine=4,
     )
     assert batch.count() == 0
+
+
+def test_retrieve_tiered_batch_chunked_parity(spark, tiered_docs):
+    """Round-11 verdict item #3: max_pending turns the measured
+    GEMM-peak chunking rule (BASELINE §5x addendum 2) into behavior.
+    Chunked == unchunked rows for BOTH filter shapes — every stage
+    partitions by query_id, so concatenation is semantics-free — and
+    a NULL query id rides with the first chunk (the shared-filter
+    single-pass behavior, preserved)."""
+    from kfai_pipeline_spark.plans.rag import retrieve_tiered_batch
+
+    docs, idx = tiered_docs
+    texts = [f"topic {i % 7} theme {i % 5} probe {i}" for i in range(6)]
+    qvecs = [[float(x) for x in v] for v in hash_embed(texts)]
+    cols = ["query_id", "doc_id", "video_id", "start_time", "score"]
+
+    # shared filter, with a NULL query id in the batch
+    rows = list(enumerate(qvecs)) + [(None, qvecs[0])]
+    queries = spark.createDataFrame(
+        rows, "query_id int, embedding array<double>"
+    )
+    parsed = ParsedQuery(shows=["Show 1", "Show 4"])
+    kw = dict(
+        k=5, id_col="doc_id", index_path=idx, refine=4, topup_factor=4,
+        max_rounds=4,
+    )
+    one = retrieve_tiered_batch(
+        docs, queries, parsed, max_pending=None, **kw
+    )
+    chunked = retrieve_tiered_batch(docs, queries, parsed, max_pending=2, **kw)
+    a = sorted(tuple(r) for r in one.select(*cols).collect())
+    b = sorted(tuple(r) for r in chunked.select(*cols).collect())
+    assert a == b and len(a) > 0
+    # a NULL query id produces no rows in the single-pass arm (the
+    # probe kernels key by query_id); chunk routing preserves exactly
+    # that — parity above, and no phantom NULL rows in either arm
+    assert not any(r[0] is None for r in a)
+
+    # per-query dict filters (each chunk compiles its OWN thinned CASE)
+    queries2 = spark.createDataFrame(
+        list(enumerate(qvecs)), "query_id int, embedding array<double>"
+    )
+    per_query = {
+        i: ParsedQuery(shows=["Show 1", "Show 4"]) if i % 2 == 0
+        else ParsedQuery(topics=[f"topic {i % 7}"])
+        for i in range(6)
+    }
+    one2 = retrieve_tiered_batch(
+        docs, queries2, per_query, max_pending=None, **kw
+    )
+    chunked2 = retrieve_tiered_batch(
+        docs, queries2, per_query, max_pending=2, **kw
+    )
+    a2 = sorted(tuple(r) for r in one2.select(*cols).collect())
+    b2 = sorted(tuple(r) for r in chunked2.select(*cols).collect())
+    assert a2 == b2 and len(a2) > 0
+
+    # an id the mapping lacks raises inside its chunk, same as one-pass
+    with pytest.raises(ValueError, match="no ParsedQuery"):
+        retrieve_tiered_batch(
+            docs, queries2, {i: per_query[i] for i in range(5)},
+            max_pending=2, **kw
+        )
