@@ -902,3 +902,57 @@ def test_claim_io_error_surfaces_as_io_error(spark, monkeypatch):
         il, "_hadoop_path", fake_hadoop_path(_FaultyFS(claim_exists=True))
     )
     assert il._claim_version(spark, "/fake/v_1") is False
+
+
+def test_reader_during_claimed_rebuild_commit(spark, corpus, tmp_path_factory):
+    """Round-11 verdict slack item: the READ side of the write-side CAS
+    fix. A reader resolving the root at every stage of a claimed
+    rebuild's commit must serve a committed version correctly —
+    mid-build (claimed, uncommitted: dest invisible to the pointer AND
+    to pointer-loss listing recovery), committed-but-unflipped (the old
+    version serves; with a LOST pointer the listing recovers the newer
+    committed dir), and flipped (the new version serves)."""
+    import os
+
+    from kfai_pipeline_spark.operators.similarity import _fs_write_text
+    from kfai_pipeline_spark.streaming.rollup import _write_latest_version
+
+    root = str(tmp_path_factory.mktemp("lc_readflip")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    init_serving_index(even, root, kind="sq8")
+    want_old = sorted(tuple(r) for r in _brute(even).select(*COLS).collect())
+    want_new = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+
+    def served():
+        return sorted(
+            tuple(r) for r in _serve(corpus, root).select(*COLS).collect()
+        )
+
+    # build a REAL v_1 (full corpus), then rewind its commit markers to
+    # stage the mid-build states a racing reader can observe
+    rebuild_serving_index(corpus, root, kind="sq8")
+    committed_marker = os.path.join(root, "v_1", "_COMMITTED")
+
+    # stage A: claimed + built but UNCOMMITTED (the claim persists in
+    # the dir); pointer at v_0 — reader serves v_0
+    os.remove(committed_marker)
+    _write_latest_version(spark, root, 0)
+    assert os.path.exists(os.path.join(root, "v_1", "_CLAIM"))
+    assert serving_version(spark, root) == 0 and served() == want_old
+    # ... and with the pointer LOST, listing recovery must NOT resolve
+    # the uncommitted dest
+    os.remove(os.path.join(root, "_LATEST"))
+    assert serving_version(spark, root) == 0 and served() == want_old
+
+    # stage B: committed but the flip has not happened — the pointer
+    # (restored to v_0) still serves the old version...
+    _write_latest_version(spark, root, 0)
+    _fs_write_text(spark, committed_marker, "ok")
+    assert serving_version(spark, root) == 0 and served() == want_old
+    # ...and a LOST pointer recovers the NEWEST committed version
+    os.remove(os.path.join(root, "_LATEST"))
+    assert serving_version(spark, root) == 1 and served() == want_new
+
+    # stage C: the flip lands — the new version serves through the root
+    _write_latest_version(spark, root, 1)
+    assert serving_version(spark, root) == 1 and served() == want_new
