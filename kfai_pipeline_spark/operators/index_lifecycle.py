@@ -237,10 +237,13 @@ def _acquire_version_dir(
 
 
 def _uncommit_version(spark: SparkSession, vdir: str) -> None:
-    """Drop a stale ``_COMMITTED`` marker before REWRITING an orphaned
-    version dir (a prior attempt that crashed between commit and
-    pointer flip) — a pointer-less reader recovering from the listing
-    must not resolve a version that is mid-overwrite."""
+    """Drop a ``_COMMITTED`` marker before REWRITING a version dir — a
+    pointer-less reader recovering from the listing must not resolve a
+    version that is mid-overwrite. Only the ``force_reclaim`` operator
+    override reaches this (after the raw-pointer guard confirms the dir
+    is not being served): the crash-between-commit-and-flip orphan is
+    no longer rewritten — :func:`_acquire_version_dir` repairs its
+    pointer flip instead (round-12)."""
     fs, p, _ = _hadoop_path(spark, f"{vdir}/{_COMMITTED}")
     if fs.exists(p):
         fs.delete(p, False)
