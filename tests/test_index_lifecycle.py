@@ -956,3 +956,55 @@ def test_reader_during_claimed_rebuild_commit(spark, corpus, tmp_path_factory):
     # stage C: the flip lands — the new version serves through the root
     _write_latest_version(spark, root, 1)
     assert serving_version(spark, root) == 1 and served() == want_new
+
+
+def test_writer_tag_distinct_under_sanitization():
+    """Two writer identities that sanitize to the same filename text
+    (e.g. checkpoint paths differing only in '/' vs ':') must still get
+    distinct claim tags — the hash suffix is the uniqueness guarantee;
+    the sanitized text is only for readable errors."""
+    from kfai_pipeline_spark.operators.index_lifecycle import _writer_tag
+
+    a = _writer_tag("stream:/ckpt/a")
+    b = _writer_tag("stream:.ckpt.a")
+    assert a != b
+    assert a == _writer_tag("stream:/ckpt/a")  # stable across calls
+    # filename-safe: no path separators or shell-hostile chars survive
+    assert all(c.isalnum() or c in "_-" for c in a)
+
+
+def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(
+    spark, corpus, tmp_path_factory
+):
+    """Claim persistence closes the in-window id-reuse residual: after
+    compact (folds the epoch) + prune (deletes its dir) + compact again
+    (folded drops ids whose dirs are gone), the id looks free to a
+    max(live, folded)+1 allocator — but its claim sidecar persists, so
+    an allocator that includes claims (app stage 10) stays monotonic
+    and a colliding writer still refuses."""
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        list_epoch_claims,
+    )
+
+    root = str(tmp_path_factory.mktemp("lc_mono")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
+    compact_serving_index(spark, root, kind="sq8")  # v_1 folds {0}
+    prune_serving_index(spark, root, retain_versions=1)
+    stats = compact_serving_index(spark, root, kind="sq8")  # v_2
+    m = read_index_manifest(spark, f"{root}/v_2")
+    assert m["folded"] == []  # the pruned epoch's id dropped from folded
+    # live dirs and folded are both empty — only the CLAIM remembers id 0
+    claims = list_epoch_claims(spark, root)
+    assert [bid for bid, _ in claims] == [0]
+    next_id = max([bid for bid, _ in claims] + [-1]) + 1
+    assert next_id == 1  # the stage-10 allocator skips the reused-looking id
+    # and a writer blindly landing on id 0 refuses rather than colliding
+    with pytest.raises(RuntimeError, match="claimed by writer"):
+        write_serving_epoch(odd, root, 0, kind="sq8", writer="app-stage10")
+    # the root still serves the full corpus through the compacted base
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want and stats["version"] == 2
