@@ -746,6 +746,19 @@ def maintain_serving_index_stream(
     post-rebuild baseline measurement (see
     :func:`rebuild_serving_index`).
 
+    Ingest-writer fencing (round-12): each epoch this maintainer
+    writes is claimed under the identity ``stream:<checkpoint dir>``,
+    so another writer (app stage 10, a different stream) can never
+    silently overwrite it. The converse holds too — this stream's
+    checkpoint batch ids start at 0, so pointing a NEW stream at a
+    root whose low epoch ids another writer already claimed refuses
+    loudly at the first trigger (the pre-round-12 behavior was a
+    silent overwrite). One ingest writer per root remains the
+    operating rule; stage 10 may coexist because it allocates its ids
+    past every claim. Recovery from a refused stream: serve the root
+    through stage 10 alone, or start the stream against a root it
+    owns — claims persist, so the colliding id can never be retaken.
+
     ``kind`` follows the root's MANIFEST (round-10 advice, mirroring
     app stage 10): the default ``None`` resolves the committed serving
     version's stored kind at start (falling back to ``"sq8"`` on an
