@@ -1008,3 +1008,46 @@ def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(
     got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
     assert got == want and stats["version"] == 2
+
+
+def test_epoch_listing_tolerates_junk_sidecars(
+    spark, corpus, tmp_path_factory
+):
+    """Corruption-sweep spirit for the round-12 claim sidecars: stray
+    or torn files under codes_batches (a claim with an empty tag, a
+    non-integer id, a name missing the separator, a bare junk file)
+    must never crash the claim listing, the epoch listing, or serving
+    — and an empty-tag claim on an id fails safe (fences the id; a
+    real writer refuses rather than overwriting)."""
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        list_epoch_claims,
+    )
+    from kfai_pipeline_spark.operators.similarity import list_epoch_dirs
+
+    root = str(tmp_path_factory.mktemp("lc_junk")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
+    base = os.path.join(root, "codes_batches")
+    for junk in (
+        "batch_5._WRITER.",        # torn: empty tag
+        "batch_abc._WRITER.tag",   # non-integer id
+        "batch_7_WRITER_tag",      # separator missing
+        "._WRITER.orphan",         # no batch_ prefix
+        "readme.txt",              # unrelated junk
+    ):
+        open(os.path.join(base, junk), "w").close()
+    claims = list_epoch_claims(spark, root)
+    assert (0, "stream-ckptA-" )[0] in [b for b, _ in claims]
+    assert (5, "") in claims           # torn claim listed, empty tag
+    assert all(isinstance(b, int) for b, _ in claims)
+    assert [b for b, _, _ in list_epoch_dirs(spark, root)] == [0]
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    assert got == want  # serving unaffected by the junk
+    # the torn empty-tag claim fails SAFE: id 5 refuses a real writer
+    with pytest.raises(RuntimeError, match="claimed by writer"):
+        write_serving_epoch(odd, root, 5, kind="sq8", writer="app-stage10")
