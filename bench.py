@@ -51,6 +51,200 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Drift-tripwire thresholds (round-13 semantics, BASELINE.md §5s
+# addendum 8): a query is RAW-flagged at >1.3x its trailing
+# per-round median (the historical contract, kept for continuity as
+# "flagged_raw"), but the actionable "flagged" list only carries
+# flags the run's own evidence cannot explain. Four consecutive
+# rounds of flags (r9-r12) all attributed to machine noise at a cost
+# of 3-4 fresh attribution sessions each; the two noise signatures
+# are mechanical and the run already records both discriminators:
+#   - floor noise: Spark's fixed per-statement cost (floor_sec)
+#     swings 0.05-0.36 s between sessions while the smallest queries
+#     run 0.15-0.7 s. Comparing FLOOR-SUBTRACTED times removes the
+#     additive component: if (cur - floor) / (trail_med - trail_floor)
+#     <= 1.3 the "drift" is the session floor, not the plan.
+#   - co-movement: the same-run DuckDB control moving the same
+#     direction beyond 10% means the machine moved, not the plan
+#     (Spark and DuckDB read the same files on the same cores). Two
+#     granularities, because the per-query controls run 5-80 ms and
+#     are themselves floor-noisy: the QUERY's own control >1.1x of
+#     its trail, or the SESSION control (duckdb_total) >1.25x of its
+#     trail — a whole-suite control move is machine load by
+#     definition (measured: a loaded r13 session raw-flagged all 9
+#     queries with duckdb_total at 1.55x while three individual
+#     controls happened to sit flat).
+# A raw flag explained by any of these is annotated in
+# "flag_attribution" and suppressed from "flagged"; a genuine
+# regression (query up, floor flat, controls flat) still flags
+# exactly as before.
+DRIFT_RATIO = 1.3
+COMOVE_RATIO = 1.1
+SESSION_COMOVE_RATIO = 1.25
+
+
+def load_bench_history(repo_dir: str, sf_num: float) -> list[dict]:
+    """Prior rounds' parsed BENCH_r*.json dicts at the same SF.
+
+    Excludes the HIGHEST-numbered BENCH_r{N}.json: on a re-run the
+    current round's own file already exists in the worktree, and a
+    drifting query would drag its measurement into the median it is
+    compared against, muting the flag (round-8 advice). Cost: on the
+    driver's FIRST run of a round (no current file yet) this lags the
+    median by one round — acceptable, and it keeps a freshly-flagged
+    outlier (r7's B1) out of its own baseline, which is the point of
+    a tripwire.
+    """
+    import glob as _glob
+    import re as _re
+
+    paths = sorted(_glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+
+    def _rnum(p: str) -> int:
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    if len(paths) > 1:
+        paths = [p for p in paths if _rnum(p) != max(map(_rnum, paths))]
+    out: list[dict] = []
+    for p in paths:
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except Exception:
+            continue
+        # the grading driver wraps this script's JSON line under
+        # "parsed" (alongside run metadata); accept both shapes
+        d = d.get("parsed", d) or {}
+        if d.get("sf") != sf_num:
+            continue
+        out.append(d)
+    return out
+
+
+def _median(vals: list[float]) -> float:
+    return sorted(vals)[len(vals) // 2]
+
+
+def drift_flags(
+    timings: dict[str, float],
+    floor_sec: float,
+    duck: dict[str, float],
+    history: list[dict],
+) -> tuple[dict[str, float], list[str], list[str], dict[str, dict]]:
+    """Drift tripwire (round-7 item; round-13 floor/co-movement
+    semantics — see the module-level rationale at DRIFT_RATIO).
+
+    Returns (median_trail, flagged_raw, flagged, attribution):
+      - median_trail: per-query median of prior official rounds'
+        timings at this SF (unchanged historical contract);
+      - flagged_raw: queries >DRIFT_RATIO x their trailing median on
+        RAW times (the pre-r13 "flagged" semantics, kept verbatim);
+      - flagged: the subset of flagged_raw the run's own evidence
+        does NOT explain — these owe a next-round attribution;
+      - attribution: per raw-flagged query, the evidence inline
+        (raw ratio, floor-subtracted ratio, control co-movement,
+        classification) so a suppressed flag is self-explaining and
+        a clean round opens in minutes instead of 3-4 sessions.
+    """
+    trail: dict[str, list[float]] = {}
+    duck_trail: dict[str, list[float]] = {}
+    duck_total_trail: list[float] = []
+    floor_trail: list[float] = []
+    for d in history:
+        for qn, v in (d.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                trail.setdefault(qn, []).append(float(v))
+        for qn, v in (d.get("duckdb") or {}).items():
+            if isinstance(v, (int, float)):
+                duck_trail.setdefault(qn, []).append(float(v))
+        dt = d.get("duckdb_total")
+        if not isinstance(dt, (int, float)) and d.get("duckdb"):
+            vals = [v for v in d["duckdb"].values() if isinstance(v, (int, float))]
+            dt = sum(vals) if vals else None
+        if isinstance(dt, (int, float)) and dt > 0:
+            duck_total_trail.append(float(dt))
+        fv = d.get("floor_sec")
+        if isinstance(fv, (int, float)):
+            floor_trail.append(float(fv))
+
+    median_trail = {
+        qn: round(_median(vs), 4) for qn, vs in trail.items()
+    }
+    trail_floor = _median(floor_trail) if floor_trail else 0.0
+
+    # session-level control move: this run's whole-suite DuckDB total
+    # vs its trailing median (None when either side is unavailable)
+    session_duck_ratio = None
+    cur_duck_total = sum(
+        v for v in (duck or {}).values() if isinstance(v, (int, float))
+    )
+    if duck_total_trail and cur_duck_total > 0:
+        session_duck_ratio = round(
+            cur_duck_total / _median(duck_total_trail), 3
+        )
+
+    flagged_raw = sorted(
+        qn
+        for qn, cur in timings.items()
+        if median_trail.get(qn, 0) > 0
+        and cur / median_trail[qn] > DRIFT_RATIO
+    )
+
+    flagged: list[str] = []
+    attribution: dict[str, dict] = {}
+    for qn in flagged_raw:
+        med = median_trail[qn]
+        cur = timings[qn]
+        reasons: list[str] = []
+
+        # floor-subtracted ratio: remove the additive per-statement
+        # session cost from BOTH sides before comparing. Guard the
+        # denominator: a trailing median at/below the trailing floor
+        # means the query is pure fixed cost — fall back to the raw
+        # ratio rather than divide by ~0.
+        adj_den = med - trail_floor
+        adj_num = cur - floor_sec
+        adj_ratio = (adj_num / adj_den) if adj_den > 1e-4 else cur / med
+        if adj_ratio <= DRIFT_RATIO:
+            reasons.append("floor-noise")
+
+        # control co-movement: same-run DuckDB for this query vs its
+        # own trailing median, same direction beyond COMOVE_RATIO.
+        duck_ratio = None
+        dcur = (duck or {}).get(qn)
+        dvs = duck_trail.get(qn)
+        if isinstance(dcur, (int, float)) and dvs:
+            dmed = _median(dvs)
+            if dmed > 0:
+                duck_ratio = round(dcur / dmed, 3)
+                if duck_ratio > COMOVE_RATIO:
+                    reasons.append("co-moving")
+
+        # whole-session control move (module-level rationale): per-query
+        # controls are 5-80 ms and floor-noisy; the suite total is not.
+        if (
+            session_duck_ratio is not None
+            and session_duck_ratio > SESSION_COMOVE_RATIO
+        ):
+            reasons.append("session-co-moving")
+
+        classification = "+".join(reasons) if reasons else "genuine"
+        attribution[qn] = {
+            "raw_ratio": round(cur / med, 3),
+            "floor_adjusted_ratio": round(adj_ratio, 3),
+            "floor_sec": round(floor_sec, 4),
+            "trail_floor_sec": round(trail_floor, 4),
+            "duckdb_ratio": duck_ratio,
+            "session_duckdb_ratio": session_duck_ratio,
+            "classification": classification,
+        }
+        if not reasons:
+            flagged.append(qn)
+
+    return median_trail, flagged_raw, flagged, attribution
+
+
 # B-id -> registry query name (BASELINE.md §2 shapes)
 BENCH_QUERIES = {
     "b1_tpchq1_agg": "q07",
@@ -196,68 +390,25 @@ def main() -> None:
 
     timings = time_suite()
     total = round(sum(timings.values()), 4)
-
-    # Drift tripwire (round-7 verdict item): per-query rolling median
-    # across prior rounds' official BENCH_r*.json at the same SF, and a
-    # flag for any query >1.3x its trailing median — so a drifting
-    # query is attributed IN-round instead of by a judge diffing
-    # rounds. (r5->r6's unexplained B1 +30% would have tripped this.)
-    def drift_tripwire(repo_dir_: str) -> tuple[dict[str, float], list[str]]:
-        import glob as _glob
-        import re as _re
-
-        # exclude the HIGHEST-numbered BENCH_r{N}.json: on a re-run the
-        # current round's own file already exists in the worktree, and a
-        # drifting query would drag its measurement into the median it
-        # is compared against, muting the 1.3x flag (round-8 advice).
-        # Cost: on the driver's FIRST run of a round (no current file
-        # yet) this lags the median by one round — acceptable, and it
-        # keeps a freshly-flagged outlier (r7's B1) out of its own
-        # baseline, which is the point of a tripwire.
-        paths = sorted(_glob.glob(os.path.join(repo_dir_, "BENCH_r*.json")))
-
-        def _rnum(p: str) -> int:
-            m = _re.search(r"BENCH_r(\d+)\.json$", p)
-            return int(m.group(1)) if m else -1
-
-        if len(paths) > 1:
-            paths = [p for p in paths if _rnum(p) != max(map(_rnum, paths))]
-        trail: dict[str, list[float]] = {}
-        for p in paths:
-            try:
-                with open(p) as fh:
-                    d = json.load(fh)
-            except Exception:
-                continue
-            # the grading driver wraps this script's JSON line under
-            # "parsed" (alongside run metadata); accept both shapes
-            d = d.get("parsed", d) or {}
-            if d.get("sf") != sf_num:
-                continue
-            for qn, v in (d.get("queries") or {}).items():
-                if isinstance(v, (int, float)):
-                    trail.setdefault(qn, []).append(float(v))
-        med = {
-            qn: round(sorted(vs)[len(vs) // 2], 4) for qn, vs in trail.items()
-        }
-        flagged = sorted(
-            qn
-            for qn, cur in timings.items()
-            if med.get(qn, 0) > 0 and cur / med[qn] > 1.3
-        )
-        return med, flagged
-
-    median_trail, flagged = drift_tripwire(
-        os.path.dirname(os.path.abspath(__file__))
-    )
     # the DuckDB arm must never discard an already-measured Spark suite
-    # (e.g. missing duckdb package, oracle dialect drift)
+    # (e.g. missing duckdb package, oracle dialect drift). It runs
+    # BEFORE the tripwire because the control's co-movement is one of
+    # the flag discriminators.
     try:
         duck = time_duckdb(sf_dir)
         duck_total = round(sum(duck.values()), 4)
     except Exception as exc:
         print(f"duckdb arm failed: {exc}", file=sys.stderr)
         duck, duck_total = {}, None
+
+    median_trail, flagged_raw, flagged, flag_attribution = drift_flags(
+        timings,
+        floor_sec,
+        duck,
+        load_bench_history(
+            os.path.dirname(os.path.abspath(__file__)), sf_num
+        ),
+    )
 
     result = {
         "metric": "bench_total_headline_sec",
@@ -271,6 +422,8 @@ def main() -> None:
         "duckdb_total": duck_total,
         "median_trail": median_trail,
         "flagged": flagged,
+        "flagged_raw": flagged_raw,
+        "flag_attribution": flag_attribution,
     }
 
     # 10x growth arm (BASELINE.md §3d), regenerated per round
