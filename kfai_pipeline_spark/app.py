@@ -484,6 +484,7 @@ def index_maintain(
     from kfai_pipeline_spark.operators.index_lifecycle import (
         init_serving_index,
         list_epoch_claims,
+        list_epoch_tombstones,
         read_index_manifest,
         rebuild_if_drifted,
         rebuild_serving_index,
@@ -572,7 +573,12 @@ def index_maintain(
     manifest = read_index_manifest(spark, vpath) or {"folded": []}
     live = (bid for bid, _, _ in list_epoch_dirs(spark, root))
     claimed = (bid for bid, _ in list_epoch_claims(spark, root))
-    next_id = max([*live, *claimed, *manifest["folded"], -1]) + 1
+    # prune tombstones (round-13) close the legacy hole: a claim-LESS
+    # pre-round-12 epoch that was folded, pruned, and then dropped from
+    # the manifest by a later compaction would otherwise free its id
+    # for reuse here
+    pruned = list_epoch_tombstones(spark, root)
+    next_id = max([*live, *claimed, *pruned, *manifest["folded"], -1]) + 1
     write_serving_epoch(
         delta, root, next_id, kind=kind, id_col="__chunk_id",
         writer="app-stage10",

@@ -54,12 +54,16 @@ into one committed dir; the claim persists in committed versions to
 fence stale writers. On object stores, ``createNewFile`` is an
 exists-check + PUT, NOT atomic: the claim narrows the interleaving
 window to one round-trip but cannot close it — deployments there
-should back the claim with the store's conditional-put/etag primitive
-or schedule maintenance from one window (the pre-round-11 rule, which
-remains the documented posture off atomic-create filesystems).
+supply the store's conditional-put/etag primitive through the
+injectable marker-create seam (:func:`set_claim_marker_create`,
+round-13 — one hook, every claim call site) or schedule maintenance
+from one window (the pre-round-11 rule, which remains the documented
+posture off atomic-create filesystems without a conditional put).
 Concurrent INGEST (the maintainer) is the concurrency the membership
 protocol handles; concurrent ingest WRITERS are fenced per epoch id
-by the same primitive (round-12 — see :func:`write_serving_epoch`).
+by the same marker primitive plus a post-create holders re-list
+(round-12, arbitration hardened round-13 — see
+:func:`write_serving_epoch` and :func:`_claim_epoch_id`).
 
 Exactly-once composition with streaming: the maintainer's epoch dirs
 stay overwrite-idempotent ((content, batch_id)-pure), so a replayed
@@ -104,15 +108,60 @@ _COMMITTED = "_COMMITTED"
 _CLAIM = "_CLAIM"
 
 
+def _default_claim_marker_create(spark: SparkSession, path: str) -> bool:
+    """The default exclusive marker-create primitive:
+    ``FileSystem.createNewFile`` — namenode-atomic create-if-absent on
+    HDFS and the local FS. Returns True iff THIS caller created the
+    marker; False when it already exists; raises on I/O errors."""
+    fs, p, _ = _hadoop_path(spark, path)
+    parent = p.getParent()
+    if not fs.exists(parent):
+        fs.mkdirs(parent)
+    return bool(fs.createNewFile(p))
+
+
+_claim_marker_create = _default_claim_marker_create
+
+
+def set_claim_marker_create(fn=None):
+    """Inject the exclusive marker-create primitive the whole claim
+    protocol rides on (round-13 verdict item: the object-store seam).
+
+    Every claim in this module — version-dir CAS (:func:`_claim_version`)
+    and epoch-id fence (:func:`_claim_epoch_id`) — reduces to one
+    operation: *atomically create this marker file iff absent, tell me
+    whether I created it*. On HDFS/local, ``createNewFile`` IS that
+    operation; on object stores it is an exists-check + PUT with a
+    race window. Rather than fork five call sites, a deployment there
+    supplies its store's conditional primitive here::
+
+        set_claim_marker_create(
+            lambda spark, path: s3_put_if_absent(path)  # If-None-Match:*
+        )
+
+    ``fn(spark, path) -> bool``: True iff the caller created the
+    marker, False when it already existed, raise on I/O failure. The
+    marker must be visible to subsequent filesystem listings/exists
+    probes at ``path`` (claim listings and re-probes read through the
+    Hadoop FS). ``None`` restores the default. Returns the previous
+    strategy so tests/deployments can restore it."""
+    global _claim_marker_create
+    prev = _claim_marker_create
+    _claim_marker_create = fn if fn is not None else _default_claim_marker_create
+    return prev
+
+
 def _commit_version(spark: SparkSession, vdir: str) -> None:
     _fs_write_text(spark, f"{vdir}/{_COMMITTED}", "ok")
 
 
 def _claim_version(spark: SparkSession, vdir: str) -> bool:
     """Exclusive-create ``vdir/_CLAIM`` — True iff THIS caller now holds
-    the dir. FileSystem.createNewFile is the namenode-atomic
-    create-if-absent on HDFS and the same check-then-create every other
-    FS-level marker in this protocol already relies on locally.
+    the dir. The create goes through the injectable marker primitive
+    (:func:`set_claim_marker_create`); the default is
+    ``FileSystem.createNewFile``, the namenode-atomic create-if-absent
+    on HDFS and the same check-then-create every other FS-level marker
+    in this protocol already relies on locally.
 
     A create that RAISES is re-probed (round-11 advice): when the claim
     file exists afterward it was genuine contention (False — another
@@ -120,13 +169,11 @@ def _claim_version(spark: SparkSession, vdir: str) -> bool:
     I/O error and is surfaced AS one — swallowing it as "claimed by
     another writer" would read as permanent contention to a retrying
     scheduler on a flaky FS."""
-    fs, p, _ = _hadoop_path(spark, f"{vdir}/{_CLAIM}")
-    parent = p.getParent()
-    if not fs.exists(parent):
-        fs.mkdirs(parent)
+    path = f"{vdir}/{_CLAIM}"
     try:
-        return bool(fs.createNewFile(p))
+        return bool(_claim_marker_create(spark, path))
     except Exception as exc:
+        fs, p, _ = _hadoop_path(spark, path)
         if fs.exists(p):
             return False
         raise IOError(
@@ -566,6 +613,111 @@ def list_epoch_claims(spark: SparkSession, root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+_EPOCH_PRUNED_SUFFIX = "._PRUNED"
+
+
+def _mark_epoch_pruned(spark: SparkSession, root: str, batch_id: int) -> None:
+    _fs_write_text(
+        spark,
+        f"{root}/codes_batches/batch_{batch_id}{_EPOCH_PRUNED_SUFFIX}",
+        "pruned",
+    )
+
+
+def list_epoch_tombstones(spark: SparkSession, root: str) -> list[int]:
+    """Batch ids of epochs a prune deleted (``batch_<id>._PRUNED``
+    sidecars, written since round 13). Same sibling-FILE pattern as the
+    writer claims: invisible to the isDirectory epoch listing, never
+    touched by a parquet overwrite."""
+    base = f"{root}/codes_batches"
+    fs, bp, _ = _hadoop_path(spark, base)
+    if not fs.exists(bp):
+        return []
+    out: list[int] = []
+    for status in fs.listStatus(bp):
+        name = status.getPath().getName()
+        if status.isDirectory() or not name.endswith(_EPOCH_PRUNED_SUFFIX):
+            continue
+        head = name[: -len(_EPOCH_PRUNED_SUFFIX)]
+        if not head.startswith("batch_"):
+            continue
+        try:
+            out.append(int(head[len("batch_"):]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def report_epoch_claims(spark: SparkSession, root: str) -> list[dict]:
+    """Operator-facing classification of every epoch-id claim under
+    ``root`` (round-13 verdict item: ``list_epoch_claims`` exposes
+    (id, tag) pairs but an operator diagnosing a wedged ingest writer
+    had to read the filesystem by hand to tell a committed epoch's
+    claim from a crashed in-flight one).
+
+    One dict per claim — ``{"batch_id", "writer_tag", "state",
+    "folded"}`` — with ``state`` one of:
+
+    - ``committed``: the epoch dir is fully committed (parquet
+      ``_SUCCESS`` + artifacts stamp) — the normal steady state.
+      ``folded`` is True when a retained version's manifest has folded
+      it into its base (it will be pruned, not served, going forward).
+    - ``in-flight``: the dir exists but is incomplete (no ``_SUCCESS``,
+      or committed-but-unstamped). A LIVE writer mid-write looks
+      exactly like a crash mid-write from the filesystem — liveness is
+      the operator's call; an ``in-flight`` row with no live writer is
+      a crashed write (safe to leave: the id stays burned, stage 10
+      allocates past it; delete dir+claim by hand only if reclaiming
+      the id matters).
+    - ``pruned``: the dir was deleted by prune_serving_index after
+      folding (``._PRUNED`` tombstone) — normal lifecycle residue.
+    - ``folded``: no dir, no tombstone, but a retained manifest still
+      lists the id as folded (pre-round-13 prunes left no tombstone).
+    - ``crashed-orphan``: claim present, no dir, no tombstone, no
+      manifest membership — a writer claimed the id and died before
+      writing any data. Harmless beyond one burned id. CAVEAT: an
+      epoch pruned BEFORE round 13 whose id a later compaction dropped
+      from the folded list also lands here (no tombstone exists to say
+      otherwise); on roots older than r13, treat low-numbered
+      "orphans" below the live id range with that grain of salt.
+    """
+    from kfai_pipeline_spark.streaming.rollup import _list_committed_versions
+
+    dirs = {
+        bid: stamp for bid, _, stamp in list_epoch_dirs(spark, root)
+    }
+    tombs = set(list_epoch_tombstones(spark, root))
+    folded: set[int] = set()
+    for v in _list_committed_versions(spark, root, marker=_COMMITTED):
+        m = read_index_manifest(spark, f"{root}/v_{v}")
+        if m is not None:
+            folded.update(int(b) for b in m.get("folded", []))
+    fs, _, jvm = _hadoop_path(spark, root)
+    out: list[dict] = []
+    for bid, tag in list_epoch_claims(spark, root):
+        if bid in dirs:
+            state = "committed" if dirs[bid] is not None else "in-flight"
+        elif fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/codes_batches/batch_{bid}")
+        ):
+            state = "in-flight"  # dir present, parquet _SUCCESS absent
+        elif bid in tombs:
+            state = "pruned"
+        elif bid in folded:
+            state = "folded"
+        else:
+            state = "crashed-orphan"
+        out.append(
+            {
+                "batch_id": bid,
+                "writer_tag": tag,
+                "state": state,
+                "folded": bid in folded,
+            }
+        )
+    return out
+
+
 def _claim_epoch_id(
     spark: SparkSession, root: str, batch_id: int, writer: str
 ) -> None:
@@ -581,15 +733,38 @@ def _claim_epoch_id(
     carries the writer tag — ``batch_<id>._WRITER.<tag>`` — sibling of
     the epoch dir so the parquet overwrite never touches it, a file so
     the ``list_success_dirs`` epoch listing (isDirectory) never sees
-    it, atomic claim+identity in the one ``createNewFile`` (no
+    it, claim+identity in the one marker create (no
     create-then-write-token window where a racer reads an empty token).
     Same-writer replays pass (the overwrite-idempotent streaming
     contract); a foreign claim refuses loudly, naming both writers.
+
+    Because tags live in the FILENAME, two different writers racing the
+    same UNclaimed id create two DISTINCT paths — per-path exclusive
+    create alone cannot arbitrate that (round-13 advice: both creates
+    succeed). So the claim is two-phase: create your tagged sidecar,
+    then RE-LIST the id's holders; any foreign tag in the post-create
+    listing means the race was live — back off (delete only your own
+    sidecar) and refuse, naming both writers. On a
+    list-after-write-consistent filesystem (HDFS namenode, local) at
+    most ONE racer can observe itself as sole holder — whoever listed
+    first forces every later creator to see it — so two writers never
+    both proceed; a tight simultaneous race can refuse BOTH (each sees
+    the other), which is the safe direction: the id is left unclaimed
+    and a retry re-arbitrates. Collisions are a deployment
+    misconfiguration either way (two writers sharing an id sequence);
+    the fence's job is refusing loudly, not electing a winner.
+
     Claims PERSIST for the root's lifetime — they are what keeps an id
     from being reused after a compact+prune cycle deletes the folded
-    dirs — at one empty file per epoch. Atomicity scope is the same as
-    every claim in this protocol (module docstring): namenode-atomic on
-    HDFS/local; conditional-put territory on object stores."""
+    dirs — at one empty file per epoch (a backed-off loser removes its
+    own sidecar, so a collided id keeps a single claim). Atomicity
+    scope is the same as every claim in this protocol (module
+    docstring): the marker create is namenode-atomic on HDFS/local and
+    injectable for object stores (:func:`set_claim_marker_create`);
+    the post-create re-list additionally requires listings to reflect
+    completed creates (true on HDFS/local; eventually-consistent
+    stores should inject a conditional-put marker AND schedule one
+    ingest writer per root)."""
     tag = _writer_tag(writer)
     base = f"{root}/codes_batches"
     fs, bp, _ = _hadoop_path(spark, base)
@@ -599,47 +774,48 @@ def _claim_epoch_id(
     def holders() -> list[str]:
         return [t for bid, t in list_epoch_claims(spark, root) if bid == batch_id]
 
-    cur = holders()
-    if tag in cur:
-        return  # our id — a replay of our own batch
-    if cur:
-        raise RuntimeError(
-            f"epoch id {batch_id} under {root!r} is claimed by writer "
-            f"{cur[0]!r} but writer {writer!r} (tag {tag!r}) tried to "
+    def foreign_refusal(cur_tags: list[str], raced: bool) -> RuntimeError:
+        other = next((t for t in cur_tags if t != tag), "<unknown>")
+        mid = "was claimed by" if raced else "is claimed by"
+        return RuntimeError(
+            f"epoch id {batch_id} under {root!r} {mid} writer "
+            f"{other!r} but writer {writer!r} (tag {tag!r}) tried to "
             "write it — two ingest writers' id sequences collided, and "
             "an overwrite would silently un-serve the other writer's "
             "batch. Give each writer its own id sequence (stage 10 "
             "already skips claimed ids), or point them at different "
             "roots."
         )
-    _, cp, _ = _hadoop_path(spark, f"{base}/batch_{batch_id}{_EPOCH_WRITER_SEP}{tag}")
-    try:
-        created = bool(fs.createNewFile(cp))
-    except Exception as exc:
-        cur = holders()  # distinguish contention from I/O (round-12 hygiene)
-        if tag in cur:
-            return
-        if cur:
-            raise RuntimeError(
-                f"epoch id {batch_id} under {root!r} was claimed by "
-                f"writer {cur[0]!r} while writer {writer!r} raced it — "
-                "refusing to overwrite the winner's batch."
-            ) from None
-        raise IOError(
-            f"epoch-id claim probe on {root!r} batch {batch_id} failed "
-            "with a filesystem error (not contention — no claim exists "
-            "after the failure)"
-        ) from exc
-    if created:
-        return
+
     cur = holders()
     if tag in cur:
-        return
-    raise RuntimeError(
-        f"epoch id {batch_id} under {root!r} was claimed by writer "
-        f"{cur[0] if cur else '<unknown>'!r} while writer {writer!r} "
-        "raced it — refusing to overwrite the winner's batch."
-    )
+        return  # our id — a replay of our own batch
+    if cur:
+        raise foreign_refusal(cur, raced=False)
+    claim_path = f"{base}/batch_{batch_id}{_EPOCH_WRITER_SEP}{tag}"
+    try:
+        _claim_marker_create(spark, claim_path)
+    except Exception as exc:
+        cur = holders()  # distinguish contention from I/O (round-12 hygiene)
+        if cur and tag not in cur:
+            raise foreign_refusal(cur, raced=True) from None
+        if tag not in cur:
+            raise IOError(
+                f"epoch-id claim probe on {root!r} batch {batch_id} failed "
+                "with a filesystem error (not contention — no claim exists "
+                "after the failure)"
+            ) from exc
+        # our claim landed despite the error — fall through to arbitrate
+    # Two-phase arbitration (docstring): our sidecar exists (created
+    # now, or by a concurrent replay of this same writer); any FOREIGN
+    # tag in the post-create listing means a different writer raced
+    # this id — back off and refuse.
+    cur = holders()
+    if any(t != tag for t in cur):
+        _, cp, _ = _hadoop_path(spark, claim_path)
+        if fs.exists(cp):
+            fs.delete(cp, False)
+        raise foreign_refusal(cur, raced=True)
 
 
 def write_serving_epoch(
@@ -1066,6 +1242,15 @@ def prune_serving_index(
             for m in manifests
         )
         if not servable_somewhere:
+            # tombstone BEFORE the delete (round-13 diagnostics): a
+            # pruned epoch's dir vanishes while its id claim persists
+            # (the id-reuse fence), and a later compaction drops its id
+            # from the folded list — without this marker the claim
+            # becomes indistinguishable from a crashed writer's orphan
+            # in report_epoch_claims. Written first so a crash between
+            # the two leaves tombstone+dir (classified by the dir,
+            # re-pruned next run), never a phantom orphan.
+            _mark_epoch_pruned(spark, root, bid)
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
             epochs_deleted += 1
     return {"versions_deleted": len(dropped), "epochs_deleted": epochs_deleted}

@@ -610,12 +610,28 @@ def retrieve_tiered_batch(
     index_path = resolve_index_path(spark, index_path)
     qid = query_id_col
     if max_pending is not None and max_pending > 0:
-        # O(#queries) driver traffic — the same order as one round's
-        # status frame; only the DISTINCT id list travels
-        id_rows = queries.select(qid).distinct().collect()
-        has_null = any(r[0] is None for r in id_rows)
-        ids = sorted(r[0] for r in id_rows if r[0] is not None)
-        if len(ids) + int(has_null) > max_pending:
+        # Cheap probe first (round-13 advice): the common interactive
+        # batch is far below max_pending — a LIMIT-ed distinct scan
+        # decides whether chunking will happen at all, so the small
+        # case pays one early-terminating job instead of a full
+        # distinct().collect(). The limit is exact: distinct() emits
+        # NULL as one row, and the chunk condition is
+        # (#non-null ids + has_null) > max_pending.
+        probe = (
+            queries.select(qid).distinct().limit(max_pending + 1).collect()
+        )
+        if len(probe) > max_pending:
+            # O(#queries) driver traffic — the same order as one
+            # round's status frame; only the DISTINCT id list travels
+            id_rows = queries.select(qid).distinct().collect()
+            has_null = any(r[0] is None for r in id_rows)
+            # type-stable sort key: mixed-type query ids (e.g. int and
+            # str) must not TypeError the chunker — order only needs
+            # to be deterministic, not semantic
+            ids = sorted(
+                (r[0] for r in id_rows if r[0] is not None),
+                key=lambda v: (v.__class__.__name__, repr(v)),
+            )
             parts: list[DataFrame] = []
             for i in range(0, len(ids), max_pending):
                 chunk = ids[i : i + max_pending]

@@ -144,7 +144,22 @@ def _write_latest_version(spark: SparkSession, snapshot_dir: str, version: int) 
         out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    if not fs.rename(tmp, p):
+    try:
+        renamed = fs.rename(tmp, p)
+    except Exception:
+        renamed = False
+    if not renamed:
+        # The delete+rename swap is non-atomic: a racing writer flipping
+        # to the SAME version (the idempotent-flip contract — orphan
+        # repair racing the crashed writer's own resumed flip, round-13
+        # advice) can land its pointer between our delete and rename,
+        # making rename-onto-existing return false even though the
+        # pointer state is exactly what this call intended. Re-read
+        # before declaring failure.
+        if _read_pointer_raw(spark, snapshot_dir) == version:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
+            return
         raise IOError(
             f"rollup pointer swap failed: rename {tmp} -> {p} returned false; "
             f"latest committed version remains recoverable from v_* listing"
