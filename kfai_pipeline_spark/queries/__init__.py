@@ -34,43 +34,24 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 9 (r09's window minus the names
-    # rounds 10 and 11 re-confirmed) — these 39 lead the r12 window
+    # last official row: round 10 (r10's window minus the names
+    # rounds 11 and 12 re-confirmed) — these 39 lead the r13 window
     frozenset({
-        "q100_rolling_zscore", "q102_incremental_agg",
-        "q103_bucketed_join", "q106_truncate_longdocs",
-        "q107_zscore_backfill", "q108_segment_dedup",
-        "q109_dsir_sample", "q11", "q110_quantized_ann",
-        "q111_sq8_index", "q112_pq_index", "q12",
-        "q124_rag_multi_topic", "q125_rag_tiered_ivfpq",
-        "q126_rag_tiered_batch", "q127_rag_multi_topic_tiered",
-        "q128_rag_index_append_sq8", "q129_rag_index_append_ivfpq",
-        "q13", "q130_rag_index_stream", "q131_index_drift", "q14",
-        "q15", "q16", "q61_decontaminate", "q62_repetition",
-        "q63_hash_sample", "q64_stratified_sample", "q65_quantiles",
-        "q66_pii_redact", "q67_shard_pack", "q68_boilerplate_strip",
-        "q87_composite_resume", "q88_skiplist_roundtrip",
-        "q89_asof_tolerance", "q90_cluster_assign",
-        "q93_multimodal_video", "q95_scd2_history", "q97_merge_upsert",
-    }),
-    # last official row: round 10 (CORRECTNESS_r10.json's window)
-    frozenset({
-        "q101_hybrid_rrf", "q113_ivfpq_index", "q114_rolling_bucketed",
-        "q115_bloom_decontam", "q116_zorder_scan",
-        "q117_hard_negatives", "q118_compact_roundtrip",
-        "q119_leakage_split", "q120_hard_negatives_blas",
-        "q132_rag_tiered_batch_filters", "q133_rag_serving_lifecycle",
-        "q134_rag_drift_rebuild", "q135_rag_selfheal_stream",
-        "q136_rag_index_stage", "q137_rag_tiered_opq", "q17", "q18",
-        "q19", "q20", "q21", "q21_dedup", "q22", "q23", "q24", "q25",
-        "q26", "q27", "q28", "q39_asof", "q40_quality", "q41_cube",
-        "q42_fullouter", "q43_cross", "q44_grouping_sets", "q45_stats",
+        "q101_hybrid_rrf", "q113_ivfpq_index",
+        "q114_rolling_bucketed", "q115_bloom_decontam",
+        "q116_zorder_scan", "q117_hard_negatives",
+        "q118_compact_roundtrip", "q119_leakage_split",
+        "q120_hard_negatives_blas", "q132_rag_tiered_batch_filters",
+        "q133_rag_serving_lifecycle", "q134_rag_drift_rebuild",
+        "q135_rag_selfheal_stream", "q136_rag_index_stage",
+        "q137_rag_tiered_opq", "q24", "q25", "q26", "q27", "q28",
+        "q39_asof", "q40_quality", "q44_grouping_sets", "q45_stats",
         "q46_sketch", "q60_correlated_subquery", "q70_fixed_chunks",
         "q71_curation_funnel", "q73_mixture_sample",
-        "q74_semantic_dedup", "q75_unigram_logprob", "q77_context_pack",
-        "q81_tfidf_terms", "q91_training_order", "q92_bigram_logprob",
-        "q94_dup_spans", "q96_bm25", "q98_heavy_hitters",
-        "q99_source_curation",
+        "q74_semantic_dedup", "q75_unigram_logprob",
+        "q77_context_pack", "q81_tfidf_terms", "q91_training_order",
+        "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
+        "q98_heavy_hitters", "q99_source_curation",
     }),
     # last official row: round 11 (CORRECTNESS_r11.json's window)
     frozenset({
@@ -90,6 +71,27 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q76_simsearch_blas", "q78_mixture_epochs", "q79_stat_aggs",
         "q80_rolling_range", "q82_merge_records", "q83_llm_clean",
         "q84_funnel", "q85_retention", "q86_integrity_deadletter",
+    }),
+    # last official row: round 12 (CORRECTNESS_r12.json's window)
+    frozenset({
+        "q100_rolling_zscore", "q102_incremental_agg",
+        "q103_bucketed_join", "q106_truncate_longdocs",
+        "q107_zscore_backfill", "q108_segment_dedup",
+        "q109_dsir_sample", "q11", "q110_quantized_ann",
+        "q111_sq8_index", "q112_pq_index", "q12",
+        "q124_rag_multi_topic", "q125_rag_tiered_ivfpq",
+        "q126_rag_tiered_batch", "q127_rag_multi_topic_tiered",
+        "q128_rag_index_append_sq8", "q129_rag_index_append_ivfpq",
+        "q13", "q130_rag_index_stream", "q131_index_drift", "q14",
+        "q15", "q16", "q17", "q18", "q19", "q20", "q21",
+        "q21_dedup", "q22", "q23", "q41_cube", "q42_fullouter",
+        "q43_cross", "q61_decontaminate", "q62_repetition",
+        "q63_hash_sample", "q64_stratified_sample", "q65_quantiles",
+        "q66_pii_redact", "q67_shard_pack", "q68_boilerplate_strip",
+        "q87_composite_resume", "q88_skiplist_roundtrip",
+        "q89_asof_tolerance", "q90_cluster_assign",
+        "q93_multimodal_video", "q95_scd2_history",
+        "q97_merge_upsert",
     }),
 )
 
