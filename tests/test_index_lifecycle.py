@@ -1237,3 +1237,57 @@ def test_report_epoch_claims_states(spark, corpus, tmp_path_factory):
     shutil.rmtree(os.path.join(root, "codes_batches", "batch_8"))
     by_id = {r["batch_id"]: r for r in il.report_epoch_claims(spark, root)}
     assert by_id[8]["state"] == "folded" and by_id[8]["folded"]
+
+
+def test_compact_interleaved_with_drift_rebuild(
+    spark, corpus, tmp_path_factory
+):
+    """Round-12 verdict's suggested interleaving: a compaction pins its
+    epoch snapshot, and WHILE it runs a drift-rebuild retrains the
+    whole index (artifacts bump + pointer flip). The CAS must refuse
+    the compaction (its pointer read predates the rebuild's commit),
+    the rebuild's version must serve the full corpus untouched, and a
+    fresh compaction against the new serving version must proceed —
+    folding ZERO old-lineage epochs (their stamps predate the new
+    artifacts) — with probes correct at every step."""
+    root = str(tmp_path_factory.mktemp("lc_reb_race")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    first = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 45))
+    rest = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 45))
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(first, root, 0, kind="sq8", writer="stream:ckptA")
+    write_serving_epoch(rest, root, 1, kind="sq8", writer="stream:ckptA")
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+    old_manifest = read_index_manifest(spark, f"{root}/v_0")
+
+    def racing_rebuild():
+        # the drift trigger fires mid-compaction: full retrain over the
+        # CURRENT corpus (which includes every doc the epochs encoded)
+        rebuild_serving_index(corpus, root, kind="sq8")
+
+    with pytest.raises(RuntimeError, match="already a COMMITTED version"):
+        compact_serving_index(
+            spark, root, kind="sq8", _after_pin=racing_rebuild
+        )
+    # the rebuild's version serves, un-rewritten, with bumped artifacts
+    assert serving_version(spark, root) == 1
+    m1 = read_index_manifest(spark, f"{root}/v_1")
+    assert m1["artifacts_id"] != old_manifest["artifacts_id"]
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got == want
+    # a fresh compaction proceeds against the rebuilt version and folds
+    # ZERO pre-rebuild epochs (stale artifacts lineage)
+    stats = compact_serving_index(spark, root, kind="sq8")
+    assert stats["version"] == 2 and stats["folded_epochs"] == 0
+    assert serving_version(spark, root) == 2
+    got2 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got2 == want
+    # prune GCs the stale-lineage epochs; serving is unaffected and the
+    # claim report shows their ids as pruned (burned, never reusable)
+    from kfai_pipeline_spark.operators import index_lifecycle as il
+
+    prune_serving_index(spark, root, retain_versions=1)
+    by_id = {r["batch_id"]: r for r in il.report_epoch_claims(spark, root)}
+    assert by_id[0]["state"] == "pruned" and by_id[1]["state"] == "pruned"
+    got3 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got3 == want
