@@ -596,3 +596,87 @@ def test_index_stage_racing_stream_maintainer_no_silent_overwrite(
             ).select("__chunk_id").collect()
         )
         assert now == stream_codes
+
+
+def test_index_stage_legacy_claimless_pruned_id_never_reused(
+    spark, tmp_path_factory
+):
+    """Round-13 allocator input: a PRE-round-12 epoch carries no writer
+    claim, so after an r13 prune tombstones it and a later
+    compact+prune cycle drops every OTHER trace (dir, claim, retained
+    manifest membership), the ``._PRUNED`` tombstone is the id's only
+    record — and stage 10's allocator must allocate PAST it instead of
+    recycling the id."""
+    import glob
+    import os
+
+    from kfai_pipeline_spark.operators.index_lifecycle import (
+        compact_serving_index,
+        list_epoch_claims,
+        list_epoch_tombstones,
+        prune_serving_index,
+        read_index_manifest,
+        serving_index_path,
+        write_serving_epoch,
+    )
+
+    wd = str(tmp_path_factory.mktemp("ws_legacy"))
+    root = os.path.join(wd, "index")
+    schema = "video_id string, start_time double, embedding array<double>"
+    store = os.path.join(wd, "store")
+
+    def rows(n0, n1):
+        return spark.createDataFrame(
+            [
+                (
+                    f"v{i}",
+                    float(i * 30),
+                    [float(1 + (i * (j + 3)) % 7) for j in range(8)],
+                )
+                for i in range(n0, n1)
+            ],
+            schema,
+        )
+
+    rows(0, 20).write.mode("overwrite").parquet(store)
+    assert app.index_maintain(spark, wd)["action"] == "init"  # v_0
+
+    # a legacy epoch: committed normally, then its claim removed to
+    # reproduce the pre-round-12 on-disk shape (no sidecar existed)
+    chunks = app._with_chunk_id(rows(20, 30)).select("__chunk_id", "embedding")
+    write_serving_epoch(
+        chunks, root, 0, id_col="__chunk_id", writer="legacy-pre-r12"
+    )
+    for p in glob.glob(
+        os.path.join(root, "codes_batches", "batch_0._WRITER.*")
+    ):
+        os.remove(p)
+    assert list_epoch_claims(spark, root) == []
+    rows(0, 30).write.mode("overwrite").parquet(store)  # corpus truth
+
+    # fold + r13 prune: the dir goes, the tombstone stays
+    compact_serving_index(spark, root, kind="sq8")  # v_1 folds {0}
+    prune_serving_index(spark, root, retain_versions=1)  # GC batch_0 + v_0
+    assert list_epoch_tombstones(spark, root) == [0]
+    assert not os.path.exists(os.path.join(root, "codes_batches", "batch_0"))
+
+    # a later cycle drops the id from every RETAINED manifest: v_2
+    # folds nothing, and pruning to it deletes v_1 (folded=[0])
+    compact_serving_index(spark, root, kind="sq8")
+    prune_serving_index(spark, root, retain_versions=1)
+    m = read_index_manifest(spark, serving_index_path(spark, root))
+    assert list(m.get("folded", [])) == []
+
+    # stage 10 with a fresh delta: the tombstone is the ONLY trace of
+    # id 0 left — it must never be rewritten
+    rows(0, 36).write.mode("overwrite").parquet(store)
+    s = app.index_maintain(spark, wd)
+    assert not os.path.exists(os.path.join(root, "codes_batches", "batch_0"))
+    if s["action"] == "epoch":
+        claims = list_epoch_claims(spark, root)
+        assert [bid for bid, _ in claims] == [1]
+        assert claims[0][1].startswith("app-stage10-")
+        assert s["chunks_indexed"] == 6
+    else:  # tiny-n drift may legitimately rebuild — id 0 still unused
+        assert s["action"] == "rebuild"
+    assert app.index_maintain(spark, wd)["action"] == "none"
