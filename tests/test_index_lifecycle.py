@@ -1291,3 +1291,45 @@ def test_compact_interleaved_with_drift_rebuild(
     assert by_id[0]["state"] == "pruned" and by_id[1]["state"] == "pruned"
     got3 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
     assert got3 == want
+
+
+def test_prune_racing_mid_build_compaction_is_harmless(
+    spark, corpus, tmp_path_factory
+):
+    """The other maintenance-vs-GC interleaving: prune fires WHILE a
+    compaction is mid-build (epoch snapshot pinned, v_1 claimed but
+    uncommitted). Prune must treat the claimed dest as invisible (it
+    lists COMMITTED versions only) and must keep every epoch the
+    compactor pinned (they are still servable by the retained serving
+    manifest — unfolded, matching lineage). A GC that deleted
+    uncommitted v_* dirs or re-listed epochs later would destroy the
+    live writer's work; this pins the safe-by-construction behavior."""
+    root = str(tmp_path_factory.mktemp("lc_prune_race")) + "/idx"
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    init_serving_index(even, root, kind="sq8")
+    write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
+    want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
+
+    raced: dict = {}
+
+    def racing_prune():
+        # v_1 is claimed and mid-build here; v_0 serves with epoch 0
+        # unfolded — aggressive retention must delete NOTHING
+        raced.update(prune_serving_index(spark, root, retain_versions=1))
+        assert os.path.exists(os.path.join(root, "codes_batches", "batch_0"))
+
+    stats = compact_serving_index(
+        spark, root, kind="sq8", _after_pin=racing_prune
+    )
+    assert raced == {"versions_deleted": 0, "epochs_deleted": 0}
+    # the compaction completed over the epochs prune left alone
+    assert stats["version"] == 1 and stats["folded_epochs"] == 1
+    assert serving_version(spark, root) == 1
+    got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got == want
+    # and a QUIESCED prune afterwards GCs what is now actually dead
+    after = prune_serving_index(spark, root, retain_versions=1)
+    assert after == {"versions_deleted": 1, "epochs_deleted": 1}
+    got2 = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
+    assert got2 == want
