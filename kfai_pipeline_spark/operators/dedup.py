@@ -1357,24 +1357,35 @@ def duplicated_spans(
     empty-string span would otherwise mark every blank doc in a crawl
     as a 100% duplicate of every other blank doc.
     """
+    from pyspark.sql.window import Window
+
     nonblank = df.where(F.length(F.trim(F.col(text_col))) > 0)
     sc = (
         _exploded_spans(nonblank, text_col, id_col, n, repartition_to)
         .groupBy(id_col, "shingle")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nd = sc.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
-    # Inner join is lossless (nd covers every shingle of sc by
-    # construction), and BOTH per-doc aggregates ride ONE groupBy — the
-    # naive tot/dup split re-derives the shingle pipeline per branch
-    # (three scans statically; exchange reuse only partially saves it).
-    dup_c = F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(F.lit(0))
+    # ndocs per shingle as a WINDOW over the (doc, shingle) grain, not a
+    # groupBy + join-back: the join form re-derives the whole shingle
+    # pipeline (scan -> split -> slice/concat transform -> explode ->
+    # two exchanges) for the ndocs branch, because Catalyst prunes the
+    # two subtrees differently (the ndocs side drops `c`, becoming a
+    # distinct-aggregate) so neither static CSE nor AQE stage reuse can
+    # canonicalize them equal — measured as TWO full corpus shingle
+    # passes (r14: plan had 2 FileScan+Generate chains; noop-sink median
+    # 23.1 s -> 15.3 s at 100x on the window form, results bit-identical,
+    # plans/r14/q94_dup_spans_{before,after}.txt). The
+    # window runs over the same hashpartitioning(shingle) exchange the
+    # join needed anyway; per-shingle row count stays bounded by the doc
+    # count, exactly the bound the groupBy had.
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    dup_c = F.when(ndocs >= 2, F.col("c")).otherwise(F.lit(0))
     per_doc = (
-        sc.join(nd.hint("merge"), "shingle")
+        sc.select(F.col(id_col), F.col("c"), dup_c.alias("__dup_c"))
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_spans"),
-            F.sum(dup_c).alias("n_dup_spans"),
+            F.sum("__dup_c").alias("n_dup_spans"),
         )
     )
     frac = F.col("n_dup_spans") / F.col("n_spans")

@@ -401,18 +401,22 @@ def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
     p = plan(spark, "q94_dup_spans")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # cross-doc test + dup-span sum ride equi joins on the shingle key
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # r14: the cross-doc ndocs test is a WINDOW over the same
+    # hashpartitioning(shingle) exchange — the former groupBy+join-back
+    # re-derived the whole shingle pipeline for the ndocs branch
+    # (Catalyst prunes the branches differently, so neither CSE nor AQE
+    # stage reuse collapses them; measured 23.1 s -> 15.3 s at 100x).
+    # No join of any kind should remain.
+    assert "Window" in p
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in p, f"unexpected {join} — join-back shape returned"
     # map-side partial agg before every exchange (HashAggregate pairs)
     assert p.count("HashAggregate") >= 4, "expected partial+final agg pairs"
-    # single-pass: both per-doc aggregates share one shingle pipeline —
-    # the corpus scan appears at most twice statically (sc + its nd
-    # re-derivation, collapsed by exchange reuse at runtime), never a
-    # third time for a separate totals branch
+    # single-pass: ONE corpus scan feeds both per-doc aggregates
     import re as _re
 
     scans = _re.findall(r"^\(\d+\) Scan parquet", p, flags=_re.M)
-    assert len(scans) <= 2, f"{len(scans)} scans — totals branch re-derived"
+    assert len(scans) == 1, f"{len(scans)} scans — shingle pipeline re-derived"
 
 
 def test_q95_scd2_single_exchange_no_self_join(spark):
