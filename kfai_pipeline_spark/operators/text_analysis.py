@@ -472,10 +472,28 @@ def bigram_logprob(
     )
     wx = df.select(F.explode(words).alias("w"))
     c1 = wx.groupBy("w").agg(F.count(F.lit(1)).alias("__c1"))
-    c2 = bx.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
     total = c1.agg(F.sum("__c1").alias("__n"))
+    # c(w1 w2) as a WINDOW over bx, not a groupBy + join-back: the join
+    # form re-derives the whole bigram explode for the count branch (a
+    # second full corpus pass — Catalyst prunes id_col from it, so the
+    # subtrees never canonicalize equal for CSE/stage reuse), and at
+    # corpus scale the count side is far past any broadcast threshold,
+    # so BOTH sides of that join shuffle on (w1, w2) — and at SMALL
+    # scale Catalyst broadcast c2, a corpus-derived aggregate riding a
+    # fabricated post-agg size estimate (the BASELINE §5d defect class:
+    # a guaranteed driver OOM at real scale). The window pays exactly
+    # one bx shuffle on (w1, w2) and nothing else (r14: 3 -> 2 static
+    # corpus derivations; 100x noop median 22.8 s -> 19.0 s,
+    # plans/r14/q92_bigram_logprob_{before,after}.txt). The c1 joins
+    # and the 1-row total already share one wx derivation via exchange
+    # reuse — visible as ReusedExchange in the before plan.
+    from pyspark.sql.window import Window
+
+    bcx = bx.withColumn(
+        "__c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    )
     scored = (
-        bx.join(c2, ["w1", "w2"])
+        bcx
         .join(c1.withColumnsRenamed({"w": "w1", "__c1": "__cw1"}), "w1")
         .join(c1.withColumnsRenamed({"w": "w2", "__c1": "__cw2"}), "w2")
         .crossJoin(F.broadcast(total))
