@@ -1431,35 +1431,54 @@ def q83_llm_clean(spark, sf_dir):
     ),
 )
 def q84_funnel(spark, sf_dir):
+    # r14: ONE events pass instead of three. The staged form (filter ->
+    # groupBy -> join next stage) scanned events once per stage and
+    # shuffled each stage's subset on user_id separately, with two
+    # aggregate joins between — 3 scans + 3 exchanges + 2 joins. The
+    # strict inter-stage ordering (t2 = first click AFTER t1, t3 = first
+    # purchase AFTER t2) collapses into one per-user aggregate: min view
+    # ts plus the click/purchase ts lists, then array_min over a
+    # filtered slice resolves each stage in-row. One scan, one user_id
+    # exchange; per-user state is bounded by that user's click+purchase
+    # count (the same per-key bound sessionize carries). Local 100x
+    # noop wall is ~even (2.45 -> 2.42 s median — the 10M-event fixture
+    # sits in page cache, so the removed scans cost little HERE); the
+    # win is structural: the staged shape reads a 100 TB events table
+    # three times and shuffles three stage subsets, this reads and
+    # shuffles once. Results hash-identical (oracle at
+    # sf0.001/0.01/0.1); plans/r14/q84_funnel_{before,after}.txt.
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.where(F.col("event_type") == "view")
+    per_user = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("__clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purchases"),
+        )
     )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    t1 = F.col("t1")
+    t2 = F.array_min(F.filter("__clicks", lambda c: c > t1))
+    t3 = F.array_min(F.filter("__purchases", lambda p: p > t2))
+    staged = per_user.select(t1, t2.alias("t2"), t3.alias("t3"))
+    counts = staged.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    count_stage = lambda df, label: df.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n_users")
-    ).select(F.lit(label).alias("stage"), "n_users")
-    return (
-        count_stage(s1, "1_view")
-        .unionAll(count_stage(s2, "2_click"))
-        .unionAll(count_stage(s3, "3_purchase"))
-        .orderBy("stage")
-    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+                F.struct(F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.*").orderBy("stage")
 
 
 # ---------------------------------------------------------------- Q85: retention
@@ -1493,18 +1512,24 @@ def q84_funnel(spark, sf_dir):
 )
 def q85_retention(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+    # r14: cohort via a window min over the same user_id partitioning
+    # instead of groupBy + join-back — the join form scanned events
+    # twice (once for the cohort aggregate, once as the probe side) and
+    # re-shuffled the probe; the window reads events once and pays one
+    # user_id exchange (plans/r14/q85_retention_{before,after}.txt).
+    from pyspark.sql.window import Window as _W
+
+    cohort = F.date_trunc(
+        "week", F.min("ts").over(_W.partitionBy("user_id"))
     )
     act = (
-        ev.join(first, "user_id")
-        .select(
+        ev.select(
             "user_id",
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
             F.floor(
                 F.datediff(
                     F.to_date(F.date_trunc("week", F.col("ts"))),
-                    F.to_date(F.col("cohort")),
+                    F.to_date(cohort),
                 )
                 / F.lit(7)
             ).alias("wk"),
