@@ -371,6 +371,17 @@ def unigram_logprob(
     The word-frequency join shuffles on the word key, same skew profile
     as the wordcount it extends.
     """
+    # r14 note: a count() window over the word key was tried in place of
+    # the freq groupBy + join-back (the q92/q94 restructure) and
+    # REJECTED: it measured +20% at 100x (noop medians 5.7 -> 6.9 s)
+    # because the window loses the map-side partial aggregation (every
+    # occurrence shuffles raw) and concentrates each word's occurrences
+    # in one task with no AQE escape — the top unigram is ~5% of a real
+    # corpus, an unsplittable straggler at scale. The join-back is the
+    # right shape HERE: freq is one row per word after map-side
+    # combine, and a skewed probe-side SMJ partition is AQE-splittable.
+    # (q92/q94 differ: their count branches re-derive far more
+    # expensive pipelines and their key skew is orders flatter.)
     wx = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
     freq = wx.groupBy("w").agg(F.count(F.lit(1)).alias("__c"))
     total = freq.agg(F.sum("__c").alias("__n"))
