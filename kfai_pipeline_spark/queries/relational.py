@@ -980,6 +980,12 @@ def q60_correlated_subquery(spark, sf_dir):
 )
 def q46_sketch(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # r14 note: fusing all four aggregates into ONE groupBy (removing
+    # the second scan and the 3-row join) was tried and REJECTED: the
+    # mixed distinct/non-distinct set plans through Expand, duplicating
+    # every lineitem row into the heavy percentile/HLL buffers —
+    # measured 9.4 -> 12.8 s noop median at 100x. Two lean passes beat
+    # one expanded pass when the aggregates are CPU-bound sketches.
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("ap"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("am"),
