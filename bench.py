@@ -78,6 +78,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # "flag_attribution" and suppressed from "flagged"; a genuine
 # regression (query up, floor flat, controls flat) still flags
 # exactly as before.
+#
+# b1-SPECIFIC NOTE (§5s addendum 9, after six b1 flags / six load
+# attributions r8-r14): b1 is the suite's most load-multiplicative
+# query (widest partial-agg state of the nine), so in a degraded host
+# era it is routinely the last query left "genuine"-classified — its
+# own 80 ms control is sampling luck while the WHOLE-ERA anchors move
+# (quiet anchors: duckdb_total ~0.27, floor_sec ~0.05; the r14 era ran
+# both at ~1.3x). A seventh b1 flag with this signature needs only the
+# anchor check, not a fresh multi-session protocol.
 DRIFT_RATIO = 1.3
 COMOVE_RATIO = 1.1
 SESSION_COMOVE_RATIO = 1.25
@@ -340,9 +349,25 @@ def main() -> None:
             return False
         return True
 
-    def growth_arm(dir_: str, conf: dict[str, str], n_runs: int = 5) -> dict:
+    def growth_arm(
+        dir_: str,
+        conf: dict[str, str],
+        n_runs: int = 5,
+        arm_key: str | None = None,
+        history: list[dict] | None = None,
+    ) -> dict:
         """Run the full suite + DuckDB twin at another SF and report
-        growth ratios vs the headline run."""
+        growth ratios vs the headline run.
+
+        Round 14: the arms self-attribute exactly like the headline
+        (r13 verdict item #2 — the sf1/sf10 numbers fed watch-chases
+        three rounds running with only a raw ``duckdb_total`` for a
+        human to eyeball). ``arm_key`` selects this arm's section in
+        prior BENCH_r*.json files; the same drift_flags logic then
+        annotates each raw flag with its control co-movement. Raw
+        values and all pre-existing keys are unchanged — the new keys
+        are additive.
+        """
         for k, v in conf.items():
             spark.conf.set(k, v)
         register_views(spark, dir_)
@@ -350,7 +375,7 @@ def main() -> None:
         arm_total = round(sum(arm_timings.values()), 4)
         arm_duck = time_duckdb(dir_)
         arm_duck_total = round(sum(arm_duck.values()), 4)
-        return {
+        out = {
             "queries": arm_timings,
             "total": arm_total,
             "duckdb": arm_duck,
@@ -360,6 +385,24 @@ def main() -> None:
                 round(arm_duck_total / duck_total, 2) if duck_total else None
             ),
         }
+        if arm_key and history:
+            # arm sections carry no floor of their own; the session
+            # floor is the headline's (same JVM), and each history
+            # entry inherits its round's headline floor for the
+            # floor-subtracted discriminator.
+            arm_hist = [
+                {**d[arm_key], "floor_sec": d.get("floor_sec")}
+                for d in history
+                if isinstance(d.get(arm_key), dict)
+            ]
+            mt, fraw, fl, attr = drift_flags(
+                arm_timings, floor_sec, arm_duck, arm_hist
+            )
+            out["median_trail"] = mt
+            out["flagged_raw"] = fraw
+            out["flagged"] = fl
+            out["flag_attribution"] = attr
+        return out
 
     def time_duckdb(dir_: str, n_runs: int = 3) -> dict[str, float]:
         """Median oracle-SQL wall per bench query on the same files."""
@@ -401,13 +444,11 @@ def main() -> None:
         print(f"duckdb arm failed: {exc}", file=sys.stderr)
         duck, duck_total = {}, None
 
+    history = load_bench_history(
+        os.path.dirname(os.path.abspath(__file__)), sf_num
+    )
     median_trail, flagged_raw, flagged, flag_attribution = drift_flags(
-        timings,
-        floor_sec,
-        duck,
-        load_bench_history(
-            os.path.dirname(os.path.abspath(__file__)), sf_num
-        ),
+        timings, floor_sec, duck, history
     )
 
     result = {
@@ -453,7 +494,7 @@ def main() -> None:
             result["sf1"] = growth_arm(sf1_dir, {
                 "spark.sql.shuffle.partitions": "8",
                 "spark.sql.files.maxPartitionBytes": "4194304",
-            })
+            }, arm_key="sf1", history=history)
         except Exception as exc:
             print(f"sf1 arm failed: {exc}", file=sys.stderr)
 
@@ -482,7 +523,7 @@ def main() -> None:
                 # yields ~1 task per 64 MB file; halve it so the 32
                 # cores stay busy on the 600 MB lineitem scan.
                 "spark.sql.files.maxPartitionBytes": "33554432",
-            }, n_runs=3)
+            }, n_runs=3, arm_key="sf10", history=history)
         except Exception as exc:
             print(f"sf10 arm failed: {exc}", file=sys.stderr)
 

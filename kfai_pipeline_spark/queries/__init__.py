@@ -34,29 +34,10 @@ __all__ = ["REGISTRY", "Query", "register"]
 # official CORRECTNESS row; update them each round from CORRECTNESS_r{N}.json.
 # ---------------------------------------------------------------------------
 _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
-    # last official row: round 10 (r10's window minus the names
-    # rounds 11 and 12 re-confirmed) — these 39 lead the r13 window
+    # last official row: round 11 (r11's window minus the 11 names
+    # round 13 re-confirmed) — these 39 lead the r14 window
     frozenset({
-        "q101_hybrid_rrf", "q113_ivfpq_index",
-        "q114_rolling_bucketed", "q115_bloom_decontam",
-        "q116_zorder_scan", "q117_hard_negatives",
-        "q118_compact_roundtrip", "q119_leakage_split",
-        "q120_hard_negatives_blas", "q132_rag_tiered_batch_filters",
-        "q133_rag_serving_lifecycle", "q134_rag_drift_rebuild",
-        "q135_rag_selfheal_stream", "q136_rag_index_stage",
-        "q137_rag_tiered_opq", "q24", "q25", "q26", "q27", "q28",
-        "q39_asof", "q40_quality", "q44_grouping_sets", "q45_stats",
-        "q46_sketch", "q60_correlated_subquery", "q70_fixed_chunks",
-        "q71_curation_funnel", "q73_mixture_sample",
-        "q74_semantic_dedup", "q75_unigram_logprob",
-        "q77_context_pack", "q81_tfidf_terms", "q91_training_order",
-        "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
-        "q98_heavy_hitters", "q99_source_curation",
-    }),
-    # last official row: round 11 (CORRECTNESS_r11.json's window)
-    frozenset({
-        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07",
-        "q08", "q09", "q10", "q104_simhash_dedup", "q105_neardup_index",
+        "q104_simhash_dedup", "q105_neardup_index",
         "q121_rag_tiered", "q122_optimize_table",
         "q123_json_deadletter", "q29_tokens", "q30_corpus",
         "q31_bigrams", "q32_langid", "q33_fingerprint", "q34_minhash",
@@ -92,6 +73,25 @@ _SNAPSHOT_HISTORY: tuple[frozenset[str], ...] = (
         "q89_asof_tolerance", "q90_cluster_assign",
         "q93_multimodal_video", "q95_scd2_history",
         "q97_merge_upsert",
+    }),
+    # last official row: round 13 (CORRECTNESS_r13.json's window)
+    frozenset({
+        "q01", "q01_count", "q02", "q03", "q04", "q05", "q06", "q07",
+        "q08", "q09", "q10", "q101_hybrid_rrf", "q113_ivfpq_index",
+        "q114_rolling_bucketed", "q115_bloom_decontam",
+        "q116_zorder_scan", "q117_hard_negatives",
+        "q118_compact_roundtrip", "q119_leakage_split",
+        "q120_hard_negatives_blas", "q132_rag_tiered_batch_filters",
+        "q133_rag_serving_lifecycle", "q134_rag_drift_rebuild",
+        "q135_rag_selfheal_stream", "q136_rag_index_stage",
+        "q137_rag_tiered_opq", "q24", "q25", "q26", "q27", "q28",
+        "q39_asof", "q40_quality", "q44_grouping_sets", "q45_stats",
+        "q46_sketch", "q60_correlated_subquery", "q70_fixed_chunks",
+        "q71_curation_funnel", "q73_mixture_sample",
+        "q74_semantic_dedup", "q75_unigram_logprob",
+        "q77_context_pack", "q81_tfidf_terms", "q91_training_order",
+        "q92_bigram_logprob", "q94_dup_spans", "q96_bm25",
+        "q98_heavy_hitters", "q99_source_curation",
     }),
 )
 

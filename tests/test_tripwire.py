@@ -170,3 +170,59 @@ def test_history_loader_excludes_latest_round(tmp_path):
     assert vals == [0.4, 0.5, 9.9]
     hist_sf1 = bench.load_bench_history(str(tmp_path), 1.0)
     assert hist_sf1 == []
+
+
+# ---------------------------------------------------------------- r14:
+# arm-level self-attribution (r13 verdict item #2). growth_arm() feeds
+# the SAME drift_flags with per-arm history sections (each inheriting
+# its round's headline floor); these tests pin the arm-history shape
+# end to end through a synthetic BENCH file set.
+
+def _arm_hist(rounds=4, q=4.5, dq=2.2, floor=0.05):
+    return [
+        {
+            "sf10": {
+                "queries": {"b2": q, "b7": 3.0},
+                "duckdb": {"b2": dq, "b7": 1.6},
+                "duckdb_total": dq + 1.6,
+            },
+            "floor_sec": floor,
+        }
+        for _ in range(rounds)
+    ]
+
+
+def _arm_sections(history, arm_key="sf10"):
+    """Mirror growth_arm's arm-history construction."""
+    return [
+        {**d[arm_key], "floor_sec": d.get("floor_sec")}
+        for d in history
+        if isinstance(d.get(arm_key), dict)
+    ]
+
+
+def test_arm_comoving_control_annotated_not_actionable():
+    """A degraded-host sf10 sample (the r13 17.55 s chase class): the
+    arm query is 1.6x its trail but the arm's own DuckDB control moved
+    2.4x — raw-flagged, annotated co-moving, suppressed."""
+    hist = _arm_sections(_arm_hist())
+    med, raw, flagged, attr = bench.drift_flags(
+        {"b2": 7.2, "b7": 3.0}, floor_sec=0.05,
+        duck={"b2": 5.3, "b7": 1.6}, history=hist,
+    )
+    assert raw == ["b2"]
+    assert flagged == []
+    assert "co-moving" in attr["b2"]["classification"]
+
+
+def test_arm_genuine_regression_flat_control_flags():
+    """An arm query regresses with BOTH controls flat: stays
+    actionable — arm attribution must not blanket-suppress."""
+    hist = _arm_sections(_arm_hist())
+    med, raw, flagged, attr = bench.drift_flags(
+        {"b2": 7.2, "b7": 3.0}, floor_sec=0.05,
+        duck={"b2": 2.2, "b7": 1.6}, history=hist,
+    )
+    assert raw == ["b2"]
+    assert flagged == ["b2"]
+    assert attr["b2"]["classification"] == "genuine"
