@@ -408,21 +408,37 @@ def tfidf_top_terms(
     rounded score (desc) then term (asc) for cross-engine determinism.
 
     Corpus analytics staple (what characterizes each language/source
-    slice). Shuffle profile: one explode + two word-keyed aggregates
-    that reuse the exploded frame, a word-keyed join (same skew profile
-    as wordcount — ubiquitous words are the hot keys, and they carry
-    exactly one row per (group, word) after aggregation, so no salting
-    is needed), a broadcast 1-row total, and a final window over the
-    per-group term lists — already reduced to |vocab| rows, not corpus
-    rows, before the window shuffles on the group key.
+    slice). Shuffle profile (r14): strictly LINEAR lineage — one scan,
+    one regex-split explode, a ``(word, doc, group)`` first-level
+    aggregate, a ``(group, word)`` second-level aggregate, then windows
+    over the post-aggregate vocabulary only. The previous tf-from-wx +
+    countDistinct-from-wx branch pair re-derived the full scan/split/
+    explode pipeline twice (column pruning thins each branch
+    differently, so CSE/ReuseExchange never unify them — verified in
+    the physical plan). Document frequency now folds from the second
+    level itself: ``group_col`` is functional on ``id_col`` (one row
+    per doc upstream), so distinct-docs-per-word == the sum over groups
+    of docs-in-group-containing-word, a ``sum`` window over ``w`` on a
+    frame with at most #groups rows per word — unlike a corpus-row
+    window over a hot word (the measured q75 straggler), this is
+    post-aggregate and skew-free, and it replaces both the second
+    corpus derivation and the tf<->df join outright.
     """
+    from pyspark.sql.window import Window
+
     wx = df.select(F.col(id_col), F.col(group_col), F.explode(_words(text_col)).alias("w"))
     wx = wx.where(F.col("w") != "")
-    tf = wx.groupBy(group_col, "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = wx.groupBy("w").agg(F.count_distinct(id_col).alias("dfn"))
+    # one row per (word, doc); group rides along (functional on doc).
+    # Two levels instead of one mixed count+countDistinct aggregate,
+    # which would plan through Expand and double every corpus row.
+    lvl1 = wx.groupBy("w", id_col, group_col).agg(F.count(F.lit(1)).alias("__c"))
+    tf = lvl1.groupBy(group_col, "w").agg(
+        F.sum("__c").alias("tf"), F.count(F.lit(1)).alias("__docs")
+    )
+    dfreq_w = F.sum("__docs").over(Window.partitionBy("w"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "w")
+        tf.withColumn("dfn", dfreq_w)
         .crossJoin(F.broadcast(total))
         .select(
             group_col,
@@ -432,7 +448,6 @@ def tfidf_top_terms(
             ).alias("score"),
         )
     )
-    from pyspark.sql.window import Window
 
     rn = F.row_number().over(
         Window.partitionBy(group_col).orderBy(F.col("score").desc(), F.col("term"))

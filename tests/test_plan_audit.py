@@ -346,6 +346,20 @@ def test_q81_tfidf_total_broadcasts_and_window_is_post_agg(spark):
         "ranking window must consume the aggregated frame "
         f"(agg ids {agg_ids} vs window ids {win_ids})"
     )
+    # r14: linear lineage — the scan/regex-split/explode pipeline is
+    # planned exactly ONCE (the old tf-from-wx + countDistinct-from-wx
+    # branch pair re-derived it twice; column pruning thins the
+    # branches differently, so CSE/ReuseExchange never unify them).
+    # Document frequency folds from the post-aggregate (group, word)
+    # frame via a vocab-sized window, so the tf<->df shuffle join is
+    # gone too: the only remaining scans are the corpus explode and the
+    # count-only n_docs total, and the only join is the broadcast total.
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 2, f"{len(scans)} scans — corpus pipeline re-derived"
+    gens = re.findall(r"^\(\d+\) Generate", p, flags=re.M)
+    assert len(gens) == 1, f"{len(gens)} explodes — corpus pipeline re-derived"
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in p, f"unexpected {join} — tf<->df join-back returned"
 
 
 def test_q91_training_order_has_no_global_sort(spark):
