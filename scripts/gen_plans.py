@@ -136,14 +136,16 @@ SECTIONS = [
         "shuffles: spans explode map-side (slice+transform, codegen), the "
         "per-(doc, shingle) count partial-aggregates BEFORE its exchange so "
         "the first shuffle moves distinct grains rather than raw "
-        "occurrences, and the cross-doc test is a groupBy on the shingle "
-        "key whose per-key row count is bounded by the doc count. Both "
-        "per-doc aggregates (total spans, duplicated spans) ride ONE "
-        "groupBy over the sc-join-nd frame — no separate totals branch. "
-        "Machine-asserted: no CartesianProduct / nested-loop join, >=4 "
-        "HashAggregate partial+final pairs, <=2 static corpus scans "
-        "(collapsed further by exchange reuse at runtime). At 100 TB "
-        "every stage is an "
+        "occurrences, and the cross-doc ndocs test is a COUNT WINDOW over "
+        "the same hashpartitioning(shingle) exchange (r14 — the former "
+        "groupBy+join-back re-derived the whole shingle pipeline for the "
+        "ndocs branch; per-key window rows are bounded by the doc count). "
+        "Both per-doc aggregates (total spans, duplicated spans) ride ONE "
+        "groupBy(doc) over the windowed frame — no separate totals branch, "
+        "no join of any kind. Machine-asserted: no CartesianProduct / "
+        "nested-loop join, no SortMergeJoin/ShuffledHashJoin/BroadcastHash"
+        "Join, >=4 HashAggregate partial+final pairs, exactly ONE corpus "
+        "scan. At 100 TB every stage is an "
         "equi-keyed shuffle with map-side combine — the same data motion "
         "a suffix-array build would need, minus the global sort.",
     ),
