@@ -22,6 +22,17 @@ Bench session conf (BASELINE.md §3 has the experiment matrix):
     AQE on — the engine default (session.py) does.
   - shuffle.partitions sized to the SF (8 at <=sf0.1, 16 above):
     fewer task launches on sub-100 MB shuffles.
+  - preferSortMergeJoin off (r14): with AQE off the static planner
+    falls back to SortMergeJoin for any over-broadcast-threshold equi
+    join; shuffled-hash skips both sort passes when the build side
+    fits per partition. At sf0.1 every bench join broadcasts (plans
+    unchanged); at sf10 this is b2's lineitem-orders join — measured
+    interleaved in one session: SMJ median 17.6 s vs SHJ 7.4 s with
+    much lower spread (the sort was the documented b2 session-swing
+    source), result parity exact. At 100 TB the same choice is made
+    adaptively (AQE + skew handling, engine default in session.py);
+    forcing it statically here mirrors that decision for the
+    AQE-off bench posture.
 The JSON also reports "floor_sec": the median wall-clock of
 `spark.sql("SELECT 1").collect()` — Spark's fixed per-statement cost
 (parse/analyze/optimize/schedule/Py4J fetch) that bounds every query
@@ -302,6 +313,11 @@ def main() -> None:
                 "1048576" if sf_num <= 0.1 else "4194304"
             ),
             "spark.sql.files.openCostInBytes": "65536",
+            # shuffled-hash over sort-merge when broadcast is off the
+            # table (see module docstring: 2.4x on b2@sf10, parity
+            # exact, sf0.1 plans untouched — every join there
+            # broadcasts; the engine default leaves this to AQE).
+            "spark.sql.join.preferSortMergeJoin": "false",
         },
     )
     register_views(spark, sf_dir)

@@ -51,6 +51,7 @@ def main() -> None:
             "spark.sql.shuffle.partitions": "4",
             "spark.sql.files.maxPartitionBytes": "1048576",
             "spark.sql.files.openCostInBytes": "65536",
+            "spark.sql.join.preferSortMergeJoin": "false",
         },
     )
     register_views(spark, SF_DIR)
