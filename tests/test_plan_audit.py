@@ -324,8 +324,19 @@ def test_q80_rolling_is_window_not_self_join(spark):
 def test_q81_tfidf_total_broadcasts_and_window_is_post_agg(spark):
     """The 1-row doc total must broadcast (never a vocab-wide window),
     and the ranking window input must be the aggregated (lang, word)
-    frame, not the exploded corpus."""
-    p = plan(spark, "q81_tfidf_terms")
+    frame, not the exploded corpus.
+
+    Build a FRESH plan (not the registry memo): once the oracle test
+    has executed q81, .explain renders the AQE final plan with
+    per-stage materialization and the static node counts below would
+    miscount (same trap as q80/q95)."""
+    from kfai_pipeline_spark.queries.llm_data import q81_tfidf_terms
+
+    df = q81_tfidf_terms(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     # The window must consume the post-aggregate frame. Anchor on the
