@@ -1341,11 +1341,18 @@ def duplicated_spans(
       the per-(doc, shingle) count is a partial-agg groupBy, so the
       first shuffle moves one row per distinct (doc, shingle), not one
       per occurrence.
-    * the cross-doc test is a groupBy on shingle over that doc×shingle
-      grain — ``ndocs = count(*)`` needs no countDistinct because the
-      grain already is distinct per doc. Per-shingle row count is
-      bounded by the doc count, and AQE skew-join splits any
-      hyper-common shingle's bucket.
+    * the cross-doc test is ``ndocs = count(*)`` as a WINDOW over that
+      doc×shingle grain (no countDistinct — the grain already is
+      distinct per doc, and no join-back — see the inline note). A
+      window partition is NOT AQE-splittable, so a hyper-common
+      shingle (boilerplate n-gram in most docs) concentrates its rows
+      in one task. That risk is accepted deliberately: the partition
+      is bounded by the DOC count (not occurrences), each row is a
+      narrow (id, shingle, c) triple, and WindowExec buffers its
+      partition in a spillable row array — a hot shingle is a
+      straggler bounded by #docs rows of ~few dozen bytes, never an
+      OOM, while the alternative join-back form re-derives the whole
+      100 TB shingle pipeline for its probe side (measured, r14).
     * nothing broadcasts an unbounded set; nothing forms a pair join.
       Total cost is O(|span occurrences|) map-side + shuffles keyed on
       (doc, shingle), shingle, and doc — each with map-side partials.

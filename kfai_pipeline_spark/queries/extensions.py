@@ -1431,40 +1431,46 @@ def q83_llm_clean(spark, sf_dir):
     ),
 )
 def q84_funnel(spark, sf_dir):
-    # r14: ONE events pass instead of three. The staged form (filter ->
-    # groupBy -> join next stage) scanned events once per stage and
-    # shuffled each stage's subset on user_id separately, with two
-    # aggregate joins between — 3 scans + 3 exchanges + 2 joins. The
-    # strict inter-stage ordering (t2 = first click AFTER t1, t3 = first
-    # purchase AFTER t2) collapses into one per-user aggregate: min view
-    # ts plus the click/purchase ts lists, then array_min over a
-    # filtered slice resolves each stage in-row. One scan, one user_id
-    # exchange; per-user state is bounded by that user's click+purchase
-    # count (the same per-key bound sessionize carries). Local 100x
-    # noop wall is ~even (2.45 -> 2.42 s median — the 10M-event fixture
-    # sits in page cache, so the removed scans cost little HERE); the
-    # win is structural: the staged shape reads a 100 TB events table
-    # three times and shuffles three stage subsets, this reads and
-    # shuffles once. Results hash-identical (oracle at
-    # sf0.001/0.01/0.1); plans/r14/q84_funnel_{before,after}.txt.
+    # r14 collapsed the staged form (filter -> groupBy -> join next
+    # stage: 3 events scans + 3 exchanges + 2 joins) into ONE events
+    # pass. r15 bounds the per-user state: the r14 aggregate
+    # collect_list'ed EVERY click/purchase ts of a user into one
+    # aggregation-buffer array — a single hot key (bot account, 1e7
+    # events at 100 TB) cannot spill or split inside one array cell
+    # (guide §5). The stacked conditional window mins below keep the
+    # exact same 1 scan + 1 user_id exchange (t2/t3 reference the
+    # previous min, so they are sequential Window ops over the SAME
+    # partitioning — one exchange, one sort, no extra shuffle), and
+    # WindowExec buffers its partition in a SPILLABLE row array, so a
+    # hot user costs disk + a straggler task, never an OOM. The
+    # per-user groupBy after the windows needs no exchange (grouping
+    # key == partitioning key). Results hash-identical (oracle at
+    # sf0.001/0.01/0.1); plans/r15/q84_funnel_{before,after}.txt.
+    from pyspark.sql.window import Window as _W
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    per_user = (
-        ev.where(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
-            F.collect_list(
-                F.when(F.col("event_type") == "click", F.col("ts"))
-            ).alias("__clicks"),
-            F.collect_list(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            ).alias("__purchases"),
-        )
+    w = _W.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    e1 = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).withColumn("t1", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+    e2 = e1.withColumn(
+        "t2",
+        F.min(
+            F.when(is_type("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
     )
-    t1 = F.col("t1")
-    t2 = F.array_min(F.filter("__clicks", lambda c: c > t1))
-    t3 = F.array_min(F.filter("__purchases", lambda p: p > t2))
-    staged = per_user.select(t1, t2.alias("t2"), t3.alias("t3"))
+    e3 = e2.withColumn(
+        "t3",
+        F.min(
+            F.when(is_type("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    staged = e3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),  # all rows of a user carry the same
+        F.max("t2").alias("t2"),  # window value; max() just picks it
+        F.max("t3").alias("t3"),  # without another exchange
+    )
     counts = staged.agg(
         F.count("t1").alias("n1"),
         F.count("t2").alias("n2"),

@@ -66,6 +66,14 @@ def test_snapshot_rotation_consistent_with_registry():
     rotated = list(spark_queries())
     assert set(rotated) == set(REGISTRY), "rotation must be a permutation"
     snapshotted = frozenset().union(*_SNAPSHOT_HISTORY)
+    # restructured-since-snapshot names jump the queue (r14 verdict 1b:
+    # a rewritten query must regain an official oracle row next round)
+    from kfai_pipeline_spark.queries import _RESTRUCTURED_SINCE_SNAPSHOT
+
+    n_prio = len(_RESTRUCTURED_SINCE_SNAPSHOT)
+    assert tuple(rotated[:n_prio]) == _RESTRUCTURED_SINCE_SNAPSHOT
     n_new = len(REGISTRY.keys() - snapshotted)
-    # never-snapshotted queries must occupy the FRONT of the window
-    assert all(name not in snapshotted for name in rotated[:n_new])
+    # never-snapshotted queries occupy the front after the priority set
+    assert all(
+        name not in snapshotted for name in rotated[n_prio:n_prio + n_new]
+    )

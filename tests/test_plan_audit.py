@@ -444,6 +444,30 @@ def test_q94_dup_spans_is_shingle_keyed_no_pair_join(spark):
     assert len(scans) == 1, f"{len(scans)} scans — shingle pipeline re-derived"
 
 
+def test_q84_funnel_single_scan_bounded_state(spark):
+    """Funnel: ONE events scan, ONE user_id exchange, and NO array
+    aggregation buffers. r14 collapsed the 3-scan staged shape into one
+    per-user aggregate but accumulated every click/purchase ts in
+    collect_list arrays (unbounded, unspillable per-key state); r15
+    replaced those with stacked conditional window mins — WindowExec
+    partitions spill, arrays do not (guide §5)."""
+    p = plan(spark, "q84_funnel")
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", p, flags=_re.M)
+    assert len(scans) == 1, f"{len(scans)} scans — staged shape returned"
+    assert "collect_list" not in p, "unbounded array agg state returned"
+    # three stacked windows over the same user_id partitioning
+    n_windows = len(_re.findall(r"^\(\d+\) Window", p, flags=_re.M))
+    assert n_windows == 3, f"{n_windows} Window ops — expected t1/t2/t3"
+    # the windows and per-user agg share one exchange; the only other
+    # exchange is the 1-row final SinglePartition agg
+    n_exch = len(_re.findall(r"^\(\d+\) Exchange", p, flags=_re.M))
+    assert n_exch == 2, f"{n_exch} exchanges — extra shuffle crept in"
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in p, f"unexpected {join} — staged join returned"
+
+
 def test_q95_scd2_single_exchange_no_self_join(spark):
     """SCD2 history: change filter between two windows over one spec —
     a single hash exchange on the key, one window sort shared by both
