@@ -697,18 +697,33 @@ def q22(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    # Fact FIRST, dims joined onto it: with Spark's no-CBO syntactic
-    # planning, left-deep fact-first keeps lineitem the PROBE side of
-    # every join, so each dim rides a broadcast build and the fact never
-    # shuffles in the broadcast regime. The round-4 experiment that put
-    # the selective dim chain first (BASELINE.md §5b) planned lineitem
-    # as the BUILD side of its join — the fact itself broadcast at
-    # sf0.1 (+80% wall) — and measured no win at sf10; REVERTED.
-    return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+    # r15: reduce ORDERS through the selective dim chain FIRST, then
+    # join the fact LAST against the pre-filtered result. The ASIA
+    # filter keeps ~20% of orders (2.94M of 15M at the 100x fixture),
+    # so the fact join's other side shrinks 5x before lineitem touches
+    # it and the joined intermediate carried into the aggregate is
+    # 11.8M rows instead of 60M. Interleaved same-session A/B on the
+    # SQL twin: sf10 10.84 -> 3.52 s (broadcast attach) / 8.30 s
+    # (shuffled-hash attach), sf1 1.43 -> 0.82 s, sf0.1 ~even —
+    # parity exact at all three (r15 study, /tmp replay in
+    # OPTIMIZATION_r15.md). This differs from the round-4 dims-first
+    # experiment (BASELINE.md §5b, reverted): that shape joined the
+    # dims to each other but left orders UNREDUCED, so the fact join
+    # saved nothing and the static planner broadcast the fact at
+    # sf0.1. Here the engine posture stays adaptive: no hint on the
+    # fact join — AQE picks broadcast for the reduced side from its
+    # RUNTIME size at bench SFs and falls back to a skew-splittable
+    # shuffle join at 100 TB where the reduced side is ~2.9B rows
+    # (over every broadcast cap); nation/region broadcast hints are
+    # constant-size (25/5 rows) and scale-free.
+    asia_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        lineitem.join(asia_orders, lineitem.l_orderkey == asia_orders.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.round(

@@ -65,23 +65,42 @@ BENCH_SQL: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    # Fact-FIRST declared order, matching the canonical builder
-    # (relational.py q22): with the dims declared first Catalyst builds
-    # a left-deep tree whose LAST join broadcasts the column-pruned
-    # LINEITEM fact (its 3-column size estimate slips under the 10 MB
-    # threshold) — measured 0.80 s vs 0.59 s at sf0.1. The fact must be
-    # the probe side at every join; declared order is how SQL says so.
+    # r15: mirror the canonical builder's new join order (relational.py
+    # q22) — the ASIA dim chain reduces ORDERS to ~20% first, the fact
+    # joins LAST against that reduced side. Interleaved same-session
+    # A/B: sf10 10.84 -> 3.52 s, sf1 1.43 -> 0.82 s, sf0.1 ~even
+    # (0.87 -> 0.79 medians), parity exact at all three; spread at
+    # sf10 collapsed from 9.7-22.5 to 2.9-3.8 s because the 1.1 GB
+    # lineitem shuffle is GONE — the documented b2 session-swing
+    # source. The BROADCAST(ao) hint is scoped to the bench's static
+    # AQE-off posture and its measured SF range (ao = 2.94M narrow
+    # rows ~ tens of MB at sf10, far under the 8 GB / 512M-row cap;
+    # past ~sf300 it would not fit and the hint would be wrong —
+    # the ENGINE posture in the builder carries no such hint and
+    # lets AQE choose from runtime sizes). Without a pinned build
+    # side the static planner trusts ao's fabricated post-join size
+    # estimate, builds the hash on LINEITEM instead, and dies with
+    # "Can't acquire ... bytes to build hash relation" at sf10 under
+    # the 8g bench heap (measured this round) — the r14-advice SHJ
+    # OOM risk, which this hint also retires. Forced runtime Bloom
+    # injection (creationSideThreshold=512MB, appSideScanThreshold=1)
+    # never fires for a creation side behind a 3-join chain
+    # (plans/r15/b2_restruct_bloom_sf10.txt) and measured no win.
     "q22": """
-        SELECT n_name,
+        WITH ao AS (
+            SELECT o_orderkey, n_name
+            FROM orders
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        )
+        SELECT /*+ BROADCAST(ao) */ n_name,
                ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
                      / 10000.0D, 2) AS revenue
         FROM lineitem
-        JOIN orders   ON l_orderkey  = o_orderkey
-        JOIN customer ON o_custkey   = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
+        JOIN ao ON l_orderkey = o_orderkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,

@@ -15,7 +15,22 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     from kfai_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="kfai-tests", extra_conf={"spark.driver.memory": "8g"})
+    # r15 suite-wall fix (r14 verdict item 1a: the driver's pytest run
+    # exceeded its budget). The suite is ~8000 tiny Spark jobs over
+    # <=90-row fixtures, so wall time is per-job fixed cost, not
+    # compute: a local[8] session with 8 shuffle partitions schedules
+    # 4x fewer no-op tasks per stage and measured 16-28% faster than
+    # local[32] on the heaviest file slices (quiet-host A/B). Engine
+    # semantics are untouched — same conf surface as get_spark's
+    # defaults, only core/partition counts shrink; SPARK_GRAFT_CPUS
+    # below 8 is still honored.
+    cpus = min(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32))
+    spark = get_spark(
+        app_name="kfai-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     yield spark
 
 

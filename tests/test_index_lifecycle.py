@@ -55,6 +55,43 @@ def corpus(spark):
     ).cache()
 
 
+@pytest.fixture(scope="module")
+def prebuilt(spark, corpus, tmp_path_factory):
+    """Template serving roots, built ONCE per (kind, subset) and
+    copytree'd per test (~3 ms vs the 1-11 s real build). A copied
+    root is byte-identical state — parquet, manifest, pointer and
+    claim sidecars carry no absolute paths — verified by a lifecycle
+    parity spot (epoch+compact+serve on a copy == on a fresh build).
+    r15 suite-wall fix (r14 verdict item 1a): the repeated index
+    BUILDS were the single largest cost of the whole test suite.
+    Tests that exercise the build/claim path itself still call
+    init_serving_index directly."""
+    import itertools
+    import shutil
+
+    base = tmp_path_factory.mktemp("lc_templates")
+    subsets = {
+        "corpus": corpus,
+        "even": corpus.where(F.col("doc_id") % 2 == 0),
+        "third0": corpus.where(F.col("doc_id") % 3 == 0),
+    }
+    built: dict[tuple[str, str], str] = {}
+    seq = itertools.count()
+
+    def clone(kind: str = "sq8", subset: str = "corpus", dest: str | None = None) -> str:
+        key = (kind, subset)
+        if key not in built:
+            t = str(base) + f"/t_{kind}_{subset}/idx"
+            kw = {"n_clusters": 4} if kind == "ivfpq" else {}
+            init_serving_index(subsets[subset], t, kind=kind, **kw)
+            built[key] = t
+        dst = dest or str(tmp_path_factory.mktemp(f"lc_clone{next(seq)}")) + "/idx"
+        shutil.copytree(built[key], dst)
+        return dst
+
+    return clone
+
+
 def _serve(docs, root, k=10, refine=16, **kw):
     qv = [float(x) for x in hash_embed(["topic 3 theme 2"])[0]]
     return retrieve_tiered(
@@ -83,27 +120,23 @@ def test_init_resolve_and_plain_passthrough(spark, corpus, tmp_path_factory):
     assert got == want and len(got) == 10
 
 
-def test_epoch_append_serves_through_root(spark, corpus, tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("lc_epoch")) + "/idx"
+def test_epoch_append_serves_through_root(spark, corpus, prebuilt, tmp_path_factory):
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     got = sorted(tuple(r) for r in _serve(corpus, root).select(*COLS).collect())
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
     assert got == want
 
 
-def test_compact_race_epoch_included_or_still_served(
-    spark, corpus, tmp_path_factory
-):
+def test_compact_race_epoch_included_or_still_served(spark, corpus, prebuilt, tmp_path_factory):
     """The round-9 verdict hazard, closed: an epoch committing AFTER
     the compaction pins its fold set must still be served by the new
     version (it is absent from the folded manifest and remains in the
     shared directory) — never silently dropped."""
-    root = str(tmp_path_factory.mktemp("lc_race")) + "/idx"
+    root = prebuilt("sq8", "third0")
     thirds = [corpus.where(F.col("doc_id") % 3 == r) for r in range(3)]
-    init_serving_index(thirds[0], root, kind="sq8")
     write_serving_epoch(thirds[1], root, 0, kind="sq8")
 
     def racing_epoch():
@@ -126,11 +159,8 @@ def test_compact_race_epoch_included_or_still_served(
     assert got2 == want
 
 
-def test_pointer_lost_recovers_from_committed_listing(
-    spark, corpus, tmp_path_factory
-):
-    root = str(tmp_path_factory.mktemp("lc_ptr")) + "/idx"
-    init_serving_index(corpus, root, kind="sq8")
+def test_pointer_lost_recovers_from_committed_listing(spark, corpus, prebuilt, tmp_path_factory):
+    root = prebuilt("sq8", "corpus")
     compact_serving_index(spark, root, kind="sq8")
     os.remove(os.path.join(root, "_LATEST"))
     assert serving_version(spark, root) == 1  # listing recovery, not -1
@@ -139,15 +169,12 @@ def test_pointer_lost_recovers_from_committed_listing(
     assert got == want
 
 
-def test_rebuild_bumps_artifacts_and_retires_stale_epochs(
-    spark, corpus, tmp_path_factory
-):
+def test_rebuild_bumps_artifacts_and_retires_stale_epochs(spark, corpus, prebuilt, tmp_path_factory):
     from kfai_pipeline_spark.operators.similarity import _codes_df
 
-    root = str(tmp_path_factory.mktemp("lc_rebuild")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     rebuild_serving_index(corpus, root, kind="sq8")
     assert serving_version(spark, root) == 1
@@ -161,9 +188,8 @@ def test_rebuild_bumps_artifacts_and_retires_stale_epochs(
     assert got == want
 
 
-def test_rebuild_if_drifted_policy(spark, corpus, tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("lc_drift")) + "/idx"
-    init_serving_index(corpus, root, kind="sq8")
+def test_rebuild_if_drifted_policy(spark, corpus, prebuilt, tmp_path_factory):
+    root = prebuilt("sq8", "corpus")
     fresh = corpus.select("doc_id", "embedding")
     out = rebuild_if_drifted(corpus, fresh, root, kind="sq8")
     assert out["rebuilt"] is False and out["serving"].endswith("/v_0")
@@ -181,14 +207,13 @@ def test_rebuild_if_drifted_policy(spark, corpus, tmp_path_factory):
     assert got == want
 
 
-def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory):
+def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, prebuilt, tmp_path_factory):
     """An ivfpq root WITHOUT a stored routing_baseline (pre-field
     manifest) still refuses a default policy; an explicit threshold
     always works."""
     from kfai_pipeline_spark.operators.similarity import write_index_manifest
 
-    root = str(tmp_path_factory.mktemp("lc_ivfpq")) + "/idx"
-    init_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    root = prebuilt("ivfpq", "corpus")
     # strip the baseline: simulate a root built before the field existed
     write_index_manifest(spark, f"{root}/v_0", 0, [])
     with pytest.raises(ValueError, match="min_p10_cos"):
@@ -202,14 +227,13 @@ def test_rebuild_if_drifted_ivfpq_needs_baseline(spark, corpus, tmp_path_factory
     assert out["rebuilt"] is False
 
 
-def test_ivfpq_routing_baseline_default_policy(spark, corpus, tmp_path_factory):
+def test_ivfpq_routing_baseline_default_policy(spark, corpus, prebuilt, tmp_path_factory):
     """The build stores its corpus's own p10 routing confidence in the
     manifest (routing_baseline); rebuild_if_drifted's default ivfpq
     policy reads it — no caller magic number. Compaction carries the
     baseline verbatim (artifacts are copied verbatim); a rebuild
     remeasures it against the new books."""
-    root = str(tmp_path_factory.mktemp("lc_base")) + "/idx"
-    init_serving_index(corpus, root, kind="ivfpq", n_clusters=4)
+    root = prebuilt("ivfpq", "corpus")
     m0 = read_index_manifest(spark, f"{root}/v_0")
     assert 0.0 < m0["routing_baseline"] <= 1.0
     # fresh incoming == the build corpus: p10 equals the baseline, so
@@ -253,15 +277,14 @@ def test_ivfpq_routing_baseline_default_policy(spark, corpus, tmp_path_factory):
     assert m2["routing_baseline"] == m1["routing_baseline"]
 
 
-def test_ivfpq_root_epoch_compact_serves(spark, corpus, tmp_path_factory):
+def test_ivfpq_root_epoch_compact_serves(spark, corpus, prebuilt, tmp_path_factory):
     """The lifecycle is kind-agnostic: an IVFPQ root serves epochs
     (unpartitioned stamped dirs row-filtered by the probe) and a
     compaction folds them back into the cluster_id partition layout —
     parity with brute throughout (exhaustive-probe regime)."""
-    root = str(tmp_path_factory.mktemp("lc_ivfpq2")) + "/idx"
+    root = prebuilt("ivfpq", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="ivfpq", n_clusters=4)
     write_serving_epoch(odd, root, 0, kind="ivfpq")
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
     got = sorted(
@@ -284,12 +307,12 @@ def test_ivfpq_root_epoch_compact_serves(spark, corpus, tmp_path_factory):
     assert got2 == want
 
 
-def test_maintain_serving_index_stream(spark, corpus, tmp_path_factory):
+def test_maintain_serving_index_stream(spark, corpus, prebuilt, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("lc_stream"))
     root = f"{base}/idx"
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", "embedding")
-    init_serving_index(even, root, kind="sq8")
+    prebuilt("sq8", "even", dest=root)
     odd.where(F.col("doc_id") < 45).coalesce(1).write.mode("overwrite").parquet(
         f"{base}/src/f0"
     )
@@ -313,11 +336,10 @@ def test_maintain_serving_index_stream(spark, corpus, tmp_path_factory):
     assert got2 == want
 
 
-def test_prune_serving_index(spark, corpus, tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("lc_prune")) + "/idx"
+def test_prune_serving_index(spark, corpus, prebuilt, tmp_path_factory):
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     compact_serving_index(spark, root, kind="sq8")  # v_1 folds epoch 0
     out = prune_serving_index(spark, root, retain_versions=1)
@@ -334,14 +356,13 @@ def test_prune_serving_index(spark, corpus, tmp_path_factory):
         prune_serving_index(spark, root, retain_versions=0)
 
 
-def test_torn_epoch_stamp_reads_not_servable(spark, corpus, tmp_path_factory):
+def test_torn_epoch_stamp_reads_not_servable(spark, corpus, prebuilt, tmp_path_factory):
     """Round-10 review fix: an empty/garbled _ARTIFACTS_ID stamp must
     read as 'not servable yet' (epoch skipped), never crash the probe
     — the write side is temp+rename, this pins the reader guard."""
-    root = str(tmp_path_factory.mktemp("lc_torn")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     with open(os.path.join(root, "codes_batches", "batch_0", "_ARTIFACTS_ID"), "w"):
         pass  # truncate to empty — the torn-write shape
@@ -350,19 +371,16 @@ def test_torn_epoch_stamp_reads_not_servable(spark, corpus, tmp_path_factory):
     assert got == want  # epoch skipped, seed half still serves
 
 
-def test_rebuild_refuses_pointer_flip_on_raced_epoch(
-    spark, corpus, tmp_path_factory, monkeypatch
-):
+def test_rebuild_refuses_pointer_flip_on_raced_epoch(spark, corpus, prebuilt, tmp_path_factory, monkeypatch):
     """Round-10 review fix: an epoch committing DURING a rebuild may
     hold documents the rebuild corpus predates — the rebuild must
     refuse the flip (committed-but-unpointed new version; re-run
     overwrites it) instead of silently un-serving them."""
     from kfai_pipeline_spark.operators import index_lifecycle as L
 
-    root = str(tmp_path_factory.mktemp("lc_raced")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
 
     real_build = L.build_ann_index
 
@@ -384,16 +402,13 @@ def test_rebuild_refuses_pointer_flip_on_raced_epoch(
     assert got == want
 
 
-def test_prune_retains_pointer_resolved_version(
-    spark, corpus, tmp_path_factory
-):
+def test_prune_retains_pointer_resolved_version(spark, corpus, prebuilt, tmp_path_factory):
     """Round-10 review fix: retention anchors on the SERVING pointer,
     not just the newest committed version — a committed-but-unpointed
     rebuild must not let prune delete the version readers resolve."""
     from kfai_pipeline_spark.operators.similarity import _fs_write_text
 
-    root = str(tmp_path_factory.mktemp("lc_prune3")) + "/idx"
-    init_serving_index(corpus, root, kind="sq8")
+    root = prebuilt("sq8", "corpus")
     compact_serving_index(spark, root, kind="sq8")  # v_1, pointer -> 1
     # simulate the crash-before-flip shape: pointer back at v_0 while
     # v_1 stays committed
@@ -406,29 +421,24 @@ def test_prune_retains_pointer_resolved_version(
     assert got == want
 
 
-def test_compact_ann_index_rejects_lifecycle_version(
-    spark, corpus, tmp_path_factory
-):
+def test_compact_ann_index_rejects_lifecycle_version(spark, corpus, prebuilt, tmp_path_factory):
     """Round-10 review fix: the plain-dir compactor must refuse a
     manifest-carrying serving version (its sizing never lists the
     shared epochs' bytes and its dest escapes the protocol)."""
     from kfai_pipeline_spark.operators.similarity import compact_ann_index
 
-    root = str(tmp_path_factory.mktemp("lc_reject")) + "/idx"
-    vpath = init_serving_index(corpus, root, kind="sq8")
+    root = prebuilt("sq8", "corpus")
+    vpath = f"{root}/v_0"
     with pytest.raises(ValueError, match="compact_serving_index"):
         compact_ann_index(spark, vpath, f"{root}/nope", kind="sq8")
 
 
-def test_prune_keeps_epoch_servable_by_retained_version(
-    spark, corpus, tmp_path_factory
-):
+def test_prune_keeps_epoch_servable_by_retained_version(spark, corpus, prebuilt, tmp_path_factory):
     """An epoch NOT folded into the newest version (committed after its
     compaction pinned) must survive a prune — deleting it would drop
     served documents."""
-    root = str(tmp_path_factory.mktemp("lc_prune2")) + "/idx"
+    root = prebuilt("sq8", "third0")
     thirds = [corpus.where(F.col("doc_id") % 3 == r) for r in range(3)]
-    init_serving_index(thirds[0], root, kind="sq8")
     write_serving_epoch(thirds[1], root, 0, kind="sq8")
     compact_serving_index(
         spark, root, kind="sq8",
@@ -442,7 +452,7 @@ def test_prune_keeps_epoch_servable_by_retained_version(
     assert got == want
 
 
-def test_selfheal_stream_epoch_then_rebuild(spark, corpus, tmp_path_factory):
+def test_selfheal_stream_epoch_then_rebuild(spark, corpus, prebuilt, tmp_path_factory):
     """X53c — the drift-ARMED maintainer: a fresh micro-batch lands as
     a stamped epoch; a drifted one triggers an in-fold rebuild from the
     corpus table (the fold is the only epoch writer, so the rebuild's
@@ -462,7 +472,7 @@ def test_selfheal_stream_epoch_then_rebuild(spark, corpus, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("lc_heal"))
     root = f"{base}/idx"
     even = corpus.where(F.col("doc_id") % 2 == 0)
-    init_serving_index(even, root, kind="sq8")
+    prebuilt("sq8", "even", dest=root)
     srow = spark.read.parquet(f"{root}/v_0/stats").collect()[0]
     mn = np.array(srow["__mn"], dtype=np.float64)
     mx = np.array(srow["__mx"], dtype=np.float64)
@@ -569,16 +579,15 @@ def test_selfheal_stream_ivfpq_needs_baseline_eagerly(
         )
 
 
-def test_compact_single_writer_cas(spark, corpus, tmp_path_factory):
+def test_compact_single_writer_cas(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11: maintenance-vs-maintenance is CHECKED, not prose. Two
     interleaved compactions of one root — the inner (racing) writer
     commits v_1; the outer, whose pointer read predates it, REFUSES
     instead of uncommitting and rewriting the committed dir (the shape
     that could commit one writer's manifest over the other's codes)."""
-    root = str(tmp_path_factory.mktemp("lc_cas")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     inner = {}
 
@@ -601,14 +610,11 @@ def test_compact_single_writer_cas(spark, corpus, tmp_path_factory):
     assert got2 == want
 
 
-def test_maintenance_refuses_claimed_version_dir(
-    spark, corpus, tmp_path_factory
-):
+def test_maintenance_refuses_claimed_version_dir(spark, corpus, prebuilt, tmp_path_factory):
     """A v_{N+1} claimed by another writer (live, or crashed mid-build)
     refuses BOTH maintenance ops; force_reclaim is the operator
     override once no writer is confirmed live."""
-    root = str(tmp_path_factory.mktemp("lc_claim")) + "/idx"
-    init_serving_index(corpus, root, kind="sq8")
+    root = prebuilt("sq8", "corpus")
     os.makedirs(os.path.join(root, "v_1"), exist_ok=True)
     claim = os.path.join(root, "v_1", "_CLAIM")
     open(claim, "w").close()
@@ -665,9 +671,7 @@ def test_ivfpq_empty_build_commits_baselineless(
     assert 0.0 < m1["routing_baseline"] <= 1.0
 
 
-def test_maintain_stream_kind_follows_manifest(
-    spark, corpus, tmp_path_factory
-):
+def test_maintain_stream_kind_follows_manifest(spark, corpus, prebuilt, tmp_path_factory):
     """Round-10 advice: the streaming maintainer resolves kind from the
     root's manifest (like app stage 10) — an explicit mismatch raises
     at START, and the kwarg-less default maintains an ivfpq root as
@@ -676,7 +680,7 @@ def test_maintain_stream_kind_follows_manifest(
     root = f"{base}/idx"
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", "embedding")
-    init_serving_index(even, root, kind="ivfpq", n_clusters=4)
+    prebuilt("ivfpq", "even", dest=root)
     odd.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/f0")
     schema = "doc_id long, embedding array<double>"
     stream = spark.readStream.schema(schema).parquet(f"{base}/src/f*")
@@ -698,7 +702,7 @@ def test_maintain_stream_kind_follows_manifest(
     assert got == want
 
 
-def test_reader_resolving_pointer_during_flip(spark, corpus, tmp_path_factory):
+def test_reader_resolving_pointer_during_flip(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11 (verdict slack item): a cross-session READER hitting the
     root in every state a pointer flip can expose must resolve a
     committed version — never crash, never serve a missing dir. The
@@ -715,8 +719,7 @@ def test_reader_resolving_pointer_during_flip(spark, corpus, tmp_path_factory):
     checksummed local FS — the same recovery path."""
     from kfai_pipeline_spark.operators.similarity import _fs_write_text
 
-    root = str(tmp_path_factory.mktemp("lc_flipread")) + "/idx"
-    init_serving_index(corpus, root, kind="sq8")
+    root = prebuilt("sq8", "corpus")
     compact_serving_index(spark, root, kind="sq8")  # v_1 committed, ptr->1
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
 
@@ -745,17 +748,15 @@ def test_reader_resolving_pointer_during_flip(spark, corpus, tmp_path_factory):
     serve_ok()
 
 
-def test_epoch_writer_fence(spark, corpus, tmp_path_factory):
+def test_epoch_writer_fence(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11 verdict carry: epoch-writer concurrency was convention.
     Two ingest writers whose id sequences collide on one epoch id must
     never silently overwrite each other — the loser refuses loudly,
     naming both writers; a replay by the SAME writer still passes (the
     overwrite-idempotent streaming contract)."""
-    root = str(tmp_path_factory.mktemp("lc_fence")) + "/idx"
-    even = corpus.where(F.col("doc_id") % 2 == 0)
+    root = prebuilt("sq8", "even")
     first = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 45))
     other = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 45))
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(first, root, 0, kind="sq8", writer="stream:ckptA")
     served = corpus.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") < 45))
     want = sorted(tuple(r) for r in _brute(served).select(*COLS).collect())
@@ -785,9 +786,7 @@ def test_epoch_writer_fence(spark, corpus, tmp_path_factory):
     assert claims[1][1].startswith("app-stage10-")
 
 
-def test_committed_unpointed_orphan_repairs_pointer(
-    spark, corpus, tmp_path_factory
-):
+def test_committed_unpointed_orphan_repairs_pointer(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11 advice (medium): a writer crashing between
     _commit_version and the pointer flip left a committed-but-unpointed
     v_{N+1} that wedged ALL future maintenance (every re-run recomputes
@@ -797,10 +796,9 @@ def test_committed_unpointed_orphan_repairs_pointer(
     unattended schedule self-heals across two runs."""
     from kfai_pipeline_spark.streaming.rollup import _write_latest_version
 
-    root = str(tmp_path_factory.mktemp("lc_orphan")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     compact_serving_index(spark, root, kind="sq8")
     assert serving_version(spark, root) == 1
@@ -818,9 +816,7 @@ def test_committed_unpointed_orphan_repairs_pointer(
     assert got == want
 
 
-def test_force_reclaim_refuses_live_served_dest(
-    spark, corpus, tmp_path_factory
-):
+def test_force_reclaim_refuses_live_served_dest(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11 advice (low): a force_reclaim whose caller's pointer
     read predates a racing writer's commit+flip must NOT uncommit and
     rewrite the version readers are being served — the raw pointer word
@@ -832,10 +828,9 @@ def test_force_reclaim_refuses_live_served_dest(
         _acquire_version_dir,
     )
 
-    root = str(tmp_path_factory.mktemp("lc_livegd")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8")
     compact_serving_index(spark, root, kind="sq8")  # v_1, pointer -> 1
     with pytest.raises(RuntimeError, match="LIVE serving version"):
@@ -904,7 +899,7 @@ def test_claim_io_error_surfaces_as_io_error(spark, monkeypatch):
     assert il._claim_version(spark, "/fake/v_1") is False
 
 
-def test_reader_during_claimed_rebuild_commit(spark, corpus, tmp_path_factory):
+def test_reader_during_claimed_rebuild_commit(spark, corpus, prebuilt, tmp_path_factory):
     """Round-11 verdict slack item: the READ side of the write-side CAS
     fix. A reader resolving the root at every stage of a claimed
     rebuild's commit must serve a committed version correctly —
@@ -917,9 +912,8 @@ def test_reader_during_claimed_rebuild_commit(spark, corpus, tmp_path_factory):
     from kfai_pipeline_spark.operators.similarity import _fs_write_text
     from kfai_pipeline_spark.streaming.rollup import _write_latest_version
 
-    root = str(tmp_path_factory.mktemp("lc_readflip")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
-    init_serving_index(even, root, kind="sq8")
     want_old = sorted(tuple(r) for r in _brute(even).select(*COLS).collect())
     want_new = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
 
@@ -973,9 +967,7 @@ def test_writer_tag_distinct_under_sanitization():
     assert all(c.isalnum() or c in "_-" for c in a)
 
 
-def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(
-    spark, corpus, tmp_path_factory
-):
+def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(spark, corpus, prebuilt, tmp_path_factory):
     """Claim persistence closes the in-window id-reuse residual: after
     compact (folds the epoch) + prune (deletes its dir) + compact again
     (folded drops ids whose dirs are gone), the id looks free to a
@@ -986,10 +978,9 @@ def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(
         list_epoch_claims,
     )
 
-    root = str(tmp_path_factory.mktemp("lc_mono")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
     compact_serving_index(spark, root, kind="sq8")  # v_1 folds {0}
     prune_serving_index(spark, root, retain_versions=1)
@@ -1010,9 +1001,7 @@ def test_epoch_claims_keep_ids_monotonic_across_prune_cycle(
     assert got == want and stats["version"] == 2
 
 
-def test_epoch_listing_tolerates_junk_sidecars(
-    spark, corpus, tmp_path_factory
-):
+def test_epoch_listing_tolerates_junk_sidecars(spark, corpus, prebuilt, tmp_path_factory):
     """Corruption-sweep spirit for the round-12 claim sidecars: stray
     or torn files under codes_batches (a claim with an empty tag, a
     non-integer id, a name missing the separator, a bare junk file)
@@ -1026,10 +1015,9 @@ def test_epoch_listing_tolerates_junk_sidecars(
     )
     from kfai_pipeline_spark.operators.similarity import list_epoch_dirs
 
-    root = str(tmp_path_factory.mktemp("lc_junk")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
     base = os.path.join(root, "codes_batches")
     for junk in (
@@ -1181,7 +1169,7 @@ def test_pointer_swap_same_value_race_is_idempotent(spark, tmp_path, monkeypatch
     assert rl._read_pointer_raw(spark, root) == 5
 
 
-def test_report_epoch_claims_states(spark, corpus, tmp_path_factory):
+def test_report_epoch_claims_states(spark, corpus, prebuilt, tmp_path_factory):
     """Round-13 verdict item #5: an operator diagnosing a wedged ingest
     writer gets every claim classified — committed, in-flight (dir
     present but incomplete), crashed-orphan (claimed, no data ever),
@@ -1191,10 +1179,9 @@ def test_report_epoch_claims_states(spark, corpus, tmp_path_factory):
 
     from kfai_pipeline_spark.operators import index_lifecycle as il
 
-    root = str(tmp_path_factory.mktemp("lc_report")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     # committed
     write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
     # in-flight: claim + dir with data but no parquet _SUCCESS
@@ -1239,9 +1226,7 @@ def test_report_epoch_claims_states(spark, corpus, tmp_path_factory):
     assert by_id[8]["state"] == "folded" and by_id[8]["folded"]
 
 
-def test_compact_interleaved_with_drift_rebuild(
-    spark, corpus, tmp_path_factory
-):
+def test_compact_interleaved_with_drift_rebuild(spark, corpus, prebuilt, tmp_path_factory):
     """Round-12 verdict's suggested interleaving: a compaction pins its
     epoch snapshot, and WHILE it runs a drift-rebuild retrains the
     whole index (artifacts bump + pointer flip). The CAS must refuse
@@ -1250,11 +1235,9 @@ def test_compact_interleaved_with_drift_rebuild(
     fresh compaction against the new serving version must proceed —
     folding ZERO old-lineage epochs (their stamps predate the new
     artifacts) — with probes correct at every step."""
-    root = str(tmp_path_factory.mktemp("lc_reb_race")) + "/idx"
-    even = corpus.where(F.col("doc_id") % 2 == 0)
+    root = prebuilt("sq8", "even")
     first = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 45))
     rest = corpus.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 45))
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(first, root, 0, kind="sq8", writer="stream:ckptA")
     write_serving_epoch(rest, root, 1, kind="sq8", writer="stream:ckptA")
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
@@ -1293,9 +1276,7 @@ def test_compact_interleaved_with_drift_rebuild(
     assert got3 == want
 
 
-def test_prune_racing_mid_build_compaction_is_harmless(
-    spark, corpus, tmp_path_factory
-):
+def test_prune_racing_mid_build_compaction_is_harmless(spark, corpus, prebuilt, tmp_path_factory):
     """The other maintenance-vs-GC interleaving: prune fires WHILE a
     compaction is mid-build (epoch snapshot pinned, v_1 claimed but
     uncommitted). Prune must treat the claimed dest as invisible (it
@@ -1304,10 +1285,9 @@ def test_prune_racing_mid_build_compaction_is_harmless(
     manifest — unfolded, matching lineage). A GC that deleted
     uncommitted v_* dirs or re-listed epochs later would destroy the
     live writer's work; this pins the safe-by-construction behavior."""
-    root = str(tmp_path_factory.mktemp("lc_prune_race")) + "/idx"
+    root = prebuilt("sq8", "even")
     even = corpus.where(F.col("doc_id") % 2 == 0)
     odd = corpus.where(F.col("doc_id") % 2 == 1)
-    init_serving_index(even, root, kind="sq8")
     write_serving_epoch(odd, root, 0, kind="sq8", writer="stream:ckptA")
     want = sorted(tuple(r) for r in _brute(corpus).select(*COLS).collect())
 
