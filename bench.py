@@ -26,13 +26,20 @@ Bench session conf (BASELINE.md §3 has the experiment matrix):
     falls back to SortMergeJoin for any over-broadcast-threshold equi
     join; shuffled-hash skips both sort passes when the build side
     fits per partition. At sf0.1 every bench join broadcasts (plans
-    unchanged); at sf10 this is b2's lineitem-orders join — measured
+    unchanged); at sf10 this was b2's lineitem-orders join — measured
     interleaved in one session: SMJ median 17.6 s vs SHJ 7.4 s with
-    much lower spread (the sort was the documented b2 session-swing
-    source), result parity exact. At 100 TB the same choice is made
-    adaptively (AQE + skew handling, engine default in session.py);
-    forcing it statically here mirrors that decision for the
-    AQE-off bench posture.
+    much lower spread, result parity exact. (r15: b2's twin now joins
+    the fact against the broadcast pre-reduced ASIA orders, so the
+    conf's remaining sf10 effect is the b3 anti join.) At 100 TB the
+    same choice is made adaptively (AQE + skew handling, engine
+    default in session.py); forcing it statically here mirrors that
+    decision for the AQE-off bench posture. SCOPE (r14 advice): the
+    static SHJ build side must fit per partition — validated only at
+    the SFs/partition counts this file runs (build sides <=171 MB over
+    >=16 partitions). A new SF arm must re-check that fit; past it,
+    static SHJ OOMs where SMJ would degrade (measured this round: an
+    unpinned build side at sf10 under the 8g heap died with "Can't
+    acquire ... bytes to build hash relation").
 The JSON also reports "floor_sec": the median wall-clock of
 `spark.sql("SELECT 1").collect()` — Spark's fixed per-statement cost
 (parse/analyze/optimize/schedule/Py4J fetch) that bounds every query
@@ -535,10 +542,15 @@ def main() -> None:
         try:
             result["sf10"] = growth_arm(sf10_dir, {
                 "spark.sql.shuffle.partitions": "32",
-                # multi-file fixture: the default split size already
-                # yields ~1 task per 64 MB file; halve it so the 32
-                # cores stay busy on the 600 MB lineitem scan.
-                "spark.sql.files.maxPartitionBytes": "33554432",
+                # multi-file fixture: 16 MB splits put ~70 tasks on the
+                # 1.1 GB lineitem scan (~2x the 32 cores — guide §6).
+                # r15 interleaved per-conf A/B vs the previous 32 MB:
+                # b1 1.90->1.67, b5 0.94->0.68, b6 1.42->0.99,
+                # b7 3.33->3.01, b2 3.41->3.11 s medians; no query
+                # slower. The engine default stays 128 MB (cluster
+                # posture); this is per-arm local sizing like the
+                # shuffle-partition counts above.
+                "spark.sql.files.maxPartitionBytes": "16777216",
             }, n_runs=3, arm_key="sf10", history=history)
         except Exception as exc:
             print(f"sf10 arm failed: {exc}", file=sys.stderr)

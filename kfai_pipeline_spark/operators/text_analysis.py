@@ -423,6 +423,14 @@ def tfidf_top_terms(
     window over a hot word (the measured q75 straggler), this is
     post-aggregate and skew-free, and it replaces both the second
     corpus derivation and the tf<->df join outright.
+
+    **Hard precondition** (r14 advice): every ``id_col`` value must map
+    to exactly ONE ``group_col`` value. A doc appearing under two
+    groups would be counted once PER GROUP by the folded document
+    frequency (the old countDistinct counted it once), silently
+    deflating idf for its terms. q81's documents table satisfies this
+    (lang is a column of the doc row); callers feeding a multi-group
+    mapping must dedup to one group per id first.
     """
     from pyspark.sql.window import Window
 
@@ -513,6 +521,24 @@ def bigram_logprob(
     # plans/r14/q92_bigram_logprob_{before,after}.txt). The c1 joins
     # and the 1-row total already share one wx derivation via exchange
     # reuse — visible as ReusedExchange in the before plan.
+    #
+    # SKEW, measured not asserted (r15, scripts/r15_q92_skew_ab.py):
+    # the r14-advice objection was that a hot bigram pins every
+    # occurrence to ONE unsplittable window task with no map-side
+    # combine. On a zipf(1.6) fixture whose TOP bigram is 19% of all
+    # 23.8M transitions (~40x worse than the real "of the" profile),
+    # interleaved noop medians: this shape 23.2 s, the AQE-skew-split
+    # join-back 24.5 s, a groupBy(id,w1,w2) pre-agg + sum window
+    # 27.9 s — the pre-agg's extra (id,w1,w2) exchange combines almost
+    # nothing (bigrams rarely repeat within a doc) and the join-back's
+    # second corpus derivation costs more than the hot partition, even
+    # here. Parity exact for all three. Per-key bound of the kept
+    # shape: the hot partition holds that bigram's OCCURRENCES in one
+    # spillable window buffer (straggler, not OOM); if a corpus ever
+    # concentrates materially past this measured ceiling, the
+    # join-back (c2 partial-aggregates map-side, probe stays
+    # AQE-splittable) is the escape hatch, at the price of the second
+    # derivation.
     from pyspark.sql.window import Window
 
     bcx = bx.withColumn(
