@@ -25,6 +25,16 @@ from kfai_pipeline_spark.queries import REGISTRY
 
 
 def plan(spark, qname: str, mode: str = "formatted") -> str:
+    # Always audit the PRE-EXECUTION plan: the registry memoizes built
+    # DataFrames, and once another test (e.g. test_oracle) collects one,
+    # its QueryExecution is frozen as the EXECUTED adaptive plan — whose
+    # formatted output appends the initial plan to the final plan and
+    # doubles every node count this file asserts on (seen as 6 Window
+    # ops for q84's 3). Purging the memo entry rebuilds fresh, making
+    # these asserts independent of suite order.
+    from kfai_pipeline_spark.queries.base import _PLAN_MEMO
+
+    _PLAN_MEMO.pop((spark.sparkContext.applicationId, SF_ORACLE, qname), None)
     df = REGISTRY[qname].build(spark, SF_ORACLE)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
