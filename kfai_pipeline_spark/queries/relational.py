@@ -148,8 +148,22 @@ def q04(spark, sf_dir):
 def q05(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # r15 (guide §2.3 "aggregate before you shuffle"): an anti join only
+    # consumes the DISTINCT right-side keys, but the raw shape shuffles
+    # (and, over the SHJ size conditions, SORTS) every orders row —
+    # ~15 keys/customer of pure duplication. Pre-aggregating to distinct
+    # o_custkey gets map-side partial dedup before the exchange and
+    # shrinks the join's build/sort input 15x; at 100 TB the anti join's
+    # shuffle carries ~#customers keys instead of ~#orders rows.
+    # Interleaved same-session A/B on the SQL twin (r15, parity exact):
+    # sf10 1.31->1.25 s median (5/7 rounds faster), sf1 1.96->1.60,
+    # sf0.1 ~even-to-better (1.19->1.08) — never slower at any SF.
+    # Anti-join semantics are key-set semantics, so DISTINCT on the
+    # right side can never change the result (NULL keys included:
+    # equality never matches them in either shape).
+    order_keys = orders.select("o_custkey").distinct()
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(order_keys, customer.c_custkey == order_keys.o_custkey, "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )

@@ -104,9 +104,19 @@ BENCH_SQL: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
+    # r15: anti-join against the DISTINCT order keys (guide §2.3) — the
+    # raw NOT EXISTS shuffled and sort-merged every orders row when the
+    # static planner's SHJ size conditions fail (sf10 before-plan:
+    # SortMergeJoin LeftAnti over a 15M-row right side); the distinct
+    # pre-aggregate gets map-side partial dedup before the exchange and
+    # feeds the join ~1/15th the rows. Interleaved same-session A/B,
+    # parity exact at all three SFs: sf10 1.31->1.25 s median, sf1
+    # 1.96->1.60, sf0.1 1.19->1.08 (never slower in 21 paired rounds).
+    # DISTINCT on the right of an anti join cannot change the result.
     "q05": """
         SELECT c_custkey FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        LEFT ANTI JOIN (SELECT DISTINCT o_custkey FROM orders) ok
+          ON c_custkey = o_custkey
         ORDER BY c_custkey
     """,
     "q10": """

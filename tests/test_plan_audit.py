@@ -59,6 +59,10 @@ def test_q22_dims_broadcast(spark):
 def test_q05_is_anti_join_not_not_in(spark):
     p = plan(spark, "q05")
     assert "LeftAnti" in p
+    # r15: the anti join consumes DISTINCT right-side keys, so a
+    # HashAggregate pair (map-side partial dedup, guide §2.3) must sit
+    # below the join — the raw shape shuffled/sorted every orders row.
+    assert "HashAggregate" in p, "distinct pre-aggregate missing below anti join"
 
 
 def test_q06_is_semi_join(spark):
